@@ -1,0 +1,430 @@
+"""From-scratch DOM boilerplate stripper (no lxml / bs4 / html.parser).
+
+Single-pass HTML tokenizer -> arena-allocated *block* array (parallel
+NumPy arrays over one contiguous text buffer, NOT per-node Python
+objects) -> text-density + link-density scoring in the style of
+Boilerpipe / trafilatura -> main-content selection.
+
+Fills the role the reference's parse stage plays
+(reference: src/processor/app/main.py:100-102, parse -> parsed_data) for
+HTML payloads; the scoring replaces structure recognition the reference
+delegated to pandas/openpyxl (src/api/app/parsers/excel_parser.py:40-113).
+
+Canonical main_text form (the byte-identity invariant, BASELINE.json
+north_rule):
+  * UTF-8, '\n' between blocks, no trailing newline
+  * within a block, every whitespace run collapsed to a single U+0020
+  * block text stripped at both ends; empty blocks dropped
+  * no unicode normalization, entities decoded exactly once
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+# --- tag taxonomy ----------------------------------------------------------
+
+# Tags that terminate/flush a text block (display:block-ish).
+BLOCK_TAGS = frozenset(
+    """p div section article h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead
+    tbody tfoot tr blockquote pre br hr header footer nav aside main
+    form figure figcaption address fieldset legend details summary title
+    body html head center caption""".split()
+)
+
+# Table cells are inline within their row block but contribute a cell
+# separator, so '<td>A</td><td>1</td>' canonicalizes to 'A 1'.
+CELL_TAGS = frozenset(("td", "th"))
+
+# Raw-text elements whose content is never document text.
+RAWTEXT_TAGS = frozenset("script style noscript template textarea".split())
+
+# Containers whose entire subtree is presumed boilerplate chrome.
+BOILER_CONTAINERS = frozenset("nav header footer aside form".split())
+
+# Void elements (never pushed on the open stack).
+VOID_TAGS = frozenset(
+    "br hr img input meta link area base col embed source track wbr".split()
+)
+
+_TAG_IDS: dict[str, int] = {}
+
+
+def _tag_id(name: str) -> int:
+    tid = _TAG_IDS.get(name)
+    if tid is None:
+        tid = len(_TAG_IDS) + 1
+        _TAG_IDS[name] = tid
+    return tid
+
+
+# --- entity decoding --------------------------------------------------------
+
+_NAMED_ENTITIES = {
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "#39": "'",
+    "nbsp": " ",
+    "copy": "©",
+    "mdash": "—",
+    "ndash": "–",
+    "hellip": "…",
+    "laquo": "«",
+    "raquo": "»",
+    "times": "×",
+    "yen": "¥",
+    "euro": "€",
+    "pound": "£",
+}
+
+_ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z][a-zA-Z0-9]{1,31});")
+
+
+def _entity_sub(m: re.Match) -> str:
+    body = m.group(1)
+    if body.startswith("#x") or body.startswith("#X"):
+        try:
+            cp = int(body[2:], 16)
+            return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+        except ValueError:
+            return m.group(0)
+    if body.startswith("#"):
+        try:
+            cp = int(body[1:])
+            return chr(cp) if 0 < cp <= 0x10FFFF else m.group(0)
+        except ValueError:
+            return m.group(0)
+    rep = _NAMED_ENTITIES.get(body)
+    return rep if rep is not None else m.group(0)
+
+
+def decode_entities(s: str) -> str:
+    if "&" not in s:
+        return s
+    return _ENTITY_RE.sub(_entity_sub, s)
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def collapse_ws(s: str) -> str:
+    """Canonical whitespace form: runs (incl. NBSP) -> one space, strip."""
+    return _WS_RE.sub(" ", s.replace("\xa0", " ")).strip()
+
+
+# --- block arena ------------------------------------------------------------
+
+
+@dataclass
+class BlockArena:
+    """Arena-allocated block array for ONE document.
+
+    `buf` is the contiguous decoded-text arena; every other field is a
+    parallel NumPy array with one entry per block. No per-node Python
+    objects survive parsing (north_star requirement).
+    """
+
+    buf: str
+    start: np.ndarray  # int64  offset of block text in buf
+    length: np.ndarray  # int32  char length of block text
+    link_chars: np.ndarray  # int32  chars that came from inside <a>
+    n_words: np.ndarray  # int32
+    depth: np.ndarray  # int16  open-stack depth at block start
+    tag_id: np.ndarray  # int16  nearest enclosing block tag
+    boiler: np.ndarray  # bool   inside nav/header/footer/aside/form or <head>
+
+    def text(self, i: int) -> str:
+        s = int(self.start[i])
+        return self.buf[s : s + int(self.length[i])]
+
+    def __len__(self) -> int:
+        return int(self.start.shape[0])
+
+
+_ATTR_SKIP_RE = re.compile(r"""[^>"']*(?:"[^"]*"|'[^']*')?""")
+
+
+class _Parser:
+    """Single forward pass; O(len(html)); no recursion, no DOM objects."""
+
+    __slots__ = (
+        "html",
+        "n",
+        "i",
+        "parts",
+        "part_is_link",
+        "stack",
+        "link_depth",
+        "boiler_depth",
+        "head_depth",
+        "blocks",
+        "cur_tag",
+    )
+
+    def __init__(self, html: str):
+        self.html = html
+        self.n = len(html)
+        self.i = 0
+        self.parts: list[str] = []
+        self.part_is_link: list[bool] = []
+        self.stack: list[str] = []
+        self.link_depth = 0
+        self.boiler_depth = 0
+        self.head_depth = 0
+        self.cur_tag = "body"
+        # accumulated raw blocks: (text, link_chars, depth, tag, boiler)
+        self.blocks: list[tuple[str, int, int, str, bool]] = []
+
+    # -- block flush --
+    def _flush(self) -> None:
+        if not self.parts:
+            return
+        raw = "".join(self.parts)
+        link_raw = "".join(
+            p for p, is_l in zip(self.parts, self.part_is_link) if is_l
+        )
+        self.parts.clear()
+        self.part_is_link.clear()
+        text = collapse_ws(decode_entities(raw))
+        if not text:
+            return
+        link_text = collapse_ws(decode_entities(link_raw))
+        self.blocks.append(
+            (
+                text,
+                len(link_text),
+                len(self.stack),
+                self.cur_tag,
+                self.boiler_depth > 0 or self.head_depth > 0,
+            )
+        )
+
+    def _open(self, name: str) -> None:
+        if name in BLOCK_TAGS:
+            self._flush()
+            self.cur_tag = name
+        if name in VOID_TAGS:
+            return
+        self.stack.append(name)
+        if name == "a":
+            self.link_depth += 1
+        if name in BOILER_CONTAINERS:
+            self.boiler_depth += 1
+        if name == "head":
+            self.head_depth += 1
+
+    def _close(self, name: str) -> None:
+        if name in CELL_TAGS and self.parts:
+            self._text(" ")
+        if name in BLOCK_TAGS:
+            self._flush()
+        # pop up to the matching open tag (tolerates misnesting)
+        if name in self.stack:
+            while self.stack:
+                top = self.stack.pop()
+                if top == "a":
+                    self.link_depth = max(0, self.link_depth - 1)
+                if top in BOILER_CONTAINERS:
+                    self.boiler_depth = max(0, self.boiler_depth - 1)
+                if top == "head":
+                    self.head_depth = max(0, self.head_depth - 1)
+                if top == name:
+                    break
+        if name in BLOCK_TAGS:
+            self.cur_tag = next(
+                (t for t in reversed(self.stack) if t in BLOCK_TAGS), "body"
+            )
+
+    def parse(self) -> BlockArena:
+        html, n = self.html, self.n
+        i = 0
+        find = html.find
+        while i < n:
+            lt = find("<", i)
+            if lt == -1:
+                self._text(html[i:])
+                break
+            if lt > i:
+                self._text(html[i:lt])
+            # comment
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                i = n if end == -1 else end + 3
+                continue
+            # doctype / CDATA / other markup declarations
+            if lt + 1 < n and html[lt + 1] in "!?":
+                gt = find(">", lt)
+                i = n if gt == -1 else gt + 1
+                continue
+            gt = find(">", lt)
+            if gt == -1:  # truncated tag at EOF
+                break
+            tag_body = html[lt + 1 : gt]
+            i = gt + 1
+            closing = tag_body.startswith("/")
+            if closing:
+                tag_body = tag_body[1:]
+            # quoted '>' inside attributes: cheap re-scan only when quotes present
+            if not closing and ('"' in tag_body or "'" in tag_body):
+                if tag_body.count('"') % 2 == 1 or tag_body.count("'") % 2 == 1:
+                    gt2 = self._find_tag_end(lt)
+                    if gt2 != -1:
+                        tag_body = html[lt + 1 : gt2]
+                        i = gt2 + 1
+            self_closing = tag_body.endswith("/")
+            if self_closing:
+                tag_body = tag_body[:-1]
+            m = re.match(r"[a-zA-Z][a-zA-Z0-9:-]*", tag_body)
+            if not m:
+                continue
+            name = m.group(0).lower()
+            if closing:
+                self._close(name)
+                continue
+            if name in RAWTEXT_TAGS and not self_closing:
+                # skip raw content up to the matching close tag
+                close_re = re.compile(r"</" + name + r"\s*>", re.IGNORECASE)
+                cm = close_re.search(html, i)
+                i = n if cm is None else cm.end()
+                continue
+            self._open(name)
+            if self_closing and name not in VOID_TAGS:
+                self._close(name)
+        self._flush()
+        return self._finalize()
+
+    def _find_tag_end(self, lt: int) -> int:
+        """Find '>' respecting quoted attribute values."""
+        html, n = self.html, self.n
+        j = lt + 1
+        quote = ""
+        while j < n:
+            c = html[j]
+            if quote:
+                if c == quote:
+                    quote = ""
+            elif c in "\"'":
+                quote = c
+            elif c == ">":
+                return j
+            j += 1
+        return -1
+
+    def _text(self, chunk: str) -> None:
+        if not chunk:
+            return
+        self.parts.append(chunk)
+        self.part_is_link.append(self.link_depth > 0)
+
+    def _finalize(self) -> BlockArena:
+        blocks = self.blocks
+        nb = len(blocks)
+        bufs: list[str] = []
+        start = np.empty(nb, dtype=np.int64)
+        length = np.empty(nb, dtype=np.int32)
+        link_chars = np.empty(nb, dtype=np.int32)
+        n_words = np.empty(nb, dtype=np.int32)
+        depth = np.empty(nb, dtype=np.int16)
+        tag_id = np.empty(nb, dtype=np.int16)
+        boiler = np.empty(nb, dtype=np.bool_)
+        off = 0
+        for k, (text, lc, d, tag, b) in enumerate(blocks):
+            bufs.append(text)
+            start[k] = off
+            length[k] = len(text)
+            link_chars[k] = lc
+            n_words[k] = text.count(" ") + 1
+            depth[k] = d
+            tag_id[k] = _tag_id(tag)
+            boiler[k] = b
+            off += len(text)
+        return BlockArena(
+            buf="".join(bufs),
+            start=start,
+            length=length,
+            link_chars=link_chars,
+            n_words=n_words,
+            depth=depth,
+            tag_id=tag_id,
+            boiler=boiler,
+        )
+
+
+def parse_blocks(html: str) -> BlockArena:
+    """Tokenize HTML into the arena block array."""
+    return _Parser(html).parse()
+
+
+# --- content scoring ---------------------------------------------------------
+
+# Thresholds in the Boilerpipe NumWordsRules spirit, frozen for byte-identity.
+LINK_DENSITY_MAX = 0.4  # block mostly links -> boilerplate
+SHORT_BLOCK_WORDS = 3  # blocks shorter than this need clean context
+TITLE_TAG = "title"
+
+
+def classify_blocks(arena: BlockArena) -> np.ndarray:
+    """Vectorized content/boilerplate classification. True = content."""
+    nb = len(arena)
+    if nb == 0:
+        return np.zeros(0, dtype=np.bool_)
+    length = arena.length.astype(np.float64)
+    link_density = arena.link_chars / np.maximum(length, 1.0)
+    is_title = arena.tag_id == _tag_id(TITLE_TAG)
+    content = (
+        (~arena.boiler)
+        & (~is_title)
+        & (link_density <= LINK_DENSITY_MAX)
+    )
+    # short, link-tainted blocks are list/menu debris
+    short = arena.n_words < SHORT_BLOCK_WORDS
+    content &= ~(short & (arena.link_chars > 0))
+    return content
+
+
+def extract_main_text(html: str) -> str:
+    """Full stripper: HTML string -> canonical main_text."""
+    arena = parse_blocks(html)
+    keep = classify_blocks(arena)
+    if not keep.any():
+        return ""
+    idx = np.nonzero(keep)[0]
+    return "\n".join(arena.text(int(i)) for i in idx)
+
+
+# --- payload sniffing ---------------------------------------------------------
+
+
+def sniff_kind(payload: bytes) -> str:
+    """Content sniffing replaces the reference's filename-extension dispatch
+    (reference: src/processor/app/parsers/excel_parser.py:32-40)."""
+    if not payload:
+        return "empty"
+    head = payload[:2048].lstrip()
+    if head.startswith(b"%PDF-"):
+        return "pdf"
+    low = head[:256].lower()
+    if low.startswith(b"<!doctype") or low.startswith(b"<html") or low.startswith(b"<"):
+        return "html"
+    # CSV heuristic: >=2 lines sharing a delimiter count
+    sample = payload[:4096]
+    try:
+        stext = sample.decode("utf-8")
+    except UnicodeDecodeError:
+        try:
+            stext = sample.decode("cp932")
+        except UnicodeDecodeError:
+            return "binary"
+    lines = [ln for ln in stext.splitlines() if ln.strip()][:20]
+    if len(lines) >= 2:
+        for delim in (",", ";", "\t", "|"):
+            counts = [ln.count(delim) for ln in lines]
+            if counts[0] > 0 and len(set(counts)) == 1:
+                return "csv"
+    return "text"

@@ -1,0 +1,79 @@
+"""Single-document oracle: the E2-equivalent synchronous path.
+
+``extract_one(url, payload)`` runs the full parse -> extract -> validate
+pipeline on one document with zero Spark involvement (reference analogue:
+the synchronous process endpoint, src/api/app/api/endpoints/
+documents.py:131-217). It is the byte-identity arbiter: Tier-2 Spark
+parity tests assert the distributed pipeline's per-url output equals this
+function's output exactly (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .csvkern import csv_main_text
+from .fields import detect_doc_type, extract_fields, language_of
+from .html import collapse_ws, extract_main_text, sniff_kind
+from .pdf import extract_pdf_text
+from .validate import confidence_score, validate_fields
+
+
+def main_text_of(payload: bytes) -> tuple[str, str]:
+    """-> (content_kind, canonical main_text). Never raises on bad input;
+    malformed payloads degrade to ('binary'|'text', best-effort text) the
+    way the reference captures per-doc errors instead of crashing the
+    worker (src/processor/app/main.py:145-149)."""
+    kind = sniff_kind(payload)
+    if kind == "empty":
+        return kind, ""
+    if kind == "pdf":
+        try:
+            return kind, extract_pdf_text(payload)
+        except Exception:
+            return kind, ""
+    if kind == "csv":
+        return kind, csv_main_text(payload)
+    if kind == "binary":
+        return kind, ""
+    text = payload.decode("utf-8", errors="replace")
+    if kind == "html":
+        return kind, extract_main_text(text)
+    # plain text: canonical whitespace per line
+    lines = [collapse_ws(ln) for ln in text.splitlines()]
+    return kind, "\n".join(ln for ln in lines if ln)
+
+
+def extract_one(url: str, payload: bytes) -> dict[str, Any]:
+    """Full per-document pipeline -> plain dict (fixture-golden shape)."""
+    kind, main_text = main_text_of(payload or b"")
+    doc_type = detect_doc_type(main_text) if main_text else "generic"
+    lang = language_of(main_text, url)
+    fields = extract_fields(main_text, doc_type) if main_text else []
+    vres = validate_fields(fields, doc_type)
+    conf = confidence_score(fields, vres, main_text)
+    return {
+        "url": url,
+        "content_kind": kind,
+        "main_text": main_text,
+        "doc_type": doc_type,
+        "lang": lang,
+        "fields": [
+            {
+                "name": f.name,
+                "value": f.value,
+                "span_start": f.span_start,
+                "span_end": f.span_end,
+            }
+            for f in fields
+        ],
+        "valid": vres.valid and bool(main_text),
+        "validation": {
+            "schema_type": vres.schema_type,
+            "errors": vres.errors,
+            "warnings": vres.warnings,
+            "checks": vres.checks,
+        },
+        "confidence": conf,
+        "error": None,
+    }

@@ -1,0 +1,100 @@
+"""Tier-1: HTML stripper kernel (no Spark)."""
+
+from ai_ocr_spark.kernels.html import (
+    collapse_ws,
+    decode_entities,
+    extract_main_text,
+    parse_blocks,
+    sniff_kind,
+)
+
+
+def test_collapse_ws():
+    assert collapse_ws("  a\t\nb\xa0 c  ") == "a b c"
+    assert collapse_ws("") == ""
+    assert collapse_ws(" \n\t ") == ""
+
+
+def test_entities():
+    assert decode_entities("a &amp; b &lt;x&gt; &#65;&#x42; &nbsp;") == "a & b <x> AB \xa0"
+    assert decode_entities("no entities") == "no entities"
+    assert decode_entities("&bogus12345;") == "&bogus12345;"
+
+
+def test_basic_extraction_drops_chrome():
+    html = (
+        "<!DOCTYPE html><html><head><title>T</title><script>var x='<p>no</p>';"
+        "</script><style>p{}</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/x">X</a></nav>'
+        "<article><p>Main content paragraph one.</p>"
+        "<p>Second paragraph with more words here.</p></article>"
+        '<footer><a href="/tos">Terms</a></footer></body></html>'
+    )
+    out = extract_main_text(html)
+    assert out == "Main content paragraph one.\nSecond paragraph with more words here."
+
+
+def test_link_density_removes_menus():
+    html = (
+        "<body><ul>"
+        + "".join(f'<li><a href="/{i}">item {i}</a></li>' for i in range(10))
+        + "</ul><p>Real body text that should stay in the output.</p></body>"
+    )
+    out = extract_main_text(html)
+    assert out == "Real body text that should stay in the output."
+
+
+def test_nested_and_misnested_tags():
+    html = "<div><p>alpha <b>beta</b> gamma</div></p><p>delta</p>"
+    out = extract_main_text(html)
+    assert "alpha beta gamma" in out
+    assert "delta" in out
+
+
+def test_entities_in_text():
+    html = "<p>Tom &amp; Jerry &lt;3 &#x263A;</p>"
+    assert extract_main_text(html) == "Tom & Jerry <3 ☺"
+
+
+def test_empty_and_truncated():
+    assert extract_main_text("") == ""
+    assert extract_main_text("<p>cut off here <div cla") == "cut off here"
+
+
+def test_comment_and_doctype_skipped():
+    html = "<!-- <p>ghost</p> --><p>visible</p>"
+    assert extract_main_text(html) == "visible"
+
+
+def test_arena_block_fields():
+    arena = parse_blocks("<p>one two three</p><p><a href='/'>link text</a></p>")
+    assert len(arena) == 2
+    assert arena.text(0) == "one two three"
+    assert int(arena.n_words[0]) == 3
+    assert int(arena.link_chars[1]) == len("link text")
+
+
+def test_title_excluded():
+    html = "<html><head><title>Page Title</title></head><body><p>body words here</p></body></html>"
+    assert extract_main_text(html) == "body words here"
+
+
+def test_quoted_gt_in_attr():
+    html = '<p data-x="a>b">kept text here</p>'
+    assert extract_main_text(html) == "kept text here"
+
+
+def test_sniff_kind():
+    assert sniff_kind(b"") == "empty"
+    assert sniff_kind(b"%PDF-1.4\n...") == "pdf"
+    assert sniff_kind(b"<!DOCTYPE html><html></html>") == "html"
+    assert sniff_kind(b"  <html><body></body></html>") == "html"
+    assert sniff_kind(b"a,b,c\n1,2,3\n4,5,6\n") == "csv"
+    assert sniff_kind(b"just some plain text\nwith lines\n") == "text"
+    assert sniff_kind(bytes([0, 159, 146, 150]) * 16) == "binary"
+
+
+def test_byte_identity_utf8():
+    html = "<p>日本語のテキスト &amp; more</p>"
+    out = extract_main_text(html)
+    assert out.encode("utf-8") == "日本語のテキスト & more".encode("utf-8")
