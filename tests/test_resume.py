@@ -1,0 +1,80 @@
+"""Tier-4: determinism, snapshot atomicity, idempotent resume (J5)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ai_ocr_spark.catalog import SnapshotTable
+from ai_ocr_spark.pipeline import extract_pages
+
+
+def _hash_df(df):
+    return (
+        df.select(F.md5(F.concat_ws("\x1f", "url", "main_text", "doc_type")).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("long")).alias("s"))
+        .collect()[0]["s"]
+    )
+
+
+def test_run_twice_identical(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    h1 = _hash_df(extract_pages(pages, run_id="d1", num_partitions=4))
+    h2 = _hash_df(extract_pages(pages, run_id="d2", num_partitions=7))
+    assert h1 == h2  # partitioning must not change content
+
+
+def test_snapshot_append_and_read(spark, pages_parquet, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "extractions"))
+    pages = spark.read.parquet(pages_parquet)
+    out = extract_pages(pages.limit(40), run_id="s1")
+    tbl.append(out, run_id="s1")
+    back = tbl.read(spark)
+    assert back.count() == 40
+    assert len(tbl.snapshots()) == 1
+
+
+def test_resume_processes_only_missing(spark, pages_parquet, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "extractions"))
+    pages = spark.read.parquet(pages_parquet)
+
+    first = pages.filter(F.xxhash64("url") % 2 == 0)
+    tbl.append(extract_pages(first, run_id="r1"), run_id="r1")
+    n_first = tbl.read(spark).count()
+
+    pending = tbl.pending(spark, pages)
+    assert pending.count() == 240 - n_first
+    tbl.append(extract_pages(pending, run_id="r2"), run_id="r2")
+
+    done = tbl.read(spark)
+    assert done.count() == 240  # no gaps
+    assert done.select("url").distinct().count() == 240  # no duplicates
+
+    # a third resume is a no-op
+    assert tbl.pending(spark, pages).count() == 0
+
+
+def test_uncommitted_snapshot_invisible(spark, pages_parquet, tmp_path):
+    """A write that never reached the manifest (simulated crash) is not
+    readable — the Iceberg atomicity guarantee."""
+    root = str(tmp_path / "extractions")
+    tbl = SnapshotTable(root)
+    pages = spark.read.parquet(pages_parquet)
+    tbl.append(extract_pages(pages.limit(10), run_id="ok"), run_id="ok")
+    # orphan dir, as if the job died before commit
+    extract_pages(pages.limit(30), run_id="crash").write.mode("overwrite").parquet(
+        os.path.join(root, "snap-99999-crash")
+    )
+    assert tbl.read(spark).count() == 10
+    # resume ignores the orphan too
+    assert tbl.pending(spark, pages).count() == 230
+
+
+def test_manifest_is_atomic_json(tmp_path, spark, pages_parquet):
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    pages = spark.read.parquet(pages_parquet).limit(5)
+    tbl.append(extract_pages(pages, run_id="a"), run_id="a")
+    with open(tbl.manifest_path) as f:
+        m = json.load(f)
+    assert m["snapshots"][0]["run_id"] == "a"
+    assert not [p for p in os.listdir(tbl.meta_dir) if p.endswith(".tmp")]
