@@ -1,38 +1,269 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the full extraction pipeline over pages
+                synthesized from sf0.001 documents.
+queries()     — operator inventory from SURVEY.md §2 + training-data ops.
+oracle_sql()  — DuckDB twins; omitted only for genuinely
+                non-SQL-expressible ops (noted inline).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ai_ocr_spark.operators import relational as R  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> fused kernel extraction -> extractions."""
+    from ai_ocr_spark.pipeline import extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    out = extract_pages(pages, run_id="entry", num_partitions=8)
+    return out.select(
+        "url", "content_kind", "doc_type", "lang", "valid", "confidence", "main_text"
+    )
+
+
+def _pipeline_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark pipeline main_text vs SQL-reconstructable expectation:
+    strip(wrap(text)) == whitespace-canonical text."""
+    from ai_ocr_spark.pipeline import extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_pages(pages, run_id="oracle", num_partitions=8).select(
+        "url", "main_text", "valid"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # aggregations (SURVEY §2.4)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "agg_column_profile": R.agg_column_profile,
+        "agg_bool_checks": R.agg_bool_checks,
+        "agg_rollup_category": R.agg_rollup_category,
+        "agg_order_totals": R.agg_order_totals,
+        "events_daily_metrics": R.events_daily_metrics,
+        # joins (§2.3)
+        "join_customer_orders": R.join_customer_orders,
+        "join_nation_region_rollup": R.join_nation_region_rollup,
+        "join_semi_orders_with_items": R.join_semi_orders_with_items,
+        "join_anti_customers_without_orders": R.join_anti_customers_without_orders,
+        # windows / sort / limit (§2.5)
+        "topk_parts_by_price": R.topk_parts_by_price,
+        "orders_page2": R.orders_page2,
+        "window_running_spend": R.window_running_spend,
+        "window_top3_events_per_user": R.window_top3_events_per_user,
+        # set ops (§2.6)
+        "union_head_tail": R.union_head_tail,
+        # filters (§2.2)
+        "filter_events_window": R.filter_events_window,
+        "filter_keyword_headers": R.filter_keyword_headers,
+        # scalar chains (§2.7)
+        "f_date_normalize": R.f_date_normalize,
+        "f_amount_normalize": R.f_amount_normalize,
+        "f_clamp_score": R.f_clamp_score,
+        "f_doc_type_case": R.f_doc_type_case,
+        "f_lang_detect": R.f_lang_detect,
+        # the pipeline itself (§2.8) — oracle reconstructs the invariant
+        "pipeline_main_text": _pipeline_main_text,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "agg_column_profile": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "agg_bool_checks": """
+            SELECT l_returnflag,
+                   bool_and(l_quantity >= 0) AS all_qty_nonneg,
+                   bool_and(l_discount >= 0 AND l_discount <= 1) AS all_disc_in_range,
+                   bool_and(l_shipdate IS NOT NULL) AS all_dates_present,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "agg_rollup_category": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price,
+                   sum(p_size) AS sum_size
+            FROM part GROUP BY ROLLUP(p_brand)
+        """,
+        "agg_order_totals": """
+            SELECT l_orderkey,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_qty,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "events_daily_metrics": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(round(sum(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        """,
+        "join_customer_orders": """
+            SELECT c_custkey, c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_mktsegment
+        """,
+        "join_nation_region_rollup": """
+            SELECT r_name,
+                   count(*) AS n_customers,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "join_semi_orders_with_items": """
+            SELECT o_orderstatus, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderstatus
+        """,
+        "join_anti_customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "topk_parts_by_price": """
+            SELECT p_partkey, p_name, p_brand, p_retailprice
+            FROM part ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+        """,
+        "orders_page2": """
+            SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+            FROM orders ORDER BY o_orderdate DESC, o_orderkey ASC
+            LIMIT 20 OFFSET 10
+        """,
+        "window_running_spend": """
+            SELECT user_id, event_id,
+                   row_number() OVER w AS rn,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "window_top3_events_per_user": """
+            SELECT user_id, event_id, event_type, value, rk FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rk
+                FROM events
+            ) WHERE rk <= 3
+        """,
+        "union_head_tail": """
+            (SELECT l_orderkey, l_linenumber, l_quantity
+             FROM lineitem ORDER BY l_orderkey ASC, l_linenumber ASC LIMIT 500)
+            UNION ALL
+            (SELECT l_orderkey, l_linenumber, l_quantity
+             FROM lineitem ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 500)
+        """,
+        "filter_events_window": """
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+              AND ts < TIMESTAMP '2024-01-15 00:00:00'
+              AND value > 50.0
+        """,
+        "filter_keyword_headers": """
+            SELECT p_brand, count(*) AS n_colored
+            FROM part
+            WHERE regexp_matches(p_name, '(green|blue|red)')
+            GROUP BY p_brand
+        """,
+        "f_date_normalize": """
+            WITH raw AS (
+                SELECT o_orderkey,
+                       CASE o_orderkey % 3
+                         WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                         WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+                         ELSE strftime(o_orderdate, '%d.%m.%Y')
+                       END AS raw_date
+                FROM orders
+            )
+            SELECT o_orderkey, raw_date,
+                   strftime(coalesce(
+                       try_strptime(raw_date, '%Y-%m-%d'),
+                       try_strptime(raw_date, '%m/%d/%Y'),
+                       try_strptime(raw_date, '%d.%m.%Y')), '%Y-%m-%d') AS norm_date
+            FROM raw
+        """,
+        "f_amount_normalize": """
+            WITH raw AS (
+                SELECT o_orderkey,
+                       '$' || CASE WHEN o_orderkey % 2 = 0
+                         THEN format('{:,}', CAST(floor(o_totalprice) AS BIGINT))
+                              || '.' ||
+                              lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                                   AS VARCHAR), 2, '0')
+                         ELSE printf('%.2f', o_totalprice)
+                       END AS raw_amount
+                FROM orders
+            )
+            SELECT o_orderkey, raw_amount,
+                   CAST(regexp_replace(raw_amount, '[^0-9.\\-]', '', 'g') AS DOUBLE)
+                       AS amount
+            FROM raw
+        """,
+        "f_clamp_score": """
+            SELECT c_custkey,
+                   round(least(1.0, greatest(0.0, c_acctbal / 5000.0)), 6) AS clamped
+            FROM customer
+        """,
+        "f_doc_type_case": """
+            SELECT doc_id,
+                   CASE
+                     WHEN contains(lower(coalesce(text, '')), 'table') THEN 'tabular'
+                     WHEN contains(lower(coalesce(text, '')), 'stream') THEN 'streaming'
+                     WHEN contains(lower(coalesce(text, '')), 'vector') THEN 'vector'
+                     ELSE 'other'
+                   END AS doc_type
+            FROM documents
+        """,
+        "f_lang_detect": """
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[぀-ヿ一-鿿]')
+                        THEN 'ja' ELSE 'en' END AS detected_lang
+            FROM documents
+        """,
+        "pipeline_main_text": """
+            SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+                   trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                       AS main_text,
+                   trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) <> ''
+                       AS valid
+            FROM documents
+        """,
+    }

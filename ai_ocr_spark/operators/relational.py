@@ -1,0 +1,345 @@
+"""Relational operators from the SURVEY.md §2 inventory.
+
+Each function: (spark, sf_dir) -> DataFrame over the driver's testdata
+tables. Aggregates are rounded where float summation order could differ
+between engines; every computed column is aliased to match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _dsum(expr, scale: int = 2):
+    """Order-independent money sum: per-row terms cast to DECIMAL(28,8)
+    (exact, associative addition — immune to partition/summation order),
+    then rounded and returned as double. Both engines agree bit-for-bit."""
+    return F.round(F.sum(expr.cast("decimal(28,8)")), scale).cast("double")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A1/A6: hash aggregate with partial+final combine (TPC-H Q1 shape) -------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column numeric stats over grouped rows (SURVEY A1/A6).
+    Catalyst plans partial_sum -> shuffle -> final_sum; no skew risk on a
+    5-group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- A2: distinct + null counts (column profile) ------------------------------
+
+def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --- A4: all-rows boolean checks (bool_and) ------------------------------------
+
+def agg_bool_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") >= 0).alias("all_qty_nonneg"),
+        F.bool_and((F.col("l_discount") >= 0) & (F.col("l_discount") <= 1)).alias(
+            "all_disc_in_range"
+        ),
+        F.bool_and(F.col("l_shipdate").isNotNull()).alias("all_dates_present"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- A7: category rollup (grouping sets) ---------------------------------------
+
+def agg_rollup_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.rollup("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.sum("p_size").alias("sum_size"),
+        )
+    )
+
+
+# --- A6: line-item totals per order --------------------------------------------
+
+def agg_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        _dsum(F.col("l_quantity")).alias("total_qty"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- J1: FK join, dimension broadcast -------------------------------------------
+
+def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⟕ orders (1:N). Customer is the small side at any SF that
+    matters for the dim: broadcast() pins the strategy so the shuffle is
+    on orders only."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_spend"),
+        )
+    )
+
+
+# --- J2/J3: multiway dim joins ----------------------------------------------------
+
+def join_nation_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+    )
+
+
+# --- J4: existence (left_semi) -----------------------------------------------------
+
+def join_semi_orders_with_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- J5: resume anti-join (the engine's load-bearing join) ---------------------------
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --- W1: top-k ------------------------------------------------------------------------
+
+def topk_parts_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TakeOrderedAndProject at any scale — no full sort. Total order via
+    (price desc, partkey) tiebreak for determinism."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+# --- W2: pagination (total sort + offset/limit) -------------------------------------------
+
+def orders_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    )
+
+
+# --- W: analytic windows (running totals + per-group top-k) ----------------------------------
+
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.round(
+                F.sum("value").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                4,
+            ).alias("running_value"),
+        )
+    )
+
+
+def window_top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "event_type", "value", "rk")
+    )
+
+
+# --- U1: head ∪ tail ---------------------------------------------------------------------------
+
+def union_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    head = li.orderBy(F.asc("l_orderkey"), F.asc("l_linenumber")).limit(500)
+    tail = li.orderBy(F.desc("l_orderkey"), F.desc("l_linenumber")).limit(500)
+    return head.unionByName(tail)
+
+
+# --- A8: events metrics rollup -------------------------------------------------------------------
+
+def events_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dsum(F.col("value"), 4).alias("sum_value"),
+    )
+
+
+# --- P-series: predicate filters -----------------------------------------------------------------
+
+def filter_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-range + predicate filter; both push to the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") >= F.lit("2024-01-08"))
+        & (F.col("ts") < F.lit("2024-01-15"))
+        & (F.col("value") > 50.0)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# --- F-series scalar chains -----------------------------------------------------------------------
+
+def f_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5: render o_orderdate in three formats, normalize back to ISO.
+    Coalesce precedence matches the reference (ISO, then MM/dd/yyyy, then
+    dd.MM.yyyy — schema_validator.py:249-261)."""
+    orders = _t(spark, sf_dir, "orders")
+    raw = (
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.pmod("o_orderkey", F.lit(3)) == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "dd.MM.yyyy"))
+    )
+    df = orders.select("o_orderkey", raw.alias("raw_date"))
+    normalized = F.coalesce(
+        F.try_to_date("raw_date", "yyyy-MM-dd"),
+        F.try_to_date("raw_date", "MM/dd/yyyy"),
+        F.try_to_date("raw_date", "dd.MM.yyyy"),
+    )
+    # ISO string output mirrors the reference's string-date semantics
+    # (dates stay strings end to end, schema_validator.py:249-261)
+    return df.select(
+        "o_orderkey", "raw_date", F.date_format(normalized, "yyyy-MM-dd").alias("norm_date")
+    )
+
+
+def f_amount_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: currency-string strip [^0-9.-] -> double (schema_validator.py:241-247)."""
+    orders = _t(spark, sf_dir, "orders")
+    # comma-grouped for even keys (exercises the comma strip), plain for
+    # odd; integer-part grouping + fixed 2-digit cents, identical in both
+    # engines
+    cents = F.lpad(
+        (F.round(F.col("o_totalprice") * 100).cast("long") % 100).cast("string"),
+        2,
+        "0",
+    )
+    grouped = F.concat(
+        F.format_number(F.floor("o_totalprice").cast("long"), 0), F.lit("."), cents
+    )
+    plain = F.format_string("%.2f", F.col("o_totalprice"))
+    raw = F.concat(
+        F.lit("$"),
+        F.when(F.pmod("o_orderkey", F.lit(2)) == 0, grouped).otherwise(plain),
+    )
+    df = orders.select("o_orderkey", raw.alias("raw_amount"))
+    return df.select(
+        "o_orderkey",
+        "raw_amount",
+        F.regexp_replace("raw_amount", r"[^0-9.\-]", "").cast("double").alias("amount"),
+    )
+
+
+def f_clamp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: clamp to [0,1] via least/greatest (langchain_extractor.py:657)."""
+    cust = _t(spark, sf_dir, "customer")
+    score = F.col("c_acctbal") / F.lit(5000.0)
+    return cust.select(
+        "c_custkey",
+        F.round(
+            F.least(F.lit(1.0), F.greatest(F.lit(0.0), score)), 6
+        ).alias("clamped"),
+    )
+
+
+def f_doc_type_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3: keyword CASE chain for doc-type dispatch."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    return docs.select(
+        "doc_id",
+        F.when(t.contains("table"), F.lit("tabular"))
+        .when(t.contains("stream"), F.lit("streaming"))
+        .when(t.contains("vector"), F.lit("vector"))
+        .otherwise(F.lit("other"))
+        .alias("doc_type"),
+    )
+
+
+def f_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: CJK char-range regex (langchain_extractor.py:287-288)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("text").rlike("[぀-ヿ一-鿿]"), F.lit("ja")
+        ).otherwise(F.lit("en")).alias("detected_lang"),
+    )
+
+
+def filter_keyword_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: keyword-predicate filter over names (excel_validator.py:690-691)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").rlike("(green|blue|red)"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_colored"))
+    )

@@ -1,0 +1,128 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()[name]`` on Spark and its ``oracle_sql()[name]``
+on DuckDB over the same sf dir, and compares row count, sorted column
+names, and an order-insensitive canonical value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    return str(v)
+
+
+def canon_df(pdf) -> tuple[int, list[str], str]:
+    import numpy as np
+    import pandas as pd
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = []
+    for tup in pdf.itertuples(index=False, name=None):
+        rows.append(
+            "\x1f".join(
+                canon_cell(None if (isinstance(v, float) and pd.isna(v)) or v is pd.NaT or (v is None) or (isinstance(v, np.floating) and np.isnan(v)) else (v.item() if isinstance(v, np.generic) else v))
+                for v in tup
+            )
+        )
+    rows.sort()
+    h = hashlib.md5("\x1e".join(rows).encode()).hexdigest()[:16]
+    return len(rows), cols, h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    filters = sys.argv[2:]
+
+    import __spark_entry__ as entrymod
+    from ai_ocr_spark.session import get_spark
+
+    spark = get_spark(app="oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {e}")
+            n_fail += 1
+            continue
+        sn, sc, sh = canon_df(sdf)
+        on, oc, oh = canon_df(odf)
+        ok = (sn, sc, sh) == (on, oc, oh)
+        if ok:
+            n_pass += 1
+            print(f"PASS {name}: {sn} rows ({time.time()-t0:.1f}s)")
+        else:
+            n_fail += 1
+            print(f"FAIL {name}: spark({sn},{sc},{sh}) vs duck({on},{oc},{oh})")
+            if sn == on and sc == oc:
+                # show first differing row for debugging
+                srows = sorted(
+                    "\x1f".join(map(canon_cell, t)) for t in sdf[sorted(sdf.columns)].itertuples(index=False, name=None)
+                )
+                orows = sorted(
+                    "\x1f".join(map(canon_cell, t)) for t in odf[sorted(odf.columns)].itertuples(index=False, name=None)
+                )
+                for a, b in zip(srows, orows):
+                    if a != b:
+                        print(f"  spark: {a[:200]}\n  duck : {b[:200]}")
+                        break
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
