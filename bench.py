@@ -1,0 +1,97 @@
+"""Benchmark entry for the driver: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the `noop` sink (full execution, no
+driver collect). The flagship number is the fused extraction pipeline's
+docs/sec, reported alongside per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as entrymod
+    from ai_ocr_spark.pipeline import extract_pages, pages_from_documents
+    from ai_ocr_spark.session import get_spark
+
+    spark = get_spark(app="bench")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: fused extraction pipeline (docs/sec) -----------------
+    pages = pages_from_documents(spark, sf_dir)
+    n_docs = pages.count()
+    # warm the JVM + Python workers once so the measured run is steady-state
+    _materialize(extract_pages(pages, run_id="warmup", num_partitions=cpus * 2))
+    t0 = time.monotonic()
+    _materialize(extract_pages(pages, run_id="bench", num_partitions=cpus * 2))
+    pipe_s = time.monotonic() - t0
+    timings["pipeline_extract"] = round(pipe_s, 3)
+    docs_per_sec = n_docs / pipe_s if pipe_s > 0 else 0.0
+
+    # --- headline relational / training-data queries --------------------
+    headline = [
+        "q1_pricing_summary",
+        "join_customer_orders",
+        "join_anti_customers_without_orders",
+        "window_top3_events_per_user",
+        "events_daily_metrics",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "ann_cosine_topk",
+        "text_quality_scores",
+        "text_langid_ngram",
+    ]
+    qs = entrymod.queries()
+    for name in headline:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total headline query wall time (flagship: fused extraction pipeline)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs_per_sec": round(docs_per_sec, 2),
+                "n_docs": n_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
