@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ai_ocr_spark.operators import dedup as D  # noqa: E402
+from ai_ocr_spark.operators import multimodal as MM  # noqa: E402
+from ai_ocr_spark.operators import oracles as ORC  # noqa: E402
 from ai_ocr_spark.operators import relational as R  # noqa: E402
+from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
+from ai_ocr_spark.operators import textstats as TS  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -74,6 +79,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_lang_detect": R.f_lang_detect,
         # the pipeline itself (§2.8) — oracle reconstructs the invariant
         "pipeline_main_text": _pipeline_main_text,
+        # training-data ops: deduplication
+        "dedup_exact": D.dedup_exact,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        # training-data ops: similarity search
+        "ann_cosine_topk": SIM.ann_cosine_topk,
+        "ann_ivf_topk": SIM.ann_ivf_topk,
+        # training-data ops: text analysis
+        "text_token_stats": TS.text_token_stats,
+        "text_quality_scores": TS.text_quality_scores,
+        "text_langid": TS.text_langid,
+        "text_fingerprint": TS.text_fingerprint,
+        # training-data ops: multimodal plumbing (rows-only: binary
+        # feature extraction is not SQL-expressible; determinism is
+        # asserted in tests/test_multimodal.py)
+        "mm_image_features": MM.mm_image_features,
+        "mm_frame_sample": MM.mm_frame_sample,
     }
     return q
 
@@ -266,4 +290,16 @@ def oracle_sql() -> dict[str, str]:
                        AS valid
             FROM documents
         """,
+        # training-data ops — DuckDB twins generated from shared constants
+        "dedup_exact": ORC.dedup_exact(),
+        "dedup_minhash_lsh": ORC.dedup_minhash_lsh(),
+        "dedup_simhash": ORC.dedup_simhash(),
+        "dedup_ngram_jaccard": ORC.dedup_ngram_jaccard(),
+        "dedup_embedding_cosine": ORC.dedup_embedding_cosine(),
+        "ann_cosine_topk": ORC.ann_cosine_topk(),
+        "ann_ivf_topk": ORC.ann_ivf_topk(),
+        "text_token_stats": ORC.text_token_stats(),
+        "text_quality_scores": ORC.text_quality_scores(),
+        "text_langid": ORC.text_langid(),
+        "text_fingerprint": ORC.text_fingerprint(),
     }

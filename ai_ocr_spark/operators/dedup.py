@@ -1,0 +1,220 @@
+"""Deduplication operators over the documents table.
+
+Five near/exact-dup strategies, each in its 100-TB-appropriate shape:
+
+  dedup_exact            hash-groupBy on a content fingerprint (one shuffle)
+  dedup_minhash_lsh      shingle -> K minhashes -> banded LSH bucket join ->
+                         exact-Jaccard verify on candidates only
+  dedup_simhash          32-bit simhash (codegen-only per row) -> byte-band
+                         bucket join -> Hamming filter
+  dedup_ngram_jaccard    inverted-index join on shared shingles (exact, no
+                         O(n^2) cross join)
+  dedup_embedding_cosine pairwise cosine over embeddings (brute force at
+                         test scale; the LSH/IVF scale path lives in
+                         operators/similarity.py)
+
+All hashing is md5-derived so the DuckDB oracles reproduce every value
+bit-for-bit (see functions/text.py). Jaccard/cosine are emitted as exact
+doubles — both engines compute them from identical integers/floats in
+identical order, so no rounding is needed.
+
+Reference parity: the reference deduplicates nothing (every upload is a
+new uuid row, storage_service.py:48); dedup is part of the training-data
+surface this engine adds on top of SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as V
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """doc_id + distinct n-word shingles (computed once, reused)."""
+    docs = _docs(spark, sf_dir)
+    tok = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id", F.array_distinct(TX.word_shingles(tok, n)).alias("shd")
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed exact dedup: one hash aggregate on the
+    fingerprint of the canonical text form. At 100 TB this is a single
+    shuffle on a 16-byte key with partial aggregation map-side."""
+    docs = _docs(spark, sf_dir)
+    fp = TX.md5_hex(TX.norm_text(F.col("text")))
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(K=12) -> 4 bands x 3 rows LSH -> bucket self-join ->
+    exact-Jaccard verify (>= 0.5) on candidates only.
+
+    Scale shape: the band join touches O(n * BANDS) small rows, never the
+    O(n^2) pair space; shingle arrays are re-joined only for the verified
+    candidate set. Signature + band hashes are pure codegen expressions.
+    """
+    sh = _shingled(spark, sf_dir, 3)
+    sigs = [TX.minhash_component(F.col("shd"), i) for i in range(TX.MINHASH_K)]
+    bands = F.array(
+        *[TX.lsh_band_hash(sigs, b) for b in range(TX.LSH_BANDS)]
+    )
+    banded = sh.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+    ).filter(F.col("band_hash").isNotNull())
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", (inter / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit simhash per doc (no shuffle — higher-order fns in codegen),
+    then byte-band bucket join + Hamming-distance filter (<= 6).
+
+    Banding guarantee: any pair within Hamming 3 of a 32-bit hash shares
+    at least one of the 4 bytes; <=6 is best-effort recall, the standard
+    simhash trade."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", TX.simhash32(TX.tokens(F.col("text"))).alias("simhash")
+    )
+    byte_of = lambda b: F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*[byte_of(b) for b in range(4)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# --- exact n-gram Jaccard via inverted index --------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard (>= 0.6) with an inverted-index join: explode
+    distinct shingles, self-join on the shingle, dedup candidate pairs,
+    verify. Exact recall (any overlapping pair shares a shingle) without
+    the O(n^2) cross join; the shingle join key is skew-prone at scale —
+    frequent-shingle stop-listing (df > threshold) is the standard cure
+    and is applied here via a max-document-frequency filter."""
+    sh = _shingled(spark, sf_dir, 2)
+    inv = sh.select("doc_id", F.explode("shd").alias("sh"))
+    # stop-list shingles appearing in too many docs (skew + noise control)
+    rare = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    )
+    inv = inv.join(rare.select("sh"), "sh")
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+# --- embedding cosine near-dup ----------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.35 over all i<j pairs.
+
+    Brute force is the *verification* baseline (exact); at 10^12 rows the
+    candidate generation must come from operators/similarity.py's
+    IVF/bucketed path — this operator is the oracle-checkable ground
+    truth for it. Norms are precomputed per side before the join so the
+    pair stage multiplies two scalars instead of re-folding 64 floats."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.select("vec_id", "v", V.norm(F.col("v")).alias("nrm"))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = V.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )

@@ -1,0 +1,327 @@
+"""DuckDB oracle SQL for the training-data operators.
+
+Each builder returns ANSI-ish SQL that DuckDB runs over the same parquet
+tables and that reproduces the Spark operator bit-for-bit:
+
+  * all hashes are md5-derived (identical hex in both engines);
+  * integer arithmetic is exact;
+  * doubles are produced by identical-order operations (strict left
+    folds, same formula text), so no rounding is needed;
+  * NULL propagation uses `||` (DuckDB's concat() skips NULLs, Spark's
+    concat() propagates them).
+
+Constants (K, bands, thresholds, stopword lists) are imported from
+functions/text.py and operators/similarity.py so the two engines can
+never drift apart.
+"""
+
+from __future__ import annotations
+
+from ..functions.text import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_FR,
+)
+from .similarity import (
+    CENTROID_STRIDE,
+    IVF_TOP_K,
+    N_PROBE,
+    N_QUERIES,
+    TOP_K,
+)
+
+# canonical text form — must match functions.text.norm_text exactly
+NORM = r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))"
+
+
+def _shingle_expr(n: int) -> str:
+    """list of n-word shingles over `tok`; < n tokens -> []."""
+    return (
+        f"CASE WHEN len(tok) >= {n} THEN "
+        f"list_transform(range(0, len(tok) - {n - 1}), "
+        f"i -> array_to_string(list_slice(tok, i + 1, i + {n}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def dedup_exact() -> str:
+    return f"""
+        SELECT md5({NORM}) AS fingerprint,
+               count(*) AS n_copies,
+               min(doc_id) AS canonical_doc_id
+        FROM documents GROUP BY 1
+    """
+
+
+def dedup_minhash_lsh() -> str:
+    sigs = ",\n               ".join(
+        f"list_min(list_transform(shd, s -> md5('{i}:' || s))) AS sig{i}"
+        for i in range(MINHASH_K)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN md5({expr})".format(
+            b=b,
+            expr=" || '#' || ".join(
+                f"sig{b * LSH_ROWS + r}" for r in range(LSH_ROWS)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        WITH n AS (SELECT doc_id, string_split({NORM}, ' ') AS tok FROM documents),
+        s AS (SELECT doc_id, list_distinct({_shingle_expr(3)}) AS shd FROM n),
+        sig AS (SELECT doc_id,
+               {sigs}
+               FROM s),
+        bands AS (
+          SELECT doc_id, g.band AS band_idx,
+                 CASE g.band {band_cases} END AS band_hash
+          FROM sig, generate_series(0, {LSH_BANDS - 1}) g(band)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT cand.doc_a, cand.doc_b,
+                 len(list_intersect(sa.shd, sb.shd))
+                   / (len(sa.shd) + len(sb.shd)
+                      - len(list_intersect(sa.shd, sb.shd))) AS jaccard
+          FROM cand
+          JOIN s sa ON sa.doc_id = cand.doc_a
+          JOIN s sb ON sb.doc_id = cand.doc_b
+        ) WHERE jaccard >= 0.5
+    """
+
+
+def dedup_simhash() -> str:
+    return f"""
+        WITH n AS (SELECT doc_id, string_split({NORM}, ' ') AS tok FROM documents),
+        t AS (SELECT doc_id, u.t FROM n, unnest(tok) u(t)),
+        bits AS (
+          SELECT doc_id, g.j,
+                 ((instr('0123456789abcdef', substr(md5(t), CAST(g.j // 4 AS INTEGER) + 1, 1)) - 1)
+                   >> CAST(g.j % 4 AS INTEGER)) & 1 AS bit
+          FROM t, generate_series(0, 31) g(j)
+        ),
+        lanes AS (SELECT doc_id, j, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, j),
+        sh AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+          FROM lanes GROUP BY doc_id
+        ),
+        banded AS (
+          SELECT doc_id, simhash, g.b AS band_idx,
+                 (simhash >> CAST(8 * g.b AS INTEGER)) & 255 AS band_val
+          FROM sh, generate_series(0, 3) g(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 6
+    """
+
+
+def dedup_ngram_jaccard() -> str:
+    return f"""
+        WITH n AS (SELECT doc_id, string_split({NORM}, ' ') AS tok FROM documents),
+        s AS (SELECT doc_id, list_distinct({_shingle_expr(2)}) AS shd FROM n),
+        inv0 AS (SELECT doc_id, u.sh FROM s, unnest(shd) u(sh)),
+        rare AS (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) <= 50),
+        inv AS (SELECT inv0.doc_id, inv0.sh FROM inv0 JOIN rare USING (sh)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT cand.doc_a, cand.doc_b,
+                 len(list_intersect(sa.shd, sb.shd))
+                   / (len(sa.shd) + len(sb.shd)
+                      - len(list_intersect(sa.shd, sb.shd))) AS jaccard
+          FROM cand
+          JOIN s sa ON sa.doc_id = cand.doc_a
+          JOIN s sb ON sb.doc_id = cand.doc_b
+        ) WHERE jaccard >= 0.6
+    """
+
+
+# strict left-fold dot product a.v . b.v (matches functions.vectors.dot)
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+_E2 = f"""
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e2 AS (SELECT vec_id, v, sqrt({_dot('v', 'v')}) AS nrm FROM e)
+"""
+
+
+def dedup_embedding_cosine() -> str:
+    return f"""
+        WITH {_E2}
+        SELECT vec_a, vec_b, cos FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+          FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
+        ) WHERE cos >= 0.35
+    """
+
+
+def ann_cosine_topk() -> str:
+    return f"""
+        WITH {_E2},
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+              FROM e2 WHERE vec_id < {N_QUERIES}),
+        scored AS (
+          SELECT q.query_id, e2.vec_id AS neighbor_id,
+                 {_dot('q.qv', 'e2.v')} / (q.qn * e2.nrm) AS cos
+          FROM e2, q WHERE e2.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, cos, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+               AS BIGINT) AS rk
+          FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
+
+
+def ann_ivf_topk() -> str:
+    return f"""
+        WITH {_E2},
+        cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+                 FROM e2 WHERE vec_id % {CENTROID_STRIDE} = 0),
+        asg AS (
+          SELECT vec_id, v, nrm, centroid_id FROM (
+            SELECT e2.vec_id, e2.v, e2.nrm, cent.centroid_id,
+                   row_number() OVER (PARTITION BY e2.vec_id
+                     ORDER BY {_dot('e2.v', 'cent.cv')} / (e2.nrm * cent.cn) DESC,
+                              cent.centroid_id ASC) AS ark
+            FROM e2, cent
+          ) WHERE ark = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+              FROM e2 WHERE vec_id < {N_QUERIES}),
+        probes AS (
+          SELECT query_id, qv, qn, centroid_id FROM (
+            SELECT q.query_id, q.qv, q.qn, cent.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {_dot('q.qv', 'cent.cv')} / (q.qn * cent.cn) DESC,
+                              cent.centroid_id ASC) AS prk
+            FROM q, cent
+          ) WHERE prk <= {N_PROBE}
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 {_dot('p.qv', 'a.v')} / (p.qn * a.nrm) AS cos
+          FROM asg a JOIN probes p USING (centroid_id)
+          WHERE a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id, cos, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+               AS BIGINT) AS rk
+          FROM scored
+        ) WHERE rk <= {IVF_TOP_K}
+    """
+
+
+def text_token_stats() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(CASE WHEN {NORM} = '' THEN 0
+                    ELSE len(string_split({NORM}, ' ')) END AS BIGINT) AS n_tokens_ws,
+               CAST(len(regexp_extract_all({NORM}, '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_re,
+               CAST(length({NORM}) AS BIGINT) AS n_chars_norm
+        FROM documents
+    """
+
+
+def text_quality_scores() -> str:
+    stop = _sql_list(STOPWORDS_EN)
+    return f"""
+        WITH n AS (
+          SELECT doc_id, {NORM} AS norm, string_split({NORM}, ' ') AS tok
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 length(norm) AS n_chars,
+                 CASE WHEN norm = '' THEN 0 ELSE len(tok) END AS n_tok,
+                 length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+                 len(list_filter(tok, t -> list_contains({stop}, t))) AS n_stop
+          FROM n
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               CAST(n_punct AS BIGINT) AS n_punct,
+               CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stopword_ratio,
+               least(1.0, n_tok / 50.0) * 0.4
+                 + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 0.3
+                 + least(1.0, CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 5.0) * 0.3
+                 AS quality
+        FROM m
+    """
+
+
+def text_langid() -> str:
+    en, de, fr = (
+        _sql_list(STOPWORDS_EN),
+        _sql_list(STOPWORDS_DE),
+        _sql_list(STOPWORDS_FR),
+    )
+    return f"""
+        WITH n AS (
+          SELECT doc_id, text,
+                 list_distinct(string_split({NORM}, ' ')) AS tokd
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_intersect(tokd, {en})) AS BIGINT) AS en_hits,
+               CAST(len(list_intersect(tokd, {de})) AS BIGINT) AS de_hits,
+               CAST(len(list_intersect(tokd, {fr})) AS BIGINT) AS fr_hits,
+               CASE
+                 WHEN regexp_matches(coalesce(text, ''), '[぀-ヿ一-鿿]') THEN 'ja'
+                 WHEN len(list_intersect(tokd, {en})) >= len(list_intersect(tokd, {de}))
+                  AND len(list_intersect(tokd, {en})) >= len(list_intersect(tokd, {fr})) THEN 'en'
+                 WHEN len(list_intersect(tokd, {de})) >= len(list_intersect(tokd, {fr})) THEN 'de'
+                 ELSE 'fr'
+               END AS detected_lang
+        FROM n
+    """
+
+
+def text_fingerprint() -> str:
+    return f"""
+        WITH n AS (
+          SELECT doc_id, {NORM} AS norm, string_split({NORM}, ' ') AS tok
+          FROM documents
+        )
+        SELECT doc_id,
+               md5(norm) AS fingerprint,
+               array_to_string(
+                 list_slice(
+                   list_sort(list_distinct(
+                     list_transform({_shingle_expr(3)}, s -> md5(s)))),
+                   1, 4),
+                 '|') AS bottomk_sketch
+        FROM n
+    """

@@ -1,0 +1,118 @@
+"""Approximate-nearest-neighbor search over the embeddings table.
+
+  ann_cosine_topk   exact top-k per query: broadcast the (small) query
+                    set against the full corpus, cosine, per-query
+                    row_number. The baseline every ANN variant is judged
+                    against.
+  ann_ivf_topk      IVF-style two-stage search: deterministic coarse
+                    centroids -> assign every vector to its nearest
+                    centroid (inverted lists) -> probe only the query's
+                    top-2 lists. The 100-TB shape: the corpus-side join
+                    is an equi-join on centroid_id (partition-prunable),
+                    never a cross join.
+
+All arithmetic is the strict left-fold double cosine from
+functions/vectors.py, so both operators are reproduced exactly by the
+DuckDB oracles (same centroids, same assignment, same tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+N_QUERIES = 8          # query set: vec_id < 8
+TOP_K = 10             # exact top-k
+CENTROID_STRIDE = 37   # centroids: vec_id % 37 == 0 (~n/37 coarse cells)
+N_PROBE = 2            # IVF lists probed per query
+IVF_TOP_K = 5
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    return emb.select("vec_id", "v", V.norm(F.col("v")).alias("nrm"))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for each query vector (vec_id < 8).
+
+    The query side is broadcast (tiny), so the plan is a single pass over
+    the corpus with no shuffle of the big side; the per-query top-k
+    window sorts only k' candidates per partition after AQE."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN: deterministic centroids (vec_id % 37 == 0),
+    nearest-centroid assignment builds the inverted lists, queries probe
+    their top-2 lists and rank candidates by exact cosine.
+
+    Equivalent DuckDB SQL reproduces the same centroid set, assignment
+    and tie-breaks, so results match exactly even though the search is
+    approximate vs ann_cosine_topk."""
+    emb = _emb(spark, sf_dir)
+    cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    ccos = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+
+    # inverted lists: every vector -> nearest centroid (rank 1)
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", "centroid_id", ccos.alias("ccos"))
+        .withColumn("ark", F.row_number().over(aw))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "v", "nrm", "centroid_id")
+    )
+
+    # queries probe their top-N_PROBE centroids
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qcos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    qw = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qv", "qn", "centroid_id", qcos.alias("qcos"))
+        .withColumn("prk", F.row_number().over(qw))
+        .filter(F.col("prk") <= N_PROBE)
+        .select("query_id", "qv", "qn", "centroid_id")
+    )
+
+    # candidate generation: equi-join on centroid_id (the IVF win — at
+    # scale this prunes to the probed lists' partitions only)
+    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rk") <= IVF_TOP_K)
+    )

@@ -1,0 +1,49 @@
+"""Multimodal plumbing: schema, determinism, error capture."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_source_partitions_of_modality(spark):
+    from ai_ocr_spark.operators.multimodal import media_from_documents
+
+    media = media_from_documents(spark, SF).toPandas()
+    assert set(media["media_type"]) == {"image", "audio", "video"}
+    # headers are self-describing
+    for _, r in media.head(12).iterrows():
+        tag = bytes(r["media"])[:4].decode()
+        assert tag == {"image": "IMG1", "audio": "AUD1", "video": "VID1"}[
+            r["media_type"]
+        ]
+
+
+def test_image_features_deterministic_and_normalized(spark):
+    from ai_ocr_spark.operators.multimodal import mm_image_features
+
+    a = mm_image_features(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = mm_image_features(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["error"].isna().all()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    for fa, fb in zip(a["features"], b["features"]):
+        assert list(fa) == list(fb)
+        assert abs(sum(fa) - 1.0) < 1e-9 or sum(fa) == 0.0
+    assert (a["width"] >= 64).all() and (a["height"] >= 48).all()
+
+
+def test_frame_sampling_counts(spark):
+    from ai_ocr_spark.operators.multimodal import mm_frame_sample
+
+    out = mm_frame_sample(spark, SF).toPandas()
+    assert (out["n_sampled"] == (out["n_frames"] + 3) // 4).all()
+    for cs in out["frame_checksums"]:
+        assert all(0 <= c < 65536 for c in cs)
+
+
+def test_real_codec_magic_raises_not_implemented():
+    from ai_ocr_spark.operators.multimodal import _decode_header
+
+    with pytest.raises(NotImplementedError):
+        _decode_header(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        _decode_header(b"\xff\xd8\xff\xe0JFIF")

@@ -1,0 +1,136 @@
+"""Training-data operators: dedup, similarity, text analysis.
+
+Structural/semantic assertions at sf0.001; exact cross-engine parity is
+covered by the DuckDB oracles (tools/check_oracle.py and the driver's
+correctness gate).
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_dedup_exact_covers_all_docs(spark):
+    from ai_ocr_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert out["n_copies"].sum() == docs
+    assert (out["n_copies"] >= 1).all()
+    # fingerprints are md5 hex
+    assert out["fingerprint"].str.fullmatch(r"[0-9a-f]{32}").all()
+
+
+def test_minhash_finds_near_dups_and_agrees_with_exact_jaccard(spark):
+    from ai_ocr_spark.operators.dedup import dedup_minhash_lsh
+
+    out = dedup_minhash_lsh(spark, SF01).toPandas()
+    # sf0.01 documents contain known near-dup pairs (jaccard >= 0.5)
+    assert len(out) > 0
+    assert (out["jaccard"] >= 0.5).all()
+    assert (out["doc_a"] < out["doc_b"]).all()
+    # no duplicate pairs out of the band join
+    assert not out.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_simhash_is_deterministic_and_pairs_are_close(spark):
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.functions.text import simhash32, tokens
+    from ai_ocr_spark.operators.dedup import dedup_simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    h1 = docs.select("doc_id", simhash32(tokens(F.col("text"))).alias("h")).toPandas()
+    h2 = docs.select("doc_id", simhash32(tokens(F.col("text"))).alias("h")).toPandas()
+    assert h1.sort_values("doc_id").equals(h2.sort_values("doc_id"))
+    assert ((h1["h"] >= 0) & (h1["h"] < 2**32)).all()
+
+    pairs = dedup_simhash(spark, SF01).toPandas()
+    assert (pairs["hamming"] <= 6).all()
+
+
+def test_ngram_jaccard_pairs_symmetric_threshold(spark):
+    from ai_ocr_spark.operators.dedup import dedup_ngram_jaccard
+
+    out = dedup_ngram_jaccard(spark, SF01).toPandas()
+    assert len(out) > 0
+    assert (out["jaccard"] >= 0.6).all()
+    assert (out["jaccard"] <= 1.0).all()
+
+
+def test_embedding_cosine_bounds(spark):
+    from ai_ocr_spark.operators.dedup import dedup_embedding_cosine
+
+    out = dedup_embedding_cosine(spark, SF01).toPandas()
+    assert (out["cos"] >= 0.35).all()
+    assert (out["cos"] <= 1.0000001).all()
+
+
+def test_ann_exact_topk_shape_and_order(spark):
+    from ai_ocr_spark.operators.similarity import TOP_K, ann_cosine_topk
+
+    out = ann_cosine_topk(spark, SF01).toPandas()
+    per_q = out.groupby("query_id").size()
+    assert (per_q == TOP_K).all()
+    for _, g in out.groupby("query_id"):
+        g = g.sort_values("rk")
+        assert (g["cos"].diff().dropna() <= 1e-15).all()  # non-increasing
+        assert (g["neighbor_id"] != g["query_id"]).all()
+
+
+def test_ann_ivf_recall_against_exact(spark):
+    """IVF with 2 probes should recover a decent fraction of the exact
+    top-5 — and must itself be deterministic."""
+    from ai_ocr_spark.operators.similarity import (
+        IVF_TOP_K,
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+
+    exact = ann_cosine_topk(spark, SF01).toPandas()
+    ivf = ann_ivf_topk(spark, SF01).toPandas()
+    assert (ivf.groupby("query_id").size() <= IVF_TOP_K).all()
+    exact_top5 = {
+        q: set(g.nsmallest(IVF_TOP_K, "rk")["neighbor_id"])
+        for q, g in exact.groupby("query_id")
+    }
+    hits = total = 0
+    for q, g in ivf.groupby("query_id"):
+        hits += len(set(g["neighbor_id"]) & exact_top5[q])
+        total += IVF_TOP_K
+    assert hits / total >= 0.3  # approximate, but far above chance
+
+
+def test_text_quality_and_tokens(spark):
+    from ai_ocr_spark.operators.textstats import (
+        text_quality_scores,
+        text_token_stats,
+    )
+
+    stats = text_token_stats(spark, SF).toPandas()
+    assert (stats["n_tokens_re"] >= stats["n_tokens_ws"]).all()
+    q = text_quality_scores(spark, SF).toPandas()
+    assert ((q["quality"] >= 0.0) & (q["quality"] <= 1.0)).all()
+    assert ((q["punct_ratio"] >= 0.0) & (q["punct_ratio"] <= 1.0)).all()
+
+
+def test_text_langid_detects_english_corpus(spark):
+    from ai_ocr_spark.operators.textstats import text_langid
+
+    out = text_langid(spark, SF).toPandas()
+    # the synthetic corpus is English-dominant
+    assert (out["detected_lang"] == "en").mean() > 0.5
+    assert set(out["detected_lang"]) <= {"en", "de", "fr", "ja"}
+
+
+def test_text_fingerprint_stable_under_whitespace(spark):
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.functions.text import md5_hex, norm_text
+
+    df = spark.createDataFrame(
+        [("a  b\tc",), ("A B C",), ("a b c",)], ["text"]
+    ).select(md5_hex(norm_text(F.col("text"))).alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1] == fps[2]
