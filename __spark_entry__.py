@@ -77,6 +77,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_clamp_score": R.f_clamp_score,
         "f_doc_type_case": R.f_doc_type_case,
         "f_lang_detect": R.f_lang_detect,
+        "agg_keyword_score_argmax": R.agg_keyword_score_argmax,
+        "f_json_parse_fallback": R.f_json_parse_fallback,
+        "agg_first3_events_per_user": R.agg_first3_events_per_user,
+        "agg_cube_status_priority": R.agg_cube_status_priority,
         # the pipeline itself (§2.8) — oracle reconstructs the invariant
         "pipeline_main_text": _pipeline_main_text,
         # training-data ops: deduplication
@@ -289,6 +293,68 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) <> ''
                        AS valid
             FROM documents
+        """,
+        "agg_keyword_score_argmax": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE WHEN regexp_matches(lower(coalesce(text,'')), 'invoice') THEN 2 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(coalesce(text,'')), 'total|vendor|due') THEN 1 ELSE 0 END AS s_invoice,
+                       CASE WHEN regexp_matches(lower(coalesce(text,'')), 'report|sales') THEN 2 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(coalesce(text,'')), 'summary|quarter') THEN 1 ELSE 0 END AS s_report,
+                       CASE WHEN regexp_matches(lower(coalesce(text,'')), 'inventory|catalog') THEN 2 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(coalesce(text,'')), 'stock|sku') THEN 1 ELSE 0 END AS s_inventory,
+                       CASE WHEN regexp_matches(lower(coalesce(text,'')), 'form|application') THEN 2 ELSE 0 END
+                     + CASE WHEN regexp_matches(lower(coalesce(text,'')), 'field|signature') THEN 1 ELSE 0 END AS s_form
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(s_invoice AS BIGINT) AS s_invoice,
+                   CAST(s_report AS BIGINT) AS s_report,
+                   CAST(s_inventory AS BIGINT) AS s_inventory,
+                   CAST(s_form AS BIGINT) AS s_form,
+                   CASE
+                     WHEN greatest(s_invoice, s_report, s_inventory, s_form) = 0 THEN 'generic'
+                     WHEN s_invoice = greatest(s_invoice, s_report, s_inventory, s_form) THEN 'invoice'
+                     WHEN s_report = greatest(s_invoice, s_report, s_inventory, s_form) THEN 'report'
+                     WHEN s_inventory = greatest(s_invoice, s_report, s_inventory, s_form) THEN 'inventory'
+                     ELSE 'form'
+                   END AS detected_type
+            FROM s
+        """,
+        "f_json_parse_fallback": """
+            WITH raw AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 3 < 2
+                         THEN '{"key": ' || o_orderkey || ', "status": "' || o_orderstatus || '"}'
+                         ELSE '{"key": broken'
+                       END AS payload
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN json_valid(payload)
+                        THEN CAST(json_extract(payload, '$.key') AS BIGINT) END AS parsed_key,
+                   coalesce(
+                       CASE WHEN json_valid(payload)
+                            THEN json_extract_string(payload, '$.status') END,
+                       'raw_extraction') AS parsed_status,
+                   NOT json_valid(payload) AS parse_failed
+            FROM raw
+        """,
+        "agg_first3_events_per_user": """
+            SELECT user_id,
+                   array_to_string(
+                       list_transform(
+                           (list(event_id ORDER BY ts, event_id))[1:3],
+                           e -> CAST(e AS VARCHAR)),
+                       ',') AS first3_event_ids,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "agg_cube_status_priority": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_price
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         # training-data ops — DuckDB twins generated from shared constants
         "dedup_exact": ORC.dedup_exact(),

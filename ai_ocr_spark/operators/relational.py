@@ -343,3 +343,91 @@ def filter_keyword_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_colored"))
     )
+
+
+# --- A3: keyword score aggregation + argmax doc-type ---------------------------
+
+def agg_keyword_score_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-type scoring: +2 strong pattern hit, +1 weak hit, argmax with
+    fixed type-order tie-break (excel_validator.py:354-381; kernel twin
+    kernels/fields.py detect_doc_type)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    pats = {
+        "invoice": ("invoice", "total|vendor|due"),
+        "report": ("report|sales", "summary|quarter"),
+        "inventory": ("inventory|catalog", "stock|sku"),
+        "form": ("form|application", "field|signature"),
+    }
+    scores = {
+        k: (t.rlike(strong).cast("int") * 2 + t.rlike(weak).cast("int")).alias(f"s_{k}")
+        for k, (strong, weak) in pats.items()
+    }
+    df = docs.select("doc_id", *scores.values())
+    best = F.greatest(*[F.col(f"s_{k}") for k in pats])
+    detected = F.lit("generic")
+    for k in reversed(list(pats)):  # first type in order wins ties
+        detected = F.when(
+            (F.col(f"s_{k}") == best) & (best > 0), F.lit(k)
+        ).otherwise(detected)
+    return df.select(
+        "doc_id",
+        *[F.col(f"s_{k}").cast("long").alias(f"s_{k}") for k in pats],
+        detected.alias("detected_type"),
+    )
+
+
+# --- F11: JSON parse with error-path fallback -----------------------------------
+
+def f_json_parse_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json returns NULL on malformed input; coalesce supplies the
+    raw-fallback the reference wraps as {raw_extraction: response}
+    (langchain_extractor.py:571-576)."""
+    orders = _t(spark, sf_dir, "orders")
+    payload = F.when(
+        F.pmod("o_orderkey", F.lit(3)) < 2,
+        F.concat(
+            F.lit('{"key": '),
+            F.col("o_orderkey").cast("string"),
+            F.lit(', "status": "'),
+            F.col("o_orderstatus"),
+            F.lit('"}'),
+        ),
+    ).otherwise(F.lit('{"key": broken'))
+    df = orders.select("o_orderkey", payload.alias("payload"))
+    parsed = F.from_json(F.col("payload"), "key BIGINT, status STRING")
+    return df.select(
+        "o_orderkey",
+        parsed["key"].alias("parsed_key"),
+        F.coalesce(parsed["status"], F.lit("raw_extraction")).alias("parsed_status"),
+        parsed["key"].isNull().alias("parse_failed"),
+    )
+
+
+# --- P4/W3: per-group ordered head-k sample --------------------------------------
+
+def agg_first3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-3 sample per group as an aggregation (the reference samples
+    head(3) per sheet for profiles, api/excel_parser.py:208): sorted
+    collect + slice, emitted as a joined string for stable comparison."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id")))
+    )
+    first3 = F.transform(
+        F.slice(ordered, 1, 3), lambda s: s["event_id"].cast("string")
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(first3, ",").alias("first3_event_ids"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- A7+: cube over order dimensions ----------------------------------------------
+
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )

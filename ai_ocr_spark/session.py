@@ -32,6 +32,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        # payload tables carry multi-KB..MB binary rows: default 128 MB
+        # scan splits under-parallelize them badly (a 370 MB file became
+        # 3 scan tasks); 16 MB splits keep the decode stage wide. At
+        # 100 TB the same setting bounds per-task memory for giant rows.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

