@@ -99,11 +99,11 @@ def lsh_band_hash(sig_components: list[Column], band: int, rows: int = LSH_ROWS)
     return md5_hex(F.concat(*parts))
 
 
-def _md5_bit(t: Column, j: Column) -> Column:
+def _hex_bit(h: Column, j: Column) -> Column:
     """Bit j (0..31) of the 32-bit integer formed by the first 8 nibbles
-    of md5(t): nibble j//4, within-nibble bit j%4."""
+    of an md5 hex digest h: nibble j//4, within-nibble bit j%4."""
     nibble = F.instr(
-        F.lit(_HEXD), F.substring(md5_hex(t), (F.floor(j / 4) + 1).cast("int"), 1)
+        F.lit(_HEXD), F.substring(h, (F.floor(j / 4) + 1).cast("int"), 1)
     ) - 1
     return F.pmod(
         F.floor(nibble / F.pow(F.lit(2.0), F.pmod(j, 4).cast("double"))), 2
@@ -118,14 +118,17 @@ def simhash32(tok: Column) -> Column:
     keeps the whole computation inside codegen — no shuffle, no UDF —
     which is the shape that survives a 100-TB scan (per-row work only).
     """
+    # md5 ONCE per token (transform), then 32 cheap nibble probes per
+    # hash — inlining md5 into the per-bit lambda would recompute it
+    # 32x per token and bloat the generated code 32-fold.
     lane_sums = F.aggregate(
-        tok,
+        F.transform(tok, md5_hex),
         F.array_repeat(F.lit(0).cast("long"), 32),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(31)),
-                lambda j: _md5_bit(t, j) * 2 - 1,
+                lambda j: _hex_bit(h, j) * 2 - 1,
             ),
             lambda a, b: a + b,
         ),

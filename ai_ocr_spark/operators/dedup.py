@@ -74,8 +74,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the band join touches O(n * BANDS) small rows, never the
     O(n^2) pair space; shingle arrays are re-joined only for the verified
     candidate set. Signature + band hashes are pure codegen expressions.
+
+    The shingle table is persisted: it is consumed three times (bands +
+    both sides of the verify join), and the cache barrier also stops
+    CollapseProject from inlining the shingle expression tree into all
+    12 signature expressions (which bloats the generated code ~12x and
+    measured 3-6x slower). At 10^12 rows the equivalent is a checkpoint
+    of the shingle table to storage.
     """
-    sh = _shingled(spark, sf_dir, 3)
+    sh = _shingled(spark, sf_dir, 3).persist()
     sigs = [TX.minhash_component(F.col("shd"), i) for i in range(TX.MINHASH_K)]
     bands = F.array(
         *[TX.lsh_band_hash(sigs, b) for b in range(TX.LSH_BANDS)]
@@ -163,7 +170,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(n^2) cross join; the shingle join key is skew-prone at scale —
     frequent-shingle stop-listing (df > threshold) is the standard cure
     and is applied here via a max-document-frequency filter."""
-    sh = _shingled(spark, sf_dir, 2)
+    sh = _shingled(spark, sf_dir, 2).persist()  # reused 3x, see minhash note
     inv = sh.select("doc_id", F.explode("shd").alias("sh"))
     # stop-list shingles appearing in too many docs (skew + noise control)
     rare = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(
