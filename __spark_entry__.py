@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asserted in tests/test_multimodal.py)
         "mm_image_features": MM.mm_image_features,
         "mm_frame_sample": MM.mm_frame_sample,
+        "mm_audio_stats": MM.mm_audio_stats,
     }
     return q
 

@@ -202,3 +202,50 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature plumbing: header decode + numpy-vectorized signal
+    stats (RMS/peak over the payload interpreted as u8 PCM). Same
+    mapInPandas shape a real soundfile/librosa decoder would use."""
+    media = media_from_documents(spark, sf_dir).filter(
+        F.col("media_type") == "audio"
+    )
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                _tag, (sr, n), rest = _decode_header(payload)
+                pcm = np.frombuffer(rest, dtype=np.uint8).astype(np.float64) - 128.0
+                rms = float(np.sqrt((pcm * pcm).mean())) if len(pcm) else 0.0
+                peak = int(np.abs(pcm).max()) if len(pcm) else 0
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "sample_rate": sr,
+                        "n_samples": n,
+                        "duration_s": n / sr if sr else 0.0,
+                        "rms": rms,
+                        "peak": peak,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)

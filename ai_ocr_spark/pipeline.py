@@ -255,6 +255,55 @@ def metrics_of(extractions: DataFrame, run_id: str = "run-0") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# end-to-end job runner (SURVEY §3 E1 equivalent)
+# ---------------------------------------------------------------------------
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages_path: str,
+    out_root: str,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """The whole flagship path as one idempotent job:
+
+        read pages -> anti-join committed urls (resume, J5)
+                   -> salted/size-bucketed repartition
+                   -> fused kernel stage
+                   -> snapshot-atomic append (extractions + metrics)
+
+    Re-running after a crash processes only missing urls; a completed
+    run is a no-op. Returns the commit entry (or {} when nothing was
+    pending). Replaces the reference's seven-hop job lifecycle
+    (src/processor/app/main.py:59-163) with one lazy plan and one commit.
+    """
+    import uuid as _uuid
+
+    from .catalog import SnapshotTable
+
+    run_id = run_id or _uuid.uuid4().hex[:12]
+    extractions = SnapshotTable(f"{out_root}/extractions")
+    metrics = SnapshotTable(f"{out_root}/metrics")
+
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
+    pending = extractions.pending(spark, pages)
+    if pending.isEmpty():
+        return {}
+    if num_partitions is None:
+        num_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+    out = extract_pages(pending, run_id=run_id, num_partitions=num_partitions)
+    # one materialization: snapshot dir write; metrics derive from the
+    # committed snapshot (no second kernel pass)
+    entry = extractions.append(out, run_id=run_id)
+    snap_df = spark.read.parquet(
+        f"{extractions.root}/{entry['dir']}"
+    )
+    metrics.append(metrics_of(snap_df, run_id=run_id), run_id=run_id)
+    return entry
+
+
+# ---------------------------------------------------------------------------
 # pages synthesis from the driver's documents table (for entry/bench paths)
 # ---------------------------------------------------------------------------
 

@@ -47,3 +47,14 @@ def test_real_codec_magic_raises_not_implemented():
         _decode_header(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError):
         _decode_header(b"\xff\xd8\xff\xe0JFIF")
+
+
+def test_audio_stats_deterministic(spark):
+    from ai_ocr_spark.operators.multimodal import mm_audio_stats
+
+    a = mm_audio_stats(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = mm_audio_stats(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["sample_rate"] == 16000).all()
+    assert (a["rms"] >= 0).all()
+    assert ((a["peak"] >= 0) & (a["peak"] <= 128)).all()
