@@ -66,11 +66,17 @@ def assert_broadcast_join(df: DataFrame) -> None:
         raise AssertionError(f"no broadcast join in plan:\n{plan[:2000]}")
 
 
-def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
+def count_nodes(df: DataFrame, node_pattern: str) -> int:
+    """Count physical-plan nodes by their detail header '(n) Node'
+    (each node appears once in the tree and once as a detail header —
+    counting headers avoids double counting)."""
+    import re
+
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line and "reuses" not in line
-    )
+    return len(re.findall(rf"^\(\d+\) (?:{node_pattern})\b", plan, re.M))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (broadcast
+    exchanges excluded — those are the cheap kind)."""
+    return count_nodes(df, "Exchange")
