@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops: similarity search
         "ann_cosine_topk": SIM.ann_cosine_topk,
         "ann_ivf_topk": SIM.ann_ivf_topk,
+        "dedup_embedding_lsh": SIM.dedup_embedding_lsh,
         # training-data ops: text analysis
         "text_token_stats": TS.text_token_stats,
         "text_quality_scores": TS.text_quality_scores,
@@ -365,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": ORC.dedup_embedding_cosine(),
         "ann_cosine_topk": ORC.ann_cosine_topk(),
         "ann_ivf_topk": ORC.ann_ivf_topk(),
+        "dedup_embedding_lsh": ORC.dedup_embedding_lsh(),
         "text_token_stats": ORC.text_token_stats(),
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),

@@ -60,14 +60,28 @@ class SnapshotTable:
 
     # -- write ------------------------------------------------------------------
 
-    def append(self, df: DataFrame, run_id: str | None = None) -> dict:
-        """Write df as a new snapshot; commit = atomic manifest replace."""
+    def append(
+        self,
+        df: DataFrame,
+        run_id: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Write df as a new snapshot; commit = atomic manifest replace.
+
+        partition_by (e.g. a derived ds=days(warc_ts) column) gives the
+        plain-parquet layout Iceberg-style partition pruning: readers
+        filtering on the partition column scan only matching
+        directories. At 10^12 rows this is what keeps time-range
+        queries off the full table."""
         run_id = run_id or uuid.uuid4().hex[:12]
         manifest = self._read_manifest()
         n = len(manifest["snapshots"])
         snap_dir = f"snap-{n:05d}-{run_id}"
         out_path = os.path.join(self.root, snap_dir)
-        df.write.mode("overwrite").parquet(out_path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out_path)
         entry = {
             "id": n,
             "dir": snap_dir,

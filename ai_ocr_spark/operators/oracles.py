@@ -325,3 +325,45 @@ def text_fingerprint() -> str:
                  '|') AS bottomk_sketch
         FROM n
     """
+
+
+def dedup_embedding_lsh() -> str:
+    from .similarity import LSH_COS_THRESHOLD, LSH_TABLES, _hyperplanes
+
+    planes = _hyperplanes()
+
+    def table_sig(tbl: int) -> str:
+        terms = []
+        for j, plane in enumerate(planes[tbl]):
+            lits = "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+            dot = (
+                f"list_reduce(list_transform(range(1, len(v) + 1), "
+                f"i -> v[i] * ({lits})[i]), (x, y) -> x + y)"
+            )
+            terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+        return " + ".join(terms)
+
+    sig_cols = ",\n".join(
+        f"CAST({table_sig(t)} AS BIGINT) AS sig{t}" for t in range(LSH_TABLES)
+    )
+    sig_case = " ".join(f"WHEN {t} THEN sig{t}" for t in range(LSH_TABLES))
+    return f"""
+        WITH {_E2},
+        s AS (SELECT vec_id, v, nrm, {sig_cols} FROM e2),
+        banded AS (
+          SELECT vec_id, g.tbl, CASE g.tbl {sig_case} END AS sig
+          FROM s, generate_series(0, {LSH_TABLES - 1}) g(tbl)
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM banded a JOIN banded b
+            ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cos FROM (
+          SELECT cand.vec_a, cand.vec_b,
+                 {_dot('ea.v', 'eb.v')} / (ea.nrm * eb.nrm) AS cos
+          FROM cand
+          JOIN e2 ea ON ea.vec_id = cand.vec_a
+          JOIN e2 eb ON eb.vec_id = cand.vec_b
+        ) WHERE cos >= {LSH_COS_THRESHOLD}
+    """

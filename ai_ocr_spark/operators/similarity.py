@@ -116,3 +116,83 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(rw).cast("long"))
         .filter(F.col("rk") <= IVF_TOP_K)
     )
+
+
+# --- sign-random-projection LSH (multi-table) -------------------------------
+
+LSH_TABLES = 6       # independent hash tables (OR-amplification)
+LSH_PLANES = 6       # hyperplanes per table (AND within a table)
+EMB_DIMS = 64
+LSH_COS_THRESHOLD = 0.35
+
+
+def _hyperplanes() -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes [table][plane][dim],
+    generated from a seeded Python RNG at plan-build time and inlined as
+    literals in BOTH the Spark plan and the DuckDB oracle SQL — no
+    per-row hashing, and the two engines share the exact float values."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    return [
+        [[rng.uniform(-1.0, 1.0) for _ in range(EMB_DIMS)] for _ in range(LSH_PLANES)]
+        for _ in range(LSH_TABLES)
+    ]
+
+
+def srp_signatures(v) -> "F.Column":
+    """Array of LSH_TABLES per-table sign signatures: table t's signature
+    has bit j set iff dot(v, plane_tj) >= 0. Strict left-fold dots
+    (cross-engine exact). Multi-table = OR-amplification: a pair is a
+    candidate if ANY table's full signature matches — the standard
+    recall fix for SRP at moderate cosine thresholds."""
+    sigs = []
+    for planes in _hyperplanes():
+        sig = F.lit(0).cast("long")
+        for j, plane in enumerate(planes):
+            pl = F.array(*[F.lit(w) for w in plane])
+            d = F.aggregate(
+                F.zip_with(v, pl, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            sig = sig + F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        sigs.append(sig)
+    return F.array(*sigs)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: candidates from any of
+    LSH_TABLES sign-signature tables (equi-join on (table, signature) —
+    partition-prunable at 10^12 rows), then exact-cosine verify
+    >= 0.35 so there are no false positives.
+
+    Recall at threshold t is 1-(1-p^k)^L with p = 1 - arccos(t)/pi;
+    tune (L, k) per threshold. Ground truth: dedup_embedding_cosine."""
+    emb = _emb(spark, sf_dir)
+    sig = emb.select(
+        "vec_id", "v", "nrm",
+        F.posexplode(srp_signatures(F.col("v"))).alias("tbl", "sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= LSH_COS_THRESHOLD)
+    )

@@ -62,9 +62,11 @@ def main() -> int:
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
+        "dedup_embedding_lsh",
         "ann_cosine_topk",
+        "ann_ivf_topk",
         "text_quality_scores",
-        "text_langid_ngram",
+        "text_langid",
     ]
     qs = entrymod.queries()
     for name in headline:

@@ -1,5 +1,7 @@
 """End-to-end job runner + stateful streaming operator."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -64,3 +66,30 @@ def test_stateful_domain_counts_accumulate_across_batches(spark, tmp_path):
     for domain, row in final.iterrows():
         assert row["n_pages"] == 2 * per_file[domain]
     assert final["n_pages"].sum() == 60
+
+
+def test_partitioned_snapshot_prunes_partitions(spark, pages_parquet, tmp_path):
+    """Iceberg-style hidden partitioning on the parquet layout: filtering
+    on the partition column must prune to matching directories
+    (PartitionFilters in the scan, not a full-table read)."""
+    from ai_ocr_spark.catalog import SnapshotTable
+    from ai_ocr_spark.pipeline import extract_pages
+    from ai_ocr_spark.plans.audit import formatted_plan
+
+    tbl = SnapshotTable(str(tmp_path / "p"))
+    pages = spark.read.parquet(pages_parquet)
+    out = extract_pages(pages, run_id="p1").withColumn(
+        "ds", F.date_format("warc_ts", "yyyy-MM-dd-HH")
+    )
+    tbl.append(out, run_id="p1", partition_by=["ds"])
+
+    snap = f"{tbl.root}/{tbl.snapshots()[0]['dir']}"
+    days = sorted(d.split("=")[1] for d in os.listdir(snap) if d.startswith("ds="))
+    assert len(days) > 1  # datagen spreads warc_ts across hours
+
+    q = spark.read.parquet(snap).filter(F.col("ds") == days[0]).select("url")
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan and "ds" in plan
+    # count only rows of that day — must match a full-scan recount
+    full = spark.read.parquet(snap).toPandas()
+    assert q.count() == (full["ds"] == days[0]).sum()

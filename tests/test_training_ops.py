@@ -134,3 +134,20 @@ def test_text_fingerprint_stable_under_whitespace(spark):
     ).select(md5_hex(norm_text(F.col("text"))).alias("fp"))
     fps = [r.fp for r in df.collect()]
     assert fps[0] == fps[1] == fps[2]
+
+
+def test_embedding_lsh_recall_against_bruteforce(spark):
+    """LSH candidates are a subset of brute-force pairs with decent
+    recall at this signature width."""
+    from ai_ocr_spark.operators.dedup import dedup_embedding_cosine
+    from ai_ocr_spark.operators.similarity import dedup_embedding_lsh
+
+    exact = dedup_embedding_cosine(spark, SF01).toPandas()
+    lsh = dedup_embedding_lsh(spark, SF01).toPandas()
+    exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+    lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert lsh_pairs <= exact_pairs  # no false positives (exact verify)
+    if exact_pairs:
+        recall = len(lsh_pairs) / len(exact_pairs)
+        # 6 tables x 6 planes: expected 1-(1-p^6)^6 ~ 0.25 at cos 0.35
+        assert recall >= 0.12, recall
