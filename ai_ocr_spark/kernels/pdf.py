@@ -166,14 +166,24 @@ def _pdf_string(tok: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _tokenize_content(stream: bytes) -> list[GlyphRun]:
-    """Interpret the text-positioning subset of the content stream."""
+def _tokenize_content(
+    stream: bytes,
+    xobjects: dict[str, bytes] | None = None,
+    depth: int = 0,
+) -> list[GlyphRun]:
+    """Interpret the text-positioning subset of the content stream.
+
+    xobjects maps /Name -> decoded Form XObject stream; the `Do`
+    operator recurses into it (depth-capped — bounded-work probes per
+    SURVEY §4). Form coordinates are taken as-is (identity matrix
+    subset, matching the emitter)."""
     runs: list[GlyphRun] = []
     x = y = 0.0
     line_x = line_y = 0.0
     leading = 14.4  # default 1.2 * 12pt; TL overrides
     stack_nums: list[float] = []
     pending_strings: list[bytes] = []
+    last_name = ""
 
     for m in _TOKEN_RE.finditer(stream):
         tok = m.group(0)
@@ -185,6 +195,7 @@ def _tokenize_content(stream: bytes) -> list[GlyphRun]:
             pending_strings.append(tok)
             continue
         if c0 == b"/":
+            last_name = tok[1:].decode("latin-1", "replace")
             continue
         if c0 in b"-+.0123456789":
             stack_nums.append(float(tok))
@@ -222,6 +233,10 @@ def _tokenize_content(stream: bytes) -> list[GlyphRun]:
                 runs.append(GlyphRun(x, y, s))
         elif op == b"BT":
             x = y = line_x = line_y = 0.0
+        elif op == b"Do" and xobjects and depth < 8:
+            sub = xobjects.get(last_name)
+            if sub is not None:
+                runs.extend(_tokenize_content(sub, xobjects, depth + 1))
         stack_nums.clear()
         pending_strings.clear()
     return runs
@@ -255,8 +270,27 @@ def page_runs(pdf: bytes) -> list[list[GlyphRun]]:
             pages.append([])
             continue
         stream = _decode_stream(objs.get(int(cm.group(1)), b""))
-        pages.append(_tokenize_content(stream) if stream else [])
+        xobjects = _page_xobjects(body, objs)
+        pages.append(_tokenize_content(stream, xobjects) if stream else [])
     return pages
+
+
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<([^>]*)>>")
+_XOBJ_PAIR_RE = re.compile(rb"/([A-Za-z0-9.+-]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _page_xobjects(page_body: bytes, objs: dict[int, bytes]) -> dict[str, bytes]:
+    """Resolve the page's /Resources /XObject name -> decoded stream map
+    (Form XObjects only; images have no text and decode to None)."""
+    dm = _XOBJ_DICT_RE.search(page_body)
+    if not dm:
+        return {}
+    out: dict[str, bytes] = {}
+    for name, num in _XOBJ_PAIR_RE.findall(dm.group(1)):
+        stream = _decode_stream(objs.get(int(num), b""))
+        if stream is not None:
+            out[name.decode("latin-1")] = stream
+    return out
 
 
 # ---------------------------------------------------------------------------

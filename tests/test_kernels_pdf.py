@@ -71,3 +71,39 @@ def test_corrupt_pdf_degrades():
 def test_deterministic():
     pdf = emit_pdf([[(72, 700, "A"), (300, 700, "B"), (72, 650, "C")]])
     assert extract_pdf_text(pdf) == extract_pdf_text(pdf)
+
+
+def test_form_xobject_recursion():
+    """A page whose text lives in a Form XObject invoked by `Do` must
+    extract the same text as inline content (SURVEY §2.8 kernel 2)."""
+    import zlib
+
+    from ai_ocr_spark.kernels.pdf import extract_pdf_text
+
+    form = b"BT\n/F1 12 Tf\n1 0 0 1 72 700 Tm\n(Hello from form) Tj\nET"
+    form = zlib.compress(form)
+    content = b"q\n/Fm1 Do\nQ"
+    objs = [
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",         # 1
+        b"<< /Subtype /Form /Length %d /Filter /FlateDecode >>\nstream\n" % len(form)
+        + form + b"\nendstream",                                           # 2
+        b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",  # 3
+        b"<< /Type /Page /Parent 5 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 1 0 R >> /XObject << /Fm1 2 0 R >> >> "
+        b"/Contents 3 0 R >>",                                             # 4
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",                      # 5
+        b"<< /Type /Catalog /Pages 5 0 R >>",                              # 6
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 6 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1, xref)
+
+    assert extract_pdf_text(bytes(out)) == "Hello from form"
