@@ -74,27 +74,59 @@ class SnapshotTable:
         directories. At 10^12 rows this is what keeps time-range
         queries off the full table."""
         run_id = run_id or uuid.uuid4().hex[:12]
-        manifest = self._read_manifest()
-        n = len(manifest["snapshots"])
-        snap_dir = f"snap-{n:05d}-{run_id}"
+        # dir name is globally unique (uuid suffix) so two concurrent
+        # appends never collide on the data path; the snapshot id is
+        # assigned under the manifest lock at commit time
+        snap_dir = f"snap-{run_id}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.root, snap_dir)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out_path)
-        entry = {
-            "id": n,
-            "dir": snap_dir,
-            "run_id": run_id,
-            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        manifest["snapshots"].append(entry)
+
+        def commit(manifest: dict) -> dict:
+            entry = {
+                "id": len(manifest["snapshots"]),
+                "dir": snap_dir,
+                "run_id": run_id,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            manifest["snapshots"].append(entry)
+            return entry
+
+        return self._with_manifest_lock(commit)
+
+    def _with_manifest_lock(self, mutate):
+        """Read-mutate-replace the manifest under an exclusive flock —
+        concurrent appends serialize instead of losing the race (the
+        Iceberg optimistic-commit equivalent for a local/posix fs; on an
+        object store, swap for a conditional-put catalog)."""
+        import fcntl
+
         os.makedirs(self.meta_dir, exist_ok=True)
-        tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, self.manifest_path)  # the commit point
-        return entry
+        lock_path = os.path.join(self.meta_dir, "manifest.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            manifest = self._read_manifest()
+            result = mutate(manifest)
+            tmp = self.manifest_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, self.manifest_path)  # the commit point
+        return result
+
+    def remove_snapshot(self, snap_dir: str) -> None:
+        """Roll back a committed snapshot (used for empty-append
+        cleanup); data dir removed after the manifest no longer
+        references it, so readers never see a dangling entry."""
+        import shutil
+
+        self._with_manifest_lock(
+            lambda m: m["snapshots"].__setitem__(
+                slice(None), [s for s in m["snapshots"] if s["dir"] != snap_dir]
+            )
+        )
+        shutil.rmtree(os.path.join(self.root, snap_dir), ignore_errors=True)
 
     # -- resume -------------------------------------------------------------------
 

@@ -297,12 +297,15 @@ FAMILY_WEIGHTS = (
 _FAM_TOTAL = sum(w for _, w in FAMILY_WEIGHTS)
 
 
-def family_of(i: int) -> str:
+def family_of(i: int, seed: int = SEED) -> str:
     if i == 0:
         return "invoice"  # golden invoice fixture
     if i == 1:
         return "report"  # golden report fixture
-    r = _rng(i).randint(0, _FAM_TOTAL - 1)
+    # distinct RNG stream from make_page's (seed offset) so the family
+    # draw respects the caller's seed and is uncorrelated with the
+    # domain draw that consumes the same per-i stream
+    r = _rng(i, seed ^ 0x5F0F1E5).randint(0, _FAM_TOTAL - 1)
     acc = 0
     for fam, w in FAMILY_WEIGHTS:
         acc += w
@@ -314,7 +317,7 @@ def family_of(i: int) -> str:
 def make_page(i: int, seed: int = SEED) -> dict:
     """One deterministic page row (url, warc_ts, html, text, lang)."""
     rng = _rng(i, seed)
-    fam = family_of(i)
+    fam = family_of(i, seed)
     domain = _domain(rng)
     warc_ts = EPOCH + timedelta(seconds=(i * 137) % (45 * 86400))
     url = f"https://{domain}/{fam}/{i}"

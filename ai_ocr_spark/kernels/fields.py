@@ -113,13 +113,6 @@ _ITEM_RE = re.compile(
 _FORM_FIELD_RE = re.compile(r"^Field (?P<name>[\w ]+): (?P<value>.+?)\s*$", re.MULTILINE)
 
 
-def _byte_off(text: str, char_off: int, cache: dict) -> int:
-    """UTF-8 byte offset for a char offset (memoized prefix encode)."""
-    # texts are short (<= a few MB); prefix encode is O(n) but amortized by
-    # monotonically increasing offsets in one pass
-    return len(text[:char_off].encode("utf-8"))
-
-
 def extract_fields(main_text: str, doc_type: str) -> list[Field]:
     fields: list[Field] = []
     text = main_text

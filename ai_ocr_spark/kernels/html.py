@@ -147,9 +147,6 @@ class BlockArena:
         return int(self.start.shape[0])
 
 
-_ATTR_SKIP_RE = re.compile(r"""[^>"']*(?:"[^"]*"|'[^']*')?""")
-
-
 class _Parser:
     """Single forward pass; O(len(html)); no recursion, no DOM objects."""
 
@@ -206,6 +203,11 @@ class _Parser:
         )
 
     def _open(self, name: str) -> None:
+        if name == "body" and "head" in self.stack:
+            # HTML5 allows omitting </head>; <body> implies it. Without
+            # this, an unclosed head flags the whole document boiler and
+            # the page extracts empty.
+            self._close("head")
         if name in BLOCK_TAGS:
             self._flush()
             self.cur_tag = name
@@ -340,7 +342,9 @@ class _Parser:
             length[k] = len(text)
             link_chars[k] = lc
             n_words[k] = text.count(" ") + 1
-            depth[k] = d
+            # clamp: pathological docs (e.g. 40k unclosed <li>) overflow
+            # int16 — OverflowError on numpy>=2, silent wrap on 1.x
+            depth[k] = min(d, 32767)
             tag_id[k] = _tag_id(tag)
             boiler[k] = b
             off += len(text)

@@ -36,13 +36,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+_SHINGLE_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
+
 def _shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    """doc_id + distinct n-word shingles (computed once, reused)."""
-    docs = _docs(spark, sf_dir)
-    tok = TX.tokens(F.col("text"))
-    return docs.select(
-        "doc_id", F.array_distinct(TX.word_shingles(tok, n)).alias("shd")
-    )
+    """doc_id + distinct n-word shingles, persisted and memoized per
+    (session, sf_dir, n) — repeated operator calls in one session reuse
+    ONE cached table instead of leaking a new persist() each time. The
+    cache barrier also keeps the downstream 12-signature codegen small
+    (see dedup_minhash_lsh docstring)."""
+    key = (id(spark), sf_dir, n)
+    df = _SHINGLE_CACHE.get(key)
+    if df is None:
+        docs = _docs(spark, sf_dir)
+        tok = TX.tokens(F.col("text"))
+        df = docs.select(
+            "doc_id", F.array_distinct(TX.word_shingles(tok, n)).alias("shd")
+        ).persist()
+        _SHINGLE_CACHE[key] = df
+    return df
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -82,7 +94,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 3-6x slower). At 10^12 rows the equivalent is a checkpoint
     of the shingle table to storage.
     """
-    sh = _shingled(spark, sf_dir, 3).persist()
+    sh = _shingled(spark, sf_dir, 3)
     sigs = [TX.minhash_component(F.col("shd"), i) for i in range(TX.MINHASH_K)]
     bands = F.array(
         *[TX.lsh_band_hash(sigs, b) for b in range(TX.LSH_BANDS)]
@@ -170,7 +182,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(n^2) cross join; the shingle join key is skew-prone at scale —
     frequent-shingle stop-listing (df > threshold) is the standard cure
     and is applied here via a max-document-frequency filter."""
-    sh = _shingled(spark, sf_dir, 2).persist()  # reused 3x, see minhash note
+    sh = _shingled(spark, sf_dir, 2)  # persisted via _shingled memo
     inv = sh.select("doc_id", F.explode("shd").alias("sh"))
     # stop-list shingles appearing in too many docs (skew + noise control)
     rare = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(

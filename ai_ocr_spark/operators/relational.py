@@ -189,7 +189,7 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             "event_id",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
             F.round(
                 F.sum("value").over(
                     w.rowsBetween(Window.unboundedPreceding, 0)
@@ -204,7 +204,7 @@ def window_top3_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        ev.withColumn("rk", F.row_number().over(w))
+        ev.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("user_id", "event_id", "event_type", "value", "rk")
     )

@@ -288,18 +288,26 @@ def run_extraction_job(
 
     pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
     pending = extractions.pending(spark, pages)
-    if pending.isEmpty():
-        return {}
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
     out = extract_pages(pending, run_id=run_id, num_partitions=num_partitions)
-    # one materialization: snapshot dir write; metrics derive from the
-    # committed snapshot (no second kernel pass)
+    # ONE pass over the input: extract+write, then decide from the
+    # written snapshot (an isEmpty() pre-check would run the scan and
+    # the anti-join twice — a full extra pass at 10^12 rows)
     entry = extractions.append(out, run_id=run_id)
-    snap_df = spark.read.parquet(
-        f"{extractions.root}/{entry['dir']}"
-    )
-    metrics.append(metrics_of(snap_df, run_id=run_id), run_id=run_id)
+    snap_df = spark.read.parquet(f"{extractions.root}/{entry['dir']}")
+    if snap_df.isEmpty():
+        extractions.remove_snapshot(entry["dir"])
+        entry = {}
+
+    # metrics reconcile (idempotent): backfill for every committed
+    # extraction snapshot missing its metrics rows — heals a crash
+    # between the two appends instead of assuming they were atomic
+    have = {s["run_id"] for s in metrics.snapshots()}
+    for s in extractions.snapshots():
+        if s["run_id"] not in have:
+            sdf = spark.read.parquet(f"{extractions.root}/{s['dir']}")
+            metrics.append(metrics_of(sdf, run_id=s["run_id"]), run_id=s["run_id"])
     return entry
 
 

@@ -46,23 +46,23 @@ def pages_from_binary_files(spark: SparkSession, glob_path: str) -> DataFrame:
     )
 
 
-def content_kind(payload: Column) -> Column:
-    """Magic-byte dispatch: pdf / html / csv-ish text / binary.
+def content_kind(payload: Column, url: Column | None = None) -> Column:
+    """Magic-byte pre-filter: pdf / html / csv / text.
 
-    Mirrors the kernel's routing (kernels/oracle.py) as a pure
-    expression, so relational queries can partition-prune by kind
-    without invoking Python."""
+    A cheap expression-level approximation of the kernel's authoritative
+    routing (kernels/html.py sniff_kind) for partition pruning — NOT a
+    replacement for it: like the kernel, any leading '<' markup counts
+    as html; csv is flagged only from an explicit .csv url (pass `url`)
+    because the kernel's line-consistency sniff is not expressible as a
+    cheap scan predicate. Pruning on this column only narrows work; the
+    kernel re-sniffs every payload."""
     head = F.decode(F.substring(payload, 1, 256), "UTF-8")
-    lowered = F.lower(head)
-    return (
-        F.when(F.substring(payload, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))
-        .when(
-            lowered.contains("<!doctype") | lowered.contains("<html"),
-            F.lit("html"),
-        )
-        .when(F.length(F.col("url")).isNotNull() & F.col("url").rlike(r"\.csv($|\?)"), F.lit("csv"))
-        .otherwise(F.lit("text"))
-    )
+    kind = F.when(
+        F.substring(payload, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf")
+    ).when(F.ltrim(head).startswith("<"), F.lit("html"))
+    if url is not None:
+        kind = kind.when(url.rlike(r"\.csv($|\?)"), F.lit("csv"))
+    return kind.otherwise(F.lit("text"))
 
 
 def sniff_csv_delimiter(payload: Column, probe_bytes: int = 4096) -> Column:

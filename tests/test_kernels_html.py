@@ -98,3 +98,22 @@ def test_byte_identity_utf8():
     html = "<p>日本語のテキスト &amp; more</p>"
     out = extract_main_text(html)
     assert out.encode("utf-8") == "日本語のテキスト & more".encode("utf-8")
+
+
+def test_unclosed_head_does_not_blank_the_page():
+    """HTML5 allows omitting </head>; <body> must imply it."""
+    from ai_ocr_spark.kernels.html import extract_main_text
+
+    html = (
+        "<html><head><title>T</title><meta charset=utf-8>"
+        "<body><p>Real content words here for everyone</p></body></html>"
+    )
+    assert extract_main_text(html) == "Real content words here for everyone"
+
+
+def test_deeply_unclosed_lists_do_not_overflow_depth():
+    from ai_ocr_spark.kernels.html import extract_main_text
+
+    html = "<html><body>" + "<li>item one two three " * 40000 + "</body></html>"
+    out = extract_main_text(html)
+    assert "item one two three" in out

@@ -18,7 +18,7 @@ def test_content_kind_sniffing(spark):
         ("u5", b"plain words here"),
     ]
     df = spark.createDataFrame(rows, ["url", "html"]).select(
-        "url", content_kind(F.col("html")).alias("kind")
+        "url", content_kind(F.col("html"), F.col("url")).alias("kind")
     )
     got = {r.url: r.kind for r in df.collect()}
     assert got == {
