@@ -122,3 +122,51 @@ def test_plan_dim_join_is_broadcast(spark):
 
     q = join_nation_region_rollup(spark, "/root/testdata/sf0.001")
     assert_broadcast_join(q)
+
+
+def test_windowed_crawl_metrics_event_time(spark, tmp_path):
+    """Event-time windows finalize in append mode and reconcile with a
+    batch recount over the same data."""
+    from ai_ocr_spark.datagen import write_pages_parquet
+    from ai_ocr_spark.streaming.ingest import read_pages_stream
+    from ai_ocr_spark.streaming.windows import windowed_crawl_metrics
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_pages_parquet(str(src / "a.parquet"), 60)
+
+    # two micro-batches so the watermark advances between them
+    stream = read_pages_stream(spark, str(src), max_files_per_trigger=1)
+    agg = windowed_crawl_metrics(stream, window_size="1 day", late_slack="1 hour")
+    # update mode: running per-window results each batch (append mode
+    # would withhold windows until the watermark passes them — with a
+    # bounded fixture that means the final batch emits nothing)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("crawl_windows")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.sql("SELECT * FROM crawl_windows")
+        .toPandas()
+        .groupby(["window_start", "lang"], as_index=False)
+        .last()
+    )
+    batch = (
+        spark.read.parquet(str(src / "a.parquet"))
+        .groupBy(F.window("warc_ts", "1 day"), "lang")
+        .count()
+        .toPandas()
+    )
+    # the last update per (window, lang) must equal the batch recount
+    batch_counts = {
+        (r["window"]["start"], r["lang"]): r["count"] for _, r in batch.iterrows()
+    }
+    assert len(got) > 0
+    for _, r in got.iterrows():
+        assert batch_counts[(r["window_start"], r["lang"])] == r["n_pages"]
