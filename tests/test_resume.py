@@ -78,3 +78,68 @@ def test_manifest_is_atomic_json(tmp_path, spark, pages_parquet):
         m = json.load(f)
     assert m["snapshots"][0]["run_id"] == "a"
     assert not [p for p in os.listdir(tbl.meta_dir) if p.endswith(".tmp")]
+
+
+def test_remove_snapshot_rolls_back(spark, pages_parquet, tmp_path):
+    tbl = SnapshotTable(str(tmp_path / "rb"))
+    pages = spark.read.parquet(pages_parquet)
+    e1 = tbl.append(extract_pages(pages.limit(5), run_id="keep"), run_id="keep")
+    e2 = tbl.append(extract_pages(pages.limit(9), run_id="drop"), run_id="drop")
+    assert tbl.read(spark).count() == 14
+    tbl.remove_snapshot(e2["dir"])
+    assert [s["run_id"] for s in tbl.snapshots()] == ["keep"]
+    assert tbl.read(spark).count() == 5
+    assert not os.path.exists(os.path.join(tbl.root, e2["dir"]))
+
+
+def test_concurrent_appends_both_commit(spark, pages_parquet, tmp_path):
+    """Two threads appending to the same table must both end up in the
+    manifest (flock-serialized commit, no lost update)."""
+    import threading
+
+    tbl = SnapshotTable(str(tmp_path / "cc"))
+    pages = spark.read.parquet(pages_parquet)
+    errs = []
+
+    def do_append(run_id, n):
+        try:
+            tbl.append(extract_pages(pages.limit(n), run_id=run_id), run_id=run_id)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=do_append, args=(f"t{k}", 3 + k)) for k in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    snaps = tbl.snapshots()
+    assert sorted(s["run_id"] for s in snaps) == ["t0", "t1", "t2"]
+    assert [s["id"] for s in snaps] == [0, 1, 2]
+    assert tbl.read(spark).count() == 3 + 4 + 5
+
+
+def test_metrics_backfill_after_partial_commit(spark, pages_parquet, tmp_path):
+    """Crash between the extractions append and the metrics append is
+    healed by the next run (reconcile loop in run_extraction_job)."""
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.pipeline import run_extraction_job
+
+    out_root = str(tmp_path / "wh")
+    ext_tbl = SnapshotTable(f"{out_root}/extractions")
+    pages = spark.read.parquet(pages_parquet)
+    # simulate the crash: extractions snapshot committed, metrics never written
+    ext_tbl.append(
+        extract_pages(pages.filter(F.xxhash64("url") % 2 == 0), run_id="crashed"),
+        run_id="crashed",
+    )
+    assert SnapshotTable(f"{out_root}/metrics").read(spark) is None
+
+    run_extraction_job(spark, pages_parquet, out_root, run_id="healer")
+    met = SnapshotTable(f"{out_root}/metrics").read(spark)
+    runs = {s["run_id"] for s in SnapshotTable(f"{out_root}/metrics").snapshots()}
+    assert runs == {"crashed", "healer"}
+    assert met.agg(F.sum("n_docs")).collect()[0][0] == 240

@@ -27,8 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = 20_000
-SHUFFLE_PARTITIONS = 64  # fixed across levels (protocol requirement)
+N_DOCS = 200_000
+SHUFFLE_PARTITIONS = 128  # fixed across levels; fine tasks shrink the straggler tail
 PAGES = "/tmp/scaling_pages.parquet"
 
 
@@ -89,18 +89,28 @@ def host_ceiling() -> float:
     return eff
 
 
-def run_one(cpus: int, mode: str) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker",
-         "--cpus", str(cpus), "--pages", PAGES, "--mode", mode],
-        capture_output=True, text=True, timeout=1800,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    r = json.loads(line)
+def run_one(cpus: int, mode: str, trials: int = 1) -> dict:
+    """Median wall over `trials` fresh-JVM runs (the sandbox host has
+    noisy-neighbor variance; a single trial can swing +/-20%)."""
+    walls = []
+    r = {}
+    for _ in range(trials):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             "--cpus", str(cpus), "--pages", PAGES, "--mode", mode],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        walls.append(r["wall_s"])
+    walls.sort()
+    r["wall_s"] = walls[len(walls) // 2]
+    r["trials"] = walls
     r["docs_per_sec"] = r["n"] / r["wall_s"]
-    print(f"  local[{cpus}] {mode}: {r['wall_s']:.1f}s  "
-          f"{r['docs_per_sec']:.0f} docs/s", flush=True)
+    print(f"  local[{cpus}] {mode}: {r['wall_s']:.1f}s median of "
+          f"{[round(w,1) for w in walls]}  {r['docs_per_sec']:.0f} docs/s",
+          flush=True)
     return r
 
 
@@ -126,8 +136,8 @@ def main() -> int:
     print("scaling runs (fixed shuffle partitions "
           f"= {SHUFFLE_PARTITIONS}, Arrow batch fixed by session.py):", flush=True)
     ceil_eff = host_ceiling()
-    r2 = run_one(2, "salted")
-    r8 = run_one(8, "salted")
+    r2 = run_one(2, "salted", trials=3)
+    r8 = run_one(8, "salted", trials=3)
     r32 = run_one(32, "salted")
     naive32 = run_one(32, "naive")
     eff = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4
@@ -149,11 +159,12 @@ execution in each fresh JVM.
 
 Primary measurement at N=2 -> 4N=8 cores, where the host delivers CPU
 linearly (raw-multiprocessing control: 3.93x from 2->8, eff 0.98).
+Walls are medians of 3 fresh-JVM trials (noisy-neighbor variance).
 
-| level | wall s | docs/s |
-|---|---|---|
-| local[2]  (N)  | {r2['wall_s']:.1f} | {r2['docs_per_sec']:.0f} |
-| local[8]  (4N) | {r8['wall_s']:.1f} | {r8['docs_per_sec']:.0f} |
+| level | wall s (median) | trials | docs/s |
+|---|---|---|---|
+| local[2]  (N)  | {r2['wall_s']:.1f} | {[round(w, 1) for w in r2['trials']]} | {r2['docs_per_sec']:.0f} |
+| local[8]  (4N) | {r8['wall_s']:.1f} | {[round(w, 1) for w in r8['trials']]} | {r8['docs_per_sec']:.0f} |
 
 **scaling efficiency eff = (thr_4N / thr_N) / 4 = {eff:.3f}**
 
