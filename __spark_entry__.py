@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_json_parse_fallback": R.f_json_parse_fallback,
         "agg_first3_events_per_user": R.agg_first3_events_per_user,
         "agg_cube_status_priority": R.agg_cube_status_priority,
+        "window_sessionize": R.window_sessionize,
         # the pipeline itself (§2.8) — oracle reconstructs the invariant
         "pipeline_main_text": _pipeline_main_text,
         # training-data ops: deduplication
@@ -357,6 +358,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS total_price
             FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "window_sessionize": """
+            WITH s AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(CAST(epoch(ts) AS BIGINT)) OVER w IS NULL
+                              OR CAST(epoch(ts) AS BIGINT)
+                                 - lag(CAST(epoch(ts) AS BIGINT)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            t AS (
+                SELECT *, CAST(sum(new_session) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_seq
+                FROM s
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE)
+                       AS session_value
+            FROM t GROUP BY user_id, session_seq
         """,
         # training-data ops — DuckDB twins generated from shared constants
         "dedup_exact": ORC.dedup_exact(),

@@ -431,3 +431,34 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _dsum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+# --- sessionization (gaps-and-islands) -------------------------------------------
+
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization with a 30-minute inactivity gap: lag() flags
+    session starts, a running sum over the flags assigns session ids —
+    the standard two-window gaps-and-islands plan (one shuffle on
+    user_id, both windows share it). Output: per-session bounds and
+    aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ cannot cast to long; unix_timestamp (session tz is
+    # pinned UTC in session.py) matches DuckDB's epoch()
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value"), 4).alias("session_value"),
+    )
