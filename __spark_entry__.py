@@ -38,12 +38,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _pipeline_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark pipeline main_text vs SQL-reconstructable expectation:
-    strip(wrap(text)) == whitespace-canonical text."""
+    strip(wrap(text)) == whitespace-canonical text.
+
+    The comparison column is `nonempty` (main_text <> ''), NOT the
+    pipeline's `valid`: valid folds in schema validation, which SQL
+    cannot reconstruct — a fixture that happened to contain an
+    invoice/report keyword would make an equality oracle on `valid`
+    report a spurious mismatch. The real valid semantics are pinned by
+    tests/test_pipeline_parity.py against the kernel oracle."""
+    from pyspark.sql import functions as F
+
     from ai_ocr_spark.pipeline import extract_pages, pages_from_documents
 
     pages = pages_from_documents(spark, sf_dir)
     return extract_pages(pages, run_id="oracle", num_partitions=8).select(
-        "url", "main_text", "valid"
+        "url", "main_text", (F.col("main_text") != "").alias("nonempty")
     )
 
 
@@ -289,12 +298,14 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'ja' ELSE 'en' END AS detected_lang
             FROM documents
         """,
+        # nbsp (chr(160)) replaced before the \\s collapse to mirror the
+        # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """
             SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
-                   trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
-                       AS main_text,
-                   trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) <> ''
-                       AS valid
+                   trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '),
+                        '\\s+', ' ', 'g')) AS main_text,
+                   trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '),
+                        '\\s+', ' ', 'g')) <> '' AS nonempty
             FROM documents
         """,
         "agg_keyword_score_argmax": """

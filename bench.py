@@ -69,10 +69,11 @@ def main() -> int:
         "text_langid",
     ]
     qs = entrymod.queries()
+    missing = [n for n in headline if n not in qs]
+    if missing:  # fail loudly — a silent skip would shrink the total
+        raise KeyError(f"headline queries missing from queries(): {missing}")
     for name in headline:
-        fn = qs.get(name)
-        if fn is None:
-            continue
+        fn = qs[name]
         t0 = time.monotonic()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)

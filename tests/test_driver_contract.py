@@ -28,20 +28,21 @@ def test_entry_runs_and_has_stable_schema(spark):
 
 
 def test_oracle_sql_strings_are_wellformed():
-    """Every oracle runs in DuckDB against empty views (catches SQL
-    syntax drift without the full data compare)."""
+    """Every oracle runs in DuckDB against EMPTY tables with the REAL
+    parquet schemas (derived via LIMIT 0, so the DDL can never drift
+    from the fixtures) — catches syntax and column-reference errors
+    without the full data compare."""
     import duckdb
 
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
     con = duckdb.connect()
-    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR, n_chars BIGINT)")
-    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
-    con.execute("CREATE TABLE region (r_regionkey BIGINT, r_name VARCHAR, r_comment VARCHAR)")
-    con.execute("CREATE TABLE nation (n_nationkey BIGINT, n_name VARCHAR, n_regionkey BIGINT, n_comment VARCHAR)")
-    con.execute("CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR, c_address VARCHAR, c_nationkey BIGINT, c_phone VARCHAR, c_acctbal DOUBLE, c_mktsegment VARCHAR, c_comment VARCHAR)")
-    con.execute("CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority VARCHAR, o_clerk VARCHAR, o_shippriority INTEGER, o_comment VARCHAR)")
-    con.execute("CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP, l_commitdate TIMESTAMP, l_receiptdate TIMESTAMP, l_shipinstruct VARCHAR, l_shipmode VARCHAR, l_comment VARCHAR)")
-    con.execute("CREATE TABLE part (p_partkey BIGINT, p_name VARCHAR, p_mfgr VARCHAR, p_brand VARCHAR, p_type VARCHAR, p_size INTEGER, p_container VARCHAR, p_retailprice DOUBLE, p_comment VARCHAR)")
-    con.execute("CREATE TABLE supplier (s_suppkey BIGINT, s_name VARCHAR, s_address VARCHAR, s_nationkey BIGINT, s_phone VARCHAR, s_acctbal DOUBLE, s_comment VARCHAR)")
-    con.execute("CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type VARCHAR, value DOUBLE, payload VARCHAR)")
+    for t in tables:
+        con.execute(
+            f"CREATE TABLE {t} AS "
+            f"SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' LIMIT 0"
+        )
     for name, sql in em.oracle_sql().items():
         con.execute(sql)  # raises on syntax/semantic errors

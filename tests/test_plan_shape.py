@@ -50,9 +50,13 @@ def test_resume_antijoin_prunes_payload_from_committed_side(
     pending = tbl.pending(spark, pages)
     plan = formatted_plan(pending)
     schemas = scan_read_schemas(plan)
-    committed_side = [s for s in schemas if "main_text" in s or s == "struct<url:string>"]
-    # the committed snapshot scan reads url only
-    assert any(s == "struct<url:string>" for s in schemas), schemas
+    # exactly two scans: the input side carries the payload; the
+    # committed-snapshot side is pruned to url only (no main_text, no
+    # validation structs) — otherwise resume costs a full deserialize
+    assert len(schemas) == 2, schemas
+    input_side = [s for s in schemas if "html" in s]
+    committed_side = [s for s in schemas if s == "struct<url:string>"]
+    assert len(input_side) == 1 and len(committed_side) == 1, schemas
 
 
 def test_q1_filter_pushed_to_lineitem_scan(spark):

@@ -77,7 +77,7 @@ def test_manifest_is_atomic_json(tmp_path, spark, pages_parquet):
     with open(tbl.manifest_path) as f:
         m = json.load(f)
     assert m["snapshots"][0]["run_id"] == "a"
-    assert not [p for p in os.listdir(tbl.meta_dir) if p.endswith(".tmp")]
+    assert not [p for p in os.listdir(tbl.meta_dir) if ".tmp" in p]
 
 
 def test_remove_snapshot_rolls_back(spark, pages_parquet, tmp_path):

@@ -32,7 +32,9 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
+        if abs(v) < 1e15 and v == int(v):
             return str(int(v))
         return f"{v:.9g}"
     if isinstance(v, bool):
@@ -44,20 +46,30 @@ def canon_cell(v) -> str:
     return str(v)
 
 
-def canon_df(pdf) -> tuple[int, list[str], str]:
+def _canon_value(v):
+    """Normalize pandas/numpy scalars before canon_cell (shared by the
+    hash path and the debug-diff path so they can never disagree)."""
     import numpy as np
     import pandas as pd
 
+    if (
+        (isinstance(v, float) and pd.isna(v))
+        or v is pd.NaT
+        or v is None
+        or (isinstance(v, np.floating) and np.isnan(v))
+    ):
+        return None
+    return v.item() if isinstance(v, np.generic) else v
+
+
+def canon_row(tup) -> str:
+    return "\x1f".join(canon_cell(_canon_value(v)) for v in tup)
+
+
+def canon_df(pdf) -> tuple[int, list[str], str]:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
-    rows = []
-    for tup in pdf.itertuples(index=False, name=None):
-        rows.append(
-            "\x1f".join(
-                canon_cell(None if (isinstance(v, float) and pd.isna(v)) or v is pd.NaT or (v is None) or (isinstance(v, np.floating) and np.isnan(v)) else (v.item() if isinstance(v, np.generic) else v))
-                for v in tup
-            )
-        )
+    rows = [canon_row(tup) for tup in pdf.itertuples(index=False, name=None)]
     rows.sort()
     h = hashlib.md5("\x1e".join(rows).encode()).hexdigest()[:16]
     return len(rows), cols, h
@@ -109,12 +121,12 @@ def main() -> int:
             n_fail += 1
             print(f"FAIL {name}: spark({sn},{sc},{sh}) vs duck({on},{oc},{oh})")
             if sn == on and sc == oc:
-                # show first differing row for debugging
+                # show first differing row (same canon as the hash path)
                 srows = sorted(
-                    "\x1f".join(map(canon_cell, t)) for t in sdf[sorted(sdf.columns)].itertuples(index=False, name=None)
+                    canon_row(t) for t in sdf[sorted(sdf.columns)].itertuples(index=False, name=None)
                 )
                 orows = sorted(
-                    "\x1f".join(map(canon_cell, t)) for t in odf[sorted(odf.columns)].itertuples(index=False, name=None)
+                    canon_row(t) for t in odf[sorted(odf.columns)].itertuples(index=False, name=None)
                 )
                 for a, b in zip(srows, orows):
                     if a != b:

@@ -71,22 +71,29 @@ def _burn(_):
     return x
 
 
-def host_ceiling() -> float:
-    """Raw-CPU scaling ceiling of this host, measured with plain
-    multiprocessing (no Spark): at full 32-core saturation shared-host
-    vCPUs throttle (~0.7 eff observed), which would measure the machine,
-    not the engine. Reported alongside the engine numbers for honesty."""
+def host_ceiling() -> dict:
+    """Raw-CPU scaling of this host, measured with plain multiprocessing
+    (no Spark) at BOTH level pairs: 2->8 is the control for the primary
+    engine measurement; 8->32 documents the shared-host throttling
+    ceiling at full saturation. Both are measured, never assumed."""
     import multiprocessing as mp
 
     walls = {}
-    for n in (8, 32):
+    for n in (2, 8, 32):
         with mp.Pool(n) as p:
             t0 = time.monotonic()
             p.map(_burn, range(64))
             walls[n] = time.monotonic() - t0
-    eff = (walls[8] / walls[32]) / 4
-    print(f"  host raw-CPU ceiling 8->32: eff {eff:.2f}", flush=True)
-    return eff
+    out = {
+        "eff_2_8": (walls[2] / walls[8]) / 4,
+        "eff_8_32": (walls[8] / walls[32]) / 4,
+    }
+    print(
+        f"  host raw-CPU control 2->8: eff {out['eff_2_8']:.2f}; "
+        f"ceiling 8->32: eff {out['eff_8_32']:.2f}",
+        flush=True,
+    )
+    return out
 
 
 def run_one(cpus: int, mode: str, trials: int = 1) -> dict:
@@ -101,8 +108,13 @@ def run_one(cpus: int, mode: str, trials: int = 1) -> dict:
             capture_output=True, text=True, timeout=1800,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling worker local[{cpus}] {mode} failed "
+                f"(rc={out.returncode}); stderr tail:\n{out.stderr[-3000:]}"
+            )
+        r = json.loads(lines[-1])
         walls.append(r["wall_s"])
     walls.sort()
     r["wall_s"] = walls[len(walls) // 2]
@@ -127,7 +139,12 @@ def main() -> int:
         worker(args.cpus, args.pages, args.mode)
         return 0
 
-    if not os.path.exists(PAGES):
+    have = -1
+    if os.path.exists(PAGES):
+        import pyarrow.parquet as pq
+
+        have = pq.read_metadata(PAGES).num_rows
+    if have != args.n_docs:  # stale or missing -> regenerate
         print(f"generating {args.n_docs} seeded pages -> {PAGES}", flush=True)
         from ai_ocr_spark.datagen import write_pages_parquet
 
@@ -135,7 +152,8 @@ def main() -> int:
 
     print("scaling runs (fixed shuffle partitions "
           f"= {SHUFFLE_PARTITIONS}, Arrow batch fixed by session.py):", flush=True)
-    ceil_eff = host_ceiling()
+    ceil = host_ceiling()
+    ceil_eff = ceil["eff_8_32"]
     r2 = run_one(2, "salted", trials=3)
     r8 = run_one(8, "salted", trials=3)
     r32 = run_one(32, "salted")
@@ -158,8 +176,9 @@ execution in each fresh JVM.
 ## N -> 4N scaling (north rule: eff >= 0.8)
 
 Primary measurement at N=2 -> 4N=8 cores, where the host delivers CPU
-linearly (raw-multiprocessing control: 3.93x from 2->8, eff 0.98).
-Walls are medians of 3 fresh-JVM trials (noisy-neighbor variance).
+near-linearly (raw-multiprocessing control measured THIS run:
+eff {ceil['eff_2_8']:.2f} from 2->8). Walls are medians of 3 fresh-JVM
+trials (noisy-neighbor variance).
 
 | level | wall s (median) | trials | docs/s |
 |---|---|---|---|
