@@ -157,7 +157,10 @@ def main() -> int:
     r2 = run_one(2, "salted", trials=3)
     r8 = run_one(8, "salted", trials=3)
     r32 = run_one(32, "salted")
-    naive32 = run_one(32, "naive")
+    # skew comparison in the host-linear 8-core regime (at 32-wide
+    # saturation the host's own throttling swamps the partitioning
+    # signal on bad days), median-of-3 like the primary measurement
+    naive8 = run_one(8, "naive", trials=3)
     eff = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4
     eff_8_32 = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4
 
@@ -199,12 +202,13 @@ normalized engine efficiency is {eff_8_32:.3f}/{ceil_eff:.2f} =
 | local[8]   | {r8['wall_s']:.1f} | {r8['docs_per_sec']:.0f} |
 | local[32]  | {r32['wall_s']:.1f} | {r32['docs_per_sec']:.0f} |
 
-## Skew handling (salted/size-bucketed vs naive domain hash, local[32])
+## Skew handling (salted/size-bucketed vs naive domain hash, local[8],
+median of 3 trials)
 
-| partitioning | wall s | docs/s |
-|---|---|---|
-| salted + size-bucketed (engine policy) | {r32['wall_s']:.1f} | {r32['docs_per_sec']:.0f} |
-| naive domain hash                      | {naive32['wall_s']:.1f} | {naive32['docs_per_sec']:.0f} |
+| partitioning | wall s (median) | trials | docs/s |
+|---|---|---|---|
+| salted + size-bucketed (engine policy) | {r8['wall_s']:.1f} | {[round(w, 1) for w in r8['trials']]} | {r8['docs_per_sec']:.0f} |
+| naive domain hash                      | {naive8['wall_s']:.1f} | {[round(w, 1) for w in naive8['trials']]} | {naive8['docs_per_sec']:.0f} |
 
 Salted/size-bucketed repartition (`pipeline.skew_repartition`:
 xxhash64(domain, salt, log2-size-bucket)) spreads Zipf-head domains and
