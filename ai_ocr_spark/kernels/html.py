@@ -162,6 +162,9 @@ class _Parser:
         "head_depth",
         "blocks",
         "cur_tag",
+        "tables",
+        "table_stack",
+        "cell_parts",
     )
 
     def __init__(self, html: str):
@@ -177,6 +180,13 @@ class _Parser:
         self.cur_tag = "body"
         # accumulated raw blocks: (text, link_chars, depth, tag, boiler)
         self.blocks: list[tuple[str, int, int, str, bool]] = []
+        # passive table recorder (structured twin of the reference's
+        # sheets/tables shape, excel_validator.py:394-429): completed
+        # tables as list[list[row cells]]; never touches the block
+        # buffer, so main_text bytes are unaffected
+        self.tables: list[list[list[str]]] = []
+        self.table_stack: list[dict] = []
+        self.cell_parts: list[str] | None = None
 
     # -- block flush --
     def _flush(self) -> None:
@@ -202,7 +212,41 @@ class _Parser:
             )
         )
 
+    # -- table recorder (tolerates omitted </td>/</tr>) --
+    def _cell_end(self) -> None:
+        if self.cell_parts is not None and self.table_stack:
+            text = collapse_ws(decode_entities("".join(self.cell_parts)))
+            self.table_stack[-1]["row"].append(text)
+        self.cell_parts = None
+
+    def _row_end(self) -> None:
+        self._cell_end()
+        if self.table_stack:
+            t = self.table_stack[-1]
+            if t["row"]:
+                t["rows"].append(t["row"])
+            t["row"] = []
+
+    def _table_open(self) -> None:
+        self._row_end()
+        self.table_stack.append({"rows": [], "row": []})
+
+    def _table_close(self) -> None:
+        self._row_end()
+        if self.table_stack:
+            t = self.table_stack.pop()
+            if t["rows"]:
+                self.tables.append(t["rows"])
+
     def _open(self, name: str) -> None:
+        if name == "table":
+            self._table_open()
+        elif name == "tr":
+            self._row_end()
+        elif name in CELL_TAGS:
+            self._cell_end()
+            if self.table_stack:
+                self.cell_parts = []
         if name == "body" and "head" in self.stack:
             # HTML5 allows omitting </head>; <body> implies it. Without
             # this, an unclosed head flags the whole document boiler and
@@ -222,6 +266,12 @@ class _Parser:
             self.head_depth += 1
 
     def _close(self, name: str) -> None:
+        if name == "table":
+            self._table_close()
+        elif name == "tr":
+            self._row_end()
+        elif name in CELL_TAGS:
+            self._cell_end()
         if name in CELL_TAGS and self.parts:
             self._text(" ")
         if name in BLOCK_TAGS:
@@ -299,6 +349,8 @@ class _Parser:
             if self_closing and name not in VOID_TAGS:
                 self._close(name)
         self._flush()
+        while self.table_stack:  # unclosed tables at EOF
+            self._table_close()
         return self._finalize()
 
     def _find_tag_end(self, lt: int) -> int:
@@ -323,6 +375,8 @@ class _Parser:
             return
         self.parts.append(chunk)
         self.part_is_link.append(self.link_depth > 0)
+        if self.cell_parts is not None:
+            self.cell_parts.append(chunk)
 
     def _finalize(self) -> BlockArena:
         blocks = self.blocks
@@ -365,6 +419,40 @@ def parse_blocks(html: str) -> BlockArena:
     return _Parser(html).parse()
 
 
+def parse_document(html: str) -> tuple[BlockArena, list[dict]]:
+    """Arena blocks + structured tables in one pass.
+
+    Tables mirror the reference's canonical tabular shape
+    (tables: array<struct{headers, data}>, excel_validator.py:394-429):
+    each is {table_index, headers: [...], rows: [[...]]} with the header
+    split decided by the reference's heuristic (first row non-numeric
+    while the body is numeric for more than half the columns,
+    api/excel_parser.py:394-418). Known limit: a table nested inside a
+    cell truncates the outer cell's text at the nesting point."""
+    p = _Parser(html)
+    arena = p.parse()
+    return arena, [
+        {"table_index": i, **_split_header(rows)}
+        for i, rows in enumerate(p.tables)
+    ]
+
+
+def _split_header(rows: list[list[str]]) -> dict:
+    from .normalize import is_numeric
+
+    if len(rows) >= 2:
+        first, body = rows[0], rows[1:]
+        ncols = max(len(first), 1)
+        numeric_cols = 0
+        for ci in range(len(first)):
+            vals = [r[ci] for r in body[:50] if ci < len(r) and r[ci]]
+            if vals and all(is_numeric(v) for v in vals):
+                numeric_cols += 1
+        if not any(is_numeric(c) for c in first if c) and numeric_cols * 2 > ncols:
+            return {"headers": first, "rows": body}
+    return {"headers": [], "rows": rows}
+
+
 # --- content scoring ---------------------------------------------------------
 
 # Thresholds in the Boilerpipe NumWordsRules spirit, frozen for byte-identity.
@@ -392,14 +480,17 @@ def classify_blocks(arena: BlockArena) -> np.ndarray:
     return content
 
 
-def extract_main_text(html: str) -> str:
-    """Full stripper: HTML string -> canonical main_text."""
-    arena = parse_blocks(html)
+def main_text_from_arena(arena: BlockArena) -> str:
     keep = classify_blocks(arena)
     if not keep.any():
         return ""
     idx = np.nonzero(keep)[0]
     return "\n".join(arena.text(int(i)) for i in idx)
+
+
+def extract_main_text(html: str) -> str:
+    """Full stripper: HTML string -> canonical main_text."""
+    return main_text_from_arena(parse_blocks(html))
 
 
 # --- payload sniffing ---------------------------------------------------------

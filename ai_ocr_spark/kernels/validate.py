@@ -74,7 +74,45 @@ def _schema_type_for(doc_type: str) -> str:
     return doc_type if doc_type in SCHEMAS else "form"
 
 
-def validate_fields(fields: list[Field], doc_type: str) -> ValidationResult:
+def _table_checks(res: ValidationResult, tables: list[dict]) -> None:
+    """Tabular custom checks mirroring the reference's excel validator:
+    row-length consistency (excel_validator.py:527-536) and all-numeric
+    columns where the column is numeric-majority (:701-724). Warning
+    severity — NORMAL level gating means they never flip `valid`."""
+    for t in tables:
+        rows = t["rows"]
+        if not rows:
+            continue
+        i = t["table_index"]
+        width = len(t["headers"]) or len(rows[0])
+        consistent = all(len(r) == width for r in rows)
+        res.checks.append(
+            {"name": f"table{i}:rows_consistent", "passed": consistent,
+             "severity": "warning"}
+        )
+        if not consistent:
+            res.warnings.append(f"table {i}: ragged rows")
+        clean = True
+        for ci in range(width):
+            vals = [r[ci] for r in rows if ci < len(r) and r[ci]]
+            if not vals:
+                continue
+            n_num = sum(1 for v in vals if is_numeric(v))
+            if n_num * 2 > len(vals) and n_num != len(vals):
+                clean = False
+        res.checks.append(
+            {"name": f"table{i}:numeric_columns_clean", "passed": clean,
+             "severity": "warning"}
+        )
+        if not clean:
+            res.warnings.append(
+                f"table {i}: non-numeric values in numeric-majority column"
+            )
+
+
+def validate_fields(
+    fields: list[Field], doc_type: str, tables: list[dict] | None = None
+) -> ValidationResult:
     schema_type = _schema_type_for(doc_type)
     spec = SCHEMAS[schema_type]
     by_name: dict[str, str] = {}
@@ -162,6 +200,9 @@ def validate_fields(fields: list[Field], doc_type: str) -> ValidationResult:
         )
         if not passed:
             res.warnings.append("line_items amounts do not sum to total_amount")
+
+    if tables:
+        _table_checks(res, tables)
 
     res.valid = not res.errors
     return res

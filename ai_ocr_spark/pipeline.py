@@ -90,12 +90,21 @@ LINEAGE_TYPE = T.StructType(
     ]
 )
 
+TABLE_TYPE = T.StructType(
+    [
+        T.StructField("table_index", T.IntegerType()),
+        T.StructField("headers", T.ArrayType(T.StringType())),
+        T.StructField("rows", T.ArrayType(T.ArrayType(T.StringType()))),
+    ]
+)
+
 EXTRACTIONS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
         T.StructField("warc_ts", T.TimestampType()),
         T.StructField("content_kind", T.StringType()),
         T.StructField("main_text", T.StringType()),
+        T.StructField("tables", T.ArrayType(TABLE_TYPE)),
         T.StructField("doc_type", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("fields", T.ArrayType(FIELD_TYPE)),
@@ -187,6 +196,7 @@ def _extract_batches(run_id: str):
                     r = {
                         "content_kind": "error",
                         "main_text": "",
+                        "tables": [],
                         "doc_type": "generic",
                         "lang": "en",
                         "fields": [],
@@ -208,6 +218,7 @@ def _extract_batches(run_id: str):
                         "warc_ts": warc_ts,
                         "content_kind": r["content_kind"],
                         "main_text": r["main_text"],
+                        "tables": r.get("tables", []),
                         "doc_type": r["doc_type"],
                         "lang": r["lang"],
                         "fields": r["fields"],

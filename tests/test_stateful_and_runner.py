@@ -91,5 +91,7 @@ def test_partitioned_snapshot_prunes_partitions(spark, pages_parquet, tmp_path):
     plan = formatted_plan(q)
     assert "PartitionFilters" in plan and "ds" in plan
     # count only rows of that day — must match a full-scan recount
-    full = spark.read.parquet(snap).toPandas()
+    # (project ds only: converting the deeply nested tables column
+    # through Arrow->pandas has shown session-state-dependent crashes)
+    full = spark.read.parquet(snap).select("ds").toPandas()
     assert q.count() == (full["ds"] == days[0]).sum()
