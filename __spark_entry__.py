@@ -21,6 +21,7 @@ from ai_ocr_spark.operators import dedup as D  # noqa: E402
 from ai_ocr_spark.operators import multimodal as MM  # noqa: E402
 from ai_ocr_spark.operators import oracles as ORC  # noqa: E402
 from ai_ocr_spark.operators import relational as R  # noqa: E402
+from ai_ocr_spark.operators import roundtrip as RT  # noqa: E402
 from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
 from ai_ocr_spark.operators import textstats as TS  # noqa: E402
 
@@ -93,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sessionize": R.window_sessionize,
         # the pipeline itself (§2.8) — oracle reconstructs the invariant
         "pipeline_main_text": _pipeline_main_text,
+        # full kernel path: HTML built from lineitem -> DOM parse ->
+        # table recorder -> header split -> rows, vs direct SQL rebuild
+        "pipeline_table_roundtrip": RT.pipeline_table_roundtrip,
         # training-data ops: deduplication
         "dedup_exact": D.dedup_exact,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
@@ -298,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'ja' ELSE 'en' END AS detected_lang
             FROM documents
         """,
+        "pipeline_table_roundtrip": RT.ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

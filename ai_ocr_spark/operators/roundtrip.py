@@ -1,0 +1,105 @@
+"""End-to-end table-extraction round-trip, oracle-checkable.
+
+Builds an HTML page per order from lineitem rows (pure JVM string
+expressions), runs it through the REAL extraction pipeline (sniff ->
+DOM parse -> table recorder -> header heuristic), explodes the
+recovered table rows, and emits them as flat columns. The DuckDB oracle
+reconstructs the same rows straight from lineitem — so the equality gate
+covers the whole kernel path: tokenizer, cell capture, whitespace canon,
+header split, row order.
+
+Cell values are chosen to be string-stable in both engines (ints and
+plain strings — no float formatting divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import extract_pages
+
+N_ORDERS = 50  # first N orderkeys make one synthetic page each
+
+
+def _order_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = (
+        li.select("l_orderkey").distinct().orderBy("l_orderkey").limit(N_ORDERS)
+    )
+    li = li.join(F.broadcast(keys), "l_orderkey")
+    cell_qty = F.col("l_quantity").cast("bigint").cast("string")
+    row_html = F.concat(
+        F.lit("<tr><td>"), F.col("l_linenumber").cast("string"),
+        F.lit("</td><td>"), cell_qty,
+        F.lit("</td><td>"), F.col("l_returnflag"),
+        F.lit("</td></tr>"),
+    )
+    # linenumbers are NOT unique per order in this synthetic lineitem —
+    # the sort key must be a full deterministic tiebreak (mirrored
+    # lexicographically in the oracle's ORDER BY)
+    sort_key = F.struct(
+        F.col("l_linenumber"), cell_qty.alias("q"), F.col("l_returnflag")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(sort_key.alias("k"), row_html.alias("h")))
+                ),
+                lambda s: s["h"],
+            ),
+            "",
+        ).alias("rows_html")
+    )
+    html = F.concat(
+        F.lit(
+            "<html><body><table>"
+            "<tr><td>linenumber</td><td>quantity</td><td>flag</td></tr>"
+        ),
+        F.col("rows_html"),
+        F.lit("</table></body></html>"),
+    )
+    return per_order.select(
+        F.concat(F.lit("synthetic://order/"), F.col("l_orderkey").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1740787200) + F.col("l_orderkey")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").cast("string").alias("lang"),
+    )
+
+
+def pipeline_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(orderkey, row_idx, linenumber, quantity, flag) recovered from
+    HTML through the full kernel path."""
+    pages = _order_pages(spark, sf_dir)
+    out = extract_pages(pages, run_id="roundtrip", num_partitions=8)
+    t0 = F.col("tables")[0]
+    rows = out.select(
+        F.regexp_extract("url", r"order/(\d+)$", 1).cast("long").alias("l_orderkey"),
+        F.posexplode(t0["rows"]).alias("row_idx", "cells"),
+    )
+    return rows.select(
+        "l_orderkey",
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("cells")[0].alias("linenumber"),
+        F.col("cells")[1].alias("quantity"),
+        F.col("cells")[2].alias("flag"),
+    )
+
+
+ORACLE_SQL = f"""
+    WITH keys AS (
+        SELECT DISTINCT l_orderkey FROM lineitem
+        ORDER BY l_orderkey LIMIT {N_ORDERS}
+    )
+    SELECT li.l_orderkey,
+           CAST(row_number() OVER (PARTITION BY li.l_orderkey
+                ORDER BY li.l_linenumber,
+                         CAST(CAST(li.l_quantity AS BIGINT) AS VARCHAR),
+                         li.l_returnflag) - 1 AS BIGINT) AS row_idx,
+           CAST(li.l_linenumber AS VARCHAR) AS linenumber,
+           CAST(CAST(li.l_quantity AS BIGINT) AS VARCHAR) AS quantity,
+           li.l_returnflag AS flag
+    FROM lineitem li JOIN keys USING (l_orderkey)
+"""
