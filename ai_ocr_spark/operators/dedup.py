@@ -36,7 +36,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-_SHINGLE_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}  # persisted intermediates per (session, sf_dir, kind)
 
 
 def _shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
@@ -138,11 +138,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Banding guarantee: any pair within Hamming 3 of a 32-bit hash shares
     at least one of the 4 bytes; <=6 is best-effort recall, the standard
-    simhash trade."""
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", TX.simhash32(TX.tokens(F.col("text"))).alias("simhash")
-    )
+    simhash trade.
+
+    The signature table is persisted+memoized like the shingle table:
+    the banding projection references `simhash` five times (posexplode
+    bytes + carry), and without the cache barrier CollapseProject
+    inlines the 32-lane aggregate into every reference."""
+    key = (id(spark), sf_dir, "simhash")
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        docs = _docs(spark, sf_dir)
+        sh = docs.select(
+            "doc_id", TX.simhash32(TX.tokens(F.col("text"))).alias("simhash")
+        ).persist()
+        _SHINGLE_CACHE[key] = sh
     byte_of = lambda b: F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))
     banded = sh.select(
         "doc_id",
