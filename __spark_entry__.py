@@ -112,12 +112,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": TS.text_quality_scores,
         "text_langid": TS.text_langid,
         "text_fingerprint": TS.text_fingerprint,
-        # training-data ops: multimodal plumbing (rows-only: binary
-        # feature extraction is not SQL-expressible; determinism is
-        # asserted in tests/test_multimodal.py)
-        "mm_image_features": MM.mm_image_features,
-        "mm_frame_sample": MM.mm_frame_sample,
-        "mm_audio_stats": MM.mm_audio_stats,
+        # training-data ops: multimodal plumbing. The _q projections
+        # flatten/stringify array outputs (hashable frames) and the
+        # synthetic payloads are reconstructable from `documents.text`,
+        # so these have exact DuckDB twins (operators/oracles.py).
+        "mm_image_features": MM.mm_image_features_q,
+        "mm_frame_sample": MM.mm_frame_sample_q,
+        "mm_audio_stats": MM.mm_audio_stats_q,
     }
     return q
 
@@ -129,8 +130,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(l_quantity AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_qty,
                    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_base_price,
                    CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(28,8))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -141,7 +142,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    count(DISTINCT source) AS n_sources,
                    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
-                   round(avg(n_chars), 4) AS avg_chars,
+                   round(CAST(sum(CAST(n_chars AS DECIMAL(28,8))) AS DOUBLE) / count(n_chars), 4) AS avg_chars,
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang
@@ -157,7 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_rollup_category": """
             SELECT p_brand,
                    count(*) AS n_parts,
-                   round(avg(p_retailprice), 4) AS avg_price,
+                   round(CAST(sum(CAST(p_retailprice AS DECIMAL(28,8))) AS DOUBLE) / count(p_retailprice), 4) AS avg_price,
                    sum(p_size) AS sum_size
             FROM part GROUP BY ROLLUP(p_brand)
         """,
@@ -377,10 +378,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_sessionize": """
             WITH s AS (
+                -- floor(epoch) truncates sub-second fractions, matching
+                -- Spark's unix_timestamp; a bare CAST rounds to nearest
+                -- and shifts ~half the epochs by 1s (spurious boundary
+                -- flips for gaps straddling 1800s)
                 SELECT user_id, event_id, ts, value,
-                       CASE WHEN lag(CAST(epoch(ts) AS BIGINT)) OVER w IS NULL
-                              OR CAST(epoch(ts) AS BIGINT)
-                                 - lag(CAST(epoch(ts) AS BIGINT)) OVER w > 1800
+                       CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                              OR CAST(floor(epoch(ts)) AS BIGINT)
+                                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
                             THEN 1 ELSE 0 END AS new_session
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -413,4 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),
         "text_fingerprint": ORC.text_fingerprint(),
+        "mm_image_features": ORC.mm_image_features(),
+        "mm_frame_sample": ORC.mm_frame_sample(),
+        "mm_audio_stats": ORC.mm_audio_stats(),
     }

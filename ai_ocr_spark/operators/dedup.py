@@ -39,13 +39,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_CACHE: dict[tuple, DataFrame] = {}  # persisted intermediates per (session, sf_dir, kind)
 
 
+def _cache_key(spark: SparkSession, *parts) -> tuple:
+    """Cache key rooted in the stable applicationId, not id(spark): a
+    recycled id() after session GC would hand back DataFrames bound to a
+    dead session. A new application also invalidates all prior entries,
+    so stale persisted frames can't leak across sessions."""
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _SHINGLE_CACHE if k[0] != app_id]
+    for k in stale:
+        _SHINGLE_CACHE.pop(k, None)  # dead session: JVM-side storage is gone
+    return (app_id, *parts)
+
+
 def _shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """doc_id + distinct n-word shingles, persisted and memoized per
     (session, sf_dir, n) — repeated operator calls in one session reuse
     ONE cached table instead of leaking a new persist() each time. The
     cache barrier also keeps the downstream 12-signature codegen small
     (see dedup_minhash_lsh docstring)."""
-    key = (id(spark), sf_dir, n)
+    key = _cache_key(spark, sf_dir, n)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
         docs = _docs(spark, sf_dir)
@@ -144,7 +156,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the banding projection references `simhash` five times (posexplode
     bytes + carry), and without the cache barrier CollapseProject
     inlines the 32-lane aggregate into every reference."""
-    key = (id(spark), sf_dir, "simhash")
+    key = _cache_key(spark, sf_dir, "simhash")
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
         docs = _docs(spark, sf_dir)

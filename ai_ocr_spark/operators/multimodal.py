@@ -17,9 +17,12 @@ Feature extraction is numpy-vectorized over each payload (byte
 histogram -> 8 coarse bins, L1-normalized) — the same batch shape a real
 decoder (PIL/ffmpeg) would use at scale.
 
-These operators are rows-only in the driver contract (no DuckDB oracle:
-binary feature extraction is not SQL-expressible); determinism is
-asserted by tests/test_multimodal.py instead.
+The driver contract registers the `*_q` projections below: array columns
+are flattened/stringified so result frames are hashable, and every value
+is exact integer math or a single IEEE division of exact integers — which
+makes a bit-for-bit DuckDB oracle possible (operators/oracles.py
+reconstructs the payload bytes via hex(encode(text)) and replays the same
+histogram/checksum/RMS arithmetic in SQL).
 """
 
 from __future__ import annotations
@@ -63,6 +66,7 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("n_sampled", T.IntegerType()),
         T.StructField("frame_checksums", T.ArrayType(T.LongType())),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -104,6 +108,8 @@ def _decode_header(payload: bytes) -> tuple[str, list[int], bytes]:
     nums: list[int] = []
     for _ in range(2 if tag in ("IMG1", "AUD1") else 1):
         idx = rest.find(b";")
+        if idx < 0:  # missing delimiter would silently mis-slice below
+            raise ValueError(f"malformed {tag} header: missing ';'")
         nums.append(int(rest[:idx]))
         rest = rest[idx + 1 :]
     return tag, nums, rest
@@ -183,22 +189,34 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 payload = bytes(payload) if payload is not None else b""
-                _tag, (n_frames,), rest = _decode_header(payload)
-                frame_len = 64
-                usable = (len(rest) // frame_len) * frame_len
-                frames = np.frombuffer(rest[:usable], dtype=np.uint8).reshape(
-                    -1, frame_len
-                )
-                sampled = frames[::4]
-                sums = sampled.sum(axis=1, dtype=np.int64) % 65536
-                out.append(
-                    {
-                        "doc_id": doc_id,
-                        "n_frames": int(len(frames)),
-                        "n_sampled": int(len(sampled)),
-                        "frame_checksums": sums.tolist(),
-                    }
-                )
+                try:
+                    _tag, (n_frames,), rest = _decode_header(payload)
+                    frame_len = 64
+                    usable = (len(rest) // frame_len) * frame_len
+                    frames = np.frombuffer(rest[:usable], dtype=np.uint8).reshape(
+                        -1, frame_len
+                    )
+                    sampled = frames[::4]
+                    sums = sampled.sum(axis=1, dtype=np.int64) % 65536
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "n_frames": int(len(frames)),
+                            "n_sampled": int(len(sampled)),
+                            "frame_checksums": sums.tolist(),
+                            "error": None,
+                        }
+                    )
+                except Exception as e:  # capture, never abort the batch
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "n_frames": None,
+                            "n_sampled": None,
+                            "frame_checksums": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
@@ -212,6 +230,7 @@ AUDIO_STATS_SCHEMA = T.StructType(
         T.StructField("duration_s", T.DoubleType()),
         T.StructField("rms", T.DoubleType()),
         T.StructField("peak", T.IntegerType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -232,20 +251,85 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
                 payload = bytes(payload) if payload is not None else b""
-                _tag, (sr, n), rest = _decode_header(payload)
-                pcm = np.frombuffer(rest, dtype=np.uint8).astype(np.float64) - 128.0
-                rms = float(np.sqrt((pcm * pcm).mean())) if len(pcm) else 0.0
-                peak = int(np.abs(pcm).max()) if len(pcm) else 0
-                out.append(
-                    {
-                        "doc_id": doc_id,
-                        "sample_rate": sr,
-                        "n_samples": n,
-                        "duration_s": n / sr if sr else 0.0,
-                        "rms": rms,
-                        "peak": peak,
-                    }
-                )
+                try:
+                    _tag, (sr, n), rest = _decode_header(payload)
+                    pcm = np.frombuffer(rest, dtype=np.uint8).astype(np.float64) - 128.0
+                    rms = float(np.sqrt((pcm * pcm).mean())) if len(pcm) else 0.0
+                    peak = int(np.abs(pcm).max()) if len(pcm) else 0
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "sample_rate": sr,
+                            "n_samples": n,
+                            "duration_s": n / sr if sr else 0.0,
+                            "rms": rms,
+                            "peak": peak,
+                            "error": None,
+                        }
+                    )
+                except Exception as e:  # capture, never abort the batch
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "sample_rate": None,
+                            "n_samples": None,
+                            "duration_s": None,
+                            "rms": None,
+                            "peak": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stats, schema=AUDIO_STATS_SCHEMA)
+
+
+# --- driver-contract projections (hashable frames + DuckDB-twin shapes) ------
+
+N_FEATURE_BINS = 8
+
+
+def mm_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver shape for mm_image_features: the feature array flattened to
+    f0..f7 scalar doubles (count/total — exact integers through one IEEE
+    division, so DuckDB reproduces each bit) and ints widened to long."""
+    df = mm_image_features(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_bytes",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(N_FEATURE_BINS)],
+        "error",
+    )
+
+
+def mm_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver shape for mm_frame_sample: checksums (exact ints) joined to
+    one comparable string, ints widened to long."""
+    df = mm_frame_sample(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.array_join(
+            F.transform("frame_checksums", lambda c: c.cast("string")), ","
+        ).alias("frame_checksums"),
+        "error",
+    )
+
+
+def mm_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver shape for mm_audio_stats: all-scalar already; ints widened
+    to long (DuckDB emits BIGINT)."""
+    df = mm_audio_stats(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "duration_s",
+        "rms",
+        F.col("peak").cast("long").alias("peak"),
+        "error",
+    )

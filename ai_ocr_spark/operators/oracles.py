@@ -26,8 +26,8 @@ from ..functions.text import (
     STOPWORDS_FR,
 )
 from .similarity import (
-    CENTROID_STRIDE,
     IVF_TOP_K,
+    N_CENTROIDS,
     N_PROBE,
     N_QUERIES,
     TOP_K,
@@ -206,7 +206,8 @@ def ann_ivf_topk() -> str:
     return f"""
         WITH {_E2},
         cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
-                 FROM e2 WHERE vec_id % {CENTROID_STRIDE} = 0),
+                 FROM e2 ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                 LIMIT {N_CENTROIDS}),
         asg AS (
           SELECT vec_id, v, nrm, centroid_id FROM (
             SELECT e2.vec_id, e2.v, e2.nrm, cent.centroid_id,
@@ -324,6 +325,94 @@ def text_fingerprint() -> str:
                    1, 4),
                  '|') AS bottomk_sketch
         FROM n
+    """
+
+
+# --- multimodal twins --------------------------------------------------------
+#
+# The media table is synthesized from documents by pure expressions
+# (multimodal.media_from_documents), so DuckDB can rebuild the payload
+# byte stream from the text column: hex(encode(body)) -> per-byte integer
+# list -> the same histogram / frame-checksum / RMS arithmetic the numpy
+# kernels run. All outputs are exact integers or single IEEE divisions of
+# exact integers, so the twins match bit-for-bit.
+
+_BYTES = (
+    "list_transform(range(1, n_bytes + 1), "
+    "i -> (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16 "
+    "+ (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))"
+)
+
+
+def _media_bytes_cte(kind: int) -> str:
+    """CTE chain: documents of modality `kind` -> body -> byte list."""
+    return f"""
+        m AS (SELECT doc_id, coalesce(text, '') AS body
+              FROM documents WHERE doc_id % 3 = {kind}),
+        b AS (SELECT doc_id, length(body) AS n_chars,
+                     octet_length(encode(body)) AS n_bytes,
+                     hex(encode(body)) AS h
+              FROM m),
+        byt AS (SELECT doc_id, n_chars, n_bytes, {_BYTES} AS bytes FROM b)
+    """
+
+
+def mm_image_features() -> str:
+    from .multimodal import N_FEATURE_BINS
+
+    bins = ",\n               ".join(
+        f"CASE WHEN n_bytes = 0 THEN 0.0 "
+        f"ELSE len(list_filter(bytes, x -> x // 32 = {k})) / n_bytes END AS f{k}"
+        for k in range(N_FEATURE_BINS)
+    )
+    return f"""
+        WITH {_media_bytes_cte(0)}
+        SELECT doc_id,
+               'image' AS media_type,
+               CAST(doc_id % 512 + 64 AS BIGINT) AS width,
+               CAST(doc_id % 384 + 48 AS BIGINT) AS height,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               {bins},
+               CAST(NULL AS VARCHAR) AS error
+        FROM byt
+    """
+
+
+def mm_frame_sample() -> str:
+    return f"""
+        WITH {_media_bytes_cte(2)},
+        fr AS (SELECT doc_id, bytes, n_bytes // 64 AS n_frames FROM byt)
+        SELECT doc_id,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST((n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+               -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+               -- array_join on an empty array is ''
+               coalesce(array_to_string(
+                 list_transform(
+                   list_filter(range(0, CAST(n_frames AS INTEGER)), f -> f % 4 = 0),
+                   f -> CAST(list_sum(list_slice(bytes, 64*f + 1, 64*f + 64))
+                             % 65536 AS VARCHAR)),
+                 ','), '') AS frame_checksums,
+               CAST(NULL AS VARCHAR) AS error
+        FROM fr
+    """
+
+
+def mm_audio_stats() -> str:
+    return f"""
+        WITH {_media_bytes_cte(1)}
+        SELECT doc_id,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               CAST(n_chars AS BIGINT) AS n_samples,
+               n_chars / 16000 AS duration_s,
+               CASE WHEN n_bytes = 0 THEN 0.0
+                    ELSE sqrt(list_sum(list_transform(bytes,
+                              x -> (x - 128) * (x - 128))) / n_bytes) END AS rms,
+               CAST(CASE WHEN n_bytes = 0 THEN 0
+                    ELSE list_max(list_transform(bytes, x -> abs(x - 128))) END
+                    AS BIGINT) AS peak,
+               CAST(NULL AS VARCHAR) AS error
+        FROM byt
     """
 
 

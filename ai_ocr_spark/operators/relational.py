@@ -18,6 +18,18 @@ def _dsum(expr, scale: int = 2):
     return F.round(F.sum(expr.cast("decimal(28,8)")), scale).cast("double")
 
 
+def _davg(expr, scale: int = 4):
+    """Order-independent average: exact decimal sum cast to double ONCE,
+    divided by the non-null count. The pre-round double is bit-identical
+    in both engines (exact sum, one IEEE division), and round-half-up on
+    doubles matches DuckDB's round (half away from zero) — unlike
+    F.round(F.avg(x)), whose float accumulation is summation-order
+    dependent and hash-diverges across engines."""
+    return F.round(
+        F.sum(expr.cast("decimal(28,8)")).cast("double") / F.count(expr), scale
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -36,8 +48,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("l_quantity")).alias("sum_qty"),
             _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -51,7 +63,7 @@ def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
         F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        _davg(F.col("n_chars")).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
@@ -79,7 +91,7 @@ def agg_rollup_category(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.rollup("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            _davg(F.col("p_retailprice")).alias("avg_price"),
             F.sum("p_size").alias("sum_size"),
         )
     )

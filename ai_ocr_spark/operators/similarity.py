@@ -7,7 +7,7 @@
   ann_ivf_topk      IVF-style two-stage search: deterministic coarse
                     centroids -> assign every vector to its nearest
                     centroid (inverted lists) -> probe only the query's
-                    top-2 lists. The 100-TB shape: the corpus-side join
+                    top-N_PROBE lists. The 100-TB shape: the corpus-side join
                     is an equi-join on centroid_id (partition-prunable),
                     never a cross join.
 
@@ -25,8 +25,8 @@ from ..functions import vectors as V
 
 N_QUERIES = 8          # query set: vec_id < 8
 TOP_K = 10             # exact top-k
-CENTROID_STRIDE = 37   # centroids: vec_id % 37 == 0 (~n/37 coarse cells)
-N_PROBE = 2            # IVF lists probed per query
+N_CENTROIDS = 32       # fixed-K centroid sample (scale-constant)
+N_PROBE = 4            # IVF lists probed per query (4/32 of the corpus)
 IVF_TOP_K = 5
 
 
@@ -64,18 +64,27 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF two-stage ANN: deterministic centroids (vec_id % 37 == 0),
-    nearest-centroid assignment builds the inverted lists, queries probe
-    their top-2 lists and rank candidates by exact cosine.
+    """IVF two-stage ANN: a FIXED-K deterministic centroid sample (the
+    N_CENTROIDS smallest md5(vec_id) — a uniform pseudo-random draw that
+    stays K-sized at any corpus size, so assignment cost is O(n*K), not
+    the O(n^2/stride) a modulo rule degrades to), nearest-centroid
+    assignment builds the inverted lists, queries probe their top-N_PROBE
+    lists and rank candidates by exact cosine. The centroid pick is a
+    TakeOrderedAndProject (top-K, no full sort) and is broadcast.
 
     Equivalent DuckDB SQL reproduces the same centroid set, assignment
     and tie-breaks, so results match exactly even though the search is
     approximate vs ann_cosine_topk."""
     emb = _emb(spark, sf_dir)
-    cent = emb.filter(F.col("vec_id") % CENTROID_STRIDE == 0).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    cent_pick = F.md5(F.col("vec_id").cast("string").cast("binary"))
+    cent = (
+        emb.orderBy(cent_pick.asc(), F.col("vec_id").asc())
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
     )
     ccos = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
 

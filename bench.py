@@ -61,7 +61,10 @@ def main() -> int:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
-        "dedup_embedding_cosine",
+        # dedup_embedding_cosine is deliberately NOT here: it is the
+        # O(n^2) exact ground-truth oracle for the LSH path, not a
+        # scale-shape query — benching it at full n would publish a
+        # nested-loop join as a headline number. The scale path is:
         "dedup_embedding_lsh",
         "ann_cosine_topk",
         "ann_ivf_topk",

@@ -10,12 +10,13 @@ def test_every_oracle_key_has_a_query():
     assert not orphans, f"oracle_sql entries without queries: {orphans}"
 
 
-def test_rows_only_queries_are_documented():
-    """Queries without an oracle must be the known non-SQL-expressible
-    set (binary feature extraction) — nothing silently unchecked."""
+def test_every_query_has_an_oracle():
+    """No rows-only fallbacks left: every driver query has an exact
+    DuckDB twin (the mm ops gained theirs once the synthetic payloads
+    were made SQL-reconstructable from documents.text)."""
     qs, oracles = em.queries(), em.oracle_sql()
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"mm_image_features", "mm_frame_sample", "mm_audio_stats"}
+    assert rows_only == set(), f"queries without an oracle: {rows_only}"
 
 
 def test_entry_runs_and_has_stable_schema(spark):

@@ -49,6 +49,34 @@ def test_real_codec_magic_raises_not_implemented():
         _decode_header(b"\xff\xd8\xff\xe0JFIF")
 
 
+def test_malformed_header_is_captured_not_fatal():
+    from ai_ocr_spark.operators.multimodal import _decode_header
+
+    # missing ';' after the count must raise cleanly (captured per-row by
+    # the operators' except blocks), never garbage-parse
+    with pytest.raises(ValueError):
+        _decode_header(b"VID1;12")  # no trailing ';'
+    with pytest.raises(ValueError):
+        _decode_header(b"AUD1;16000")  # second field unterminated
+
+
+def test_q_projections_match_base_ops(spark):
+    from ai_ocr_spark.operators.multimodal import (
+        mm_frame_sample_q,
+        mm_image_features,
+        mm_image_features_q,
+    )
+
+    base = mm_image_features(spark, SF).toPandas().sort_values("doc_id")
+    q = mm_image_features_q(spark, SF).toPandas().sort_values("doc_id")
+    assert list(base["doc_id"]) == list(q["doc_id"])
+    for feats, row in zip(base["features"], q.itertuples()):
+        assert list(feats) == [getattr(row, f"f{i}") for i in range(8)]
+    fq = mm_frame_sample_q(spark, SF).toPandas()
+    assert fq["error"].isna().all()
+    assert (fq["frame_checksums"].str.count(",") + 1 >= fq["n_sampled"].clip(lower=1)).all()
+
+
 def test_audio_stats_deterministic(spark):
     from ai_ocr_spark.operators.multimodal import mm_audio_stats
 
