@@ -22,6 +22,8 @@ from ai_ocr_spark.operators import multimodal as MM  # noqa: E402
 from ai_ocr_spark.operators import oracles as ORC  # noqa: E402
 from ai_ocr_spark.operators import relational as R  # noqa: E402
 from ai_ocr_spark.operators import roundtrip as RT  # noqa: E402
+from ai_ocr_spark.operators import roundtrip_fields as RF  # noqa: E402
+from ai_ocr_spark.operators import roundtrip_pdf as RP  # noqa: E402
 from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
 from ai_ocr_spark.operators import textstats as TS  # noqa: E402
 
@@ -97,6 +99,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full kernel path: HTML built from lineitem -> DOM parse ->
         # table recorder -> header split -> rows, vs direct SQL rebuild
         "pipeline_table_roundtrip": RT.pipeline_table_roundtrip,
+        # fields/validation/confidence + byte spans through the full
+        # kernel path, vs pure-SQL reconstruction (incl. span offsets)
+        "pipeline_invoice_roundtrip": RF.pipeline_invoice_roundtrip,
+        # PDF bytes -> tokenizer -> x-y-cut reading order -> main_text,
+        # vs SQL string reconstruction (FlateDecode on even orderkeys)
+        "pipeline_pdf_roundtrip": RP.pipeline_pdf_roundtrip,
         # training-data ops: deduplication
         "dedup_exact": D.dedup_exact,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
@@ -304,6 +312,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pipeline_table_roundtrip": RT.ORACLE_SQL,
+        "pipeline_invoice_roundtrip": RF.ORACLE_SQL,
+        "pipeline_pdf_roundtrip": RP.ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

@@ -113,12 +113,28 @@ class GlyphRun:
     text: str
 
 
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# direct /Length only — (?!...) rejects the indirect `/Length 5 0 R` form
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _decode_stream(obj_body: bytes) -> bytes | None:
-    m = _STREAM_RE.search(obj_body)
-    if m is None:
+    """Slice the stream by /Length when available: delimiter regexes are
+    not binary-safe — FlateDecode data ending in 0x0d ('\\r') loses that
+    byte to the `\\r?\\nendstream` match (~1/256 of compressed streams)
+    and fails to inflate. The regex remains as the Length-less fallback."""
+    sm = _STREAM_START_RE.search(obj_body)
+    if sm is None:
         return None
-    data = m.group(1)
-    if b"/FlateDecode" in obj_body[: m.start()]:
+    lm = _LENGTH_RE.search(obj_body[: sm.start()])
+    if lm is not None:
+        data = obj_body[sm.end() : sm.end() + int(lm.group(1))]
+    else:
+        m = _STREAM_RE.search(obj_body)
+        if m is None:
+            return None
+        data = m.group(1)
+    if b"/FlateDecode" in obj_body[: sm.start()]:
         try:
             data = zlib.decompress(data)
         except zlib.error:
