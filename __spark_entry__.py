@@ -24,6 +24,7 @@ from ai_ocr_spark.operators import relational as R  # noqa: E402
 from ai_ocr_spark.operators import roundtrip as RT  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_fields as RF  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_pdf as RP  # noqa: E402
+from ai_ocr_spark.operators import roundtrip_xlsx as RX  # noqa: E402
 from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
 from ai_ocr_spark.operators import textstats as TS  # noqa: E402
 
@@ -105,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PDF bytes -> tokenizer -> x-y-cut reading order -> main_text,
         # vs SQL string reconstruction (FlateDecode on even orderkeys)
         "pipeline_pdf_roundtrip": RP.pipeline_pdf_roundtrip,
+        # xlsx bytes -> zip/XML multi-sheet scan -> tables + S5 workbook
+        # metadata (props/merged/formulas), vs SQL reconstruction
+        "pipeline_xlsx_roundtrip": RX.pipeline_xlsx_roundtrip,
         # training-data ops: deduplication
         "dedup_exact": D.dedup_exact,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
@@ -314,6 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_table_roundtrip": RT.ORACLE_SQL,
         "pipeline_invoice_roundtrip": RF.ORACLE_SQL,
         "pipeline_pdf_roundtrip": RP.ORACLE_SQL,
+        "pipeline_xlsx_roundtrip": RX.ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

@@ -282,7 +282,8 @@ def japanese_page(rng: random.Random) -> tuple[str, str]:
 # --- document assembly --------------------------------------------------------
 
 FAMILY_WEIGHTS = (
-    ("invoice", 28),
+    ("invoice", 24),
+    ("workbook", 4),  # xlsx payloads (the reference's primary format)
     ("report", 18),
     ("form", 10),
     ("catalog_csv", 10),
@@ -337,6 +338,26 @@ def make_page(i: int, seed: int = SEED) -> dict:
         text = plain
     elif fam == "catalog_csv":
         html = catalog_csv(rng)
+        text = None
+    elif fam == "workbook":
+        from .kernels.xlsx import emit_xlsx
+
+        n = rng.randint(2, 8)
+        items = [["sku", "qty", "price"]] + [
+            [f"PRD-{rng.randint(100, 999)}", rng.randint(1, 50), rng.randint(5, 900)]
+            for _ in range(n)
+        ]
+        total = sum(r[1] * r[2] for r in items[1:])
+        summary = [["metric", "value", "rank"], ["total", total, 1], ["rows", n, 2]]
+        html = emit_xlsx(
+            [("Items", items), ("Summary", summary)],
+            title=f"Workbook {i}",
+            author=f"clerk-{rng.randint(0, 9)}",
+            merged={"Summary": ["A1:C1"]} if rng.random() < 0.7 else None,
+            formulas={"Summary": {"B2": ("SUM(Items!C:C)", total)}}
+            if rng.random() < 0.7
+            else None,
+        )
         text = None
     elif fam == "pdf":
         html = pdf_payload(rng)

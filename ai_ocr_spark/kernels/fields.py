@@ -98,6 +98,11 @@ _LABEL_TO_FIELD = {
     "form type": "form_type",
     "region": "region",
     "period": "period",
+    # workbook metadata lines rendered by the xlsx branch (S5)
+    "created": "created",
+    "sheets": "n_sheets",
+    "merged cells": "n_merged_cells",
+    "formulas": "n_formulas",
 }
 
 _LABEL_RE = re.compile(

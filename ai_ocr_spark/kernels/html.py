@@ -501,6 +501,18 @@ def sniff_kind(payload: bytes) -> str:
     (reference: src/processor/app/parsers/excel_parser.py:32-40)."""
     if not payload:
         return "empty"
+    if payload[:4] == b"PK\x03\x04":
+        # zip container (magic at offset 0, no lstrip): xlsx iff it holds
+        # a workbook part; other archives stay opaque binary
+        import io
+        import zipfile
+
+        try:
+            if "xl/workbook.xml" in zipfile.ZipFile(io.BytesIO(payload)).namelist():
+                return "xlsx"
+        except Exception:
+            pass
+        return "binary"
     head = payload[:2048].lstrip()
     if head.startswith(b"%PDF-"):
         return "pdf"

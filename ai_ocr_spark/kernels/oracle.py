@@ -37,6 +37,36 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict]]:
             return kind, extract_pdf_text(payload), []
         except Exception:
             return kind, "", []
+    if kind == "xlsx":
+        # multi-sheet scan + workbook metadata (S5): props/counters are
+        # rendered as 'Label: value' lines so the standard labeled-field
+        # extractor yields them as fields WITH real spans; each sheet
+        # becomes one table through the same header heuristic as HTML
+        # (reference: excel_parser.py:40-113 sheet scan, :331-392 props)
+        from .xlsx import parse_xlsx
+
+        wb = parse_xlsx(payload)
+        lines = [
+            "Workbook",
+            f"Title: {wb['title']}",
+            f"Author: {wb['author']}",
+            f"Created: {wb['created']}",
+            f"Sheets: {len(wb['sheets'])}",
+            f"Merged Cells: {wb['n_merged']}",
+            f"Formulas: {wb['n_formulas']}",
+        ]
+        lines += [f"Sheet: {s['name']}" for s in wb["sheets"]]
+        from .html import _split_header
+
+        tables = []
+        for i, s in enumerate(wb["sheets"]):
+            if not s["rows"]:
+                continue
+            split = _split_header(s["rows"])
+            tables.append(
+                {"table_index": i, "headers": split["headers"], "rows": split["rows"]}
+            )
+        return kind, "\n".join(lines), tables
     if kind == "csv":
         header, rows = parse_csv(payload)
         tables = (
