@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # xlsx bytes -> zip/XML multi-sheet scan -> tables + S5 workbook
         # metadata (props/merged/formulas), vs SQL reconstruction
         "pipeline_xlsx_roundtrip": RX.pipeline_xlsx_roundtrip,
+        # heading-delimited section segmentation of main_text
+        "pipeline_sections": RT.pipeline_sections,
         # training-data ops: deduplication
         "dedup_exact": D.dedup_exact,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
@@ -319,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_invoice_roundtrip": RF.ORACLE_SQL,
         "pipeline_pdf_roundtrip": RP.ORACLE_SQL,
         "pipeline_xlsx_roundtrip": RX.ORACLE_SQL,
+        "pipeline_sections": RT.SECTIONS_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

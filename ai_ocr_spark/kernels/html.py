@@ -493,6 +493,36 @@ def extract_main_text(html: str) -> str:
     return main_text_from_arena(parse_blocks(html))
 
 
+HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+
+
+def sections_from_arena(arena: BlockArena) -> list[dict]:
+    """Segment the kept content blocks into heading-delimited sections
+    (reference report shape: sections array<struct{title, content}>,
+    excel_validator.py:455-474). A heading block (h1-h6) starts a new
+    section titled by its text; content is the following kept blocks
+    joined by '\\n' (the exact substrings main_text is made of). Content
+    before the first heading lands in an untitled preamble section."""
+    keep = classify_blocks(arena)
+    heading_ids = {_tag_id(t) for t in HEADING_TAGS}
+    sections: list[dict] = []
+    cur_title = ""
+    cur: list[str] = []
+    started = False
+    for i in np.nonzero(keep)[0]:
+        if int(arena.tag_id[i]) in heading_ids:
+            if started or cur:
+                sections.append({"title": cur_title, "content": "\n".join(cur)})
+            cur_title = arena.text(int(i))
+            cur = []
+            started = True
+        else:
+            cur.append(arena.text(int(i)))
+    if started or cur:
+        sections.append({"title": cur_title, "content": "\n".join(cur)})
+    return sections
+
+
 # --- payload sniffing ---------------------------------------------------------
 
 

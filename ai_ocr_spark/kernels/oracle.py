@@ -14,13 +14,20 @@ from typing import Any
 
 from .csvkern import csv_main_text, parse_csv
 from .fields import detect_doc_type, extract_fields, language_of
-from .html import collapse_ws, main_text_from_arena, parse_document, sniff_kind
+from .html import (
+    collapse_ws,
+    main_text_from_arena,
+    parse_document,
+    sections_from_arena,
+    sniff_kind,
+)
 from .pdf import extract_pdf_text
 from .validate import confidence_score, validate_fields
 
 
-def analyze_payload(payload: bytes) -> tuple[str, str, list[dict]]:
-    """-> (content_kind, canonical main_text, structured tables).
+def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
+    """-> (content_kind, canonical main_text, structured tables,
+    heading-delimited sections).
 
     Never raises on bad input; malformed payloads degrade to
     ('binary'|'text', best-effort text, []) the way the reference
@@ -31,12 +38,12 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict]]:
     table of a CSV payload."""
     kind = sniff_kind(payload)
     if kind == "empty":
-        return kind, "", []
+        return kind, "", [], []
     if kind == "pdf":
         try:
-            return kind, extract_pdf_text(payload), []
+            return kind, extract_pdf_text(payload), [], []
         except Exception:
-            return kind, "", []
+            return kind, "", [], []
     if kind == "xlsx":
         # multi-sheet scan + workbook metadata (S5): props/counters are
         # rendered as 'Label: value' lines so the standard labeled-field
@@ -66,33 +73,33 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict]]:
             tables.append(
                 {"table_index": i, "headers": split["headers"], "rows": split["rows"]}
             )
-        return kind, "\n".join(lines), tables
+        return kind, "\n".join(lines), tables, []
     if kind == "csv":
         header, rows = parse_csv(payload)
         tables = (
             [{"table_index": 0, "headers": header, "rows": rows}] if rows else []
         )
-        return kind, csv_main_text(payload), tables
+        return kind, csv_main_text(payload), tables, []
     if kind == "binary":
-        return kind, "", []
+        return kind, "", [], []
     text = payload.decode("utf-8", errors="replace")
     if kind == "html":
         arena, tables = parse_document(text)
-        return kind, main_text_from_arena(arena), tables
+        return kind, main_text_from_arena(arena), tables, sections_from_arena(arena)
     # plain text: canonical whitespace per line
     lines = [collapse_ws(ln) for ln in text.splitlines()]
-    return kind, "\n".join(ln for ln in lines if ln), []
+    return kind, "\n".join(ln for ln in lines if ln), [], []
 
 
 def main_text_of(payload: bytes) -> tuple[str, str]:
     """-> (content_kind, canonical main_text) — see analyze_payload."""
-    kind, main_text, _tables = analyze_payload(payload)
+    kind, main_text, _tables, _sections = analyze_payload(payload)
     return kind, main_text
 
 
 def extract_one(url: str, payload: bytes) -> dict[str, Any]:
     """Full per-document pipeline -> plain dict (fixture-golden shape)."""
-    kind, main_text, tables = analyze_payload(payload or b"")
+    kind, main_text, tables, sections = analyze_payload(payload or b"")
     doc_type = detect_doc_type(main_text) if main_text else "generic"
     lang = language_of(main_text, url)
     fields = extract_fields(main_text, doc_type) if main_text else []
@@ -103,6 +110,7 @@ def extract_one(url: str, payload: bytes) -> dict[str, Any]:
         "content_kind": kind,
         "main_text": main_text,
         "tables": tables,
+        "sections": sections,
         "doc_type": doc_type,
         "lang": lang,
         "fields": [

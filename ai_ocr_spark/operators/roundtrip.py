@@ -88,6 +88,70 @@ def pipeline_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- heading-delimited sections (report `sections` shape) --------------------
+
+
+def _sectioned_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-section page per document: h1-titled body + h2-titled stats."""
+    from ..datagen import _CHROME_FOOT, _CHROME_HEAD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit(_CHROME_HEAD.format(title="Doc") + "<h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><h2>Stats</h2><p>chars "),
+        F.col("n_chars").cast("string"),
+        F.lit("</p>" + _CHROME_FOOT),
+    )
+    return docs.select(
+        F.concat(F.lit("synthetic://sections/"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1740787200) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def pipeline_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-segmented sections recovered through the full kernel path
+    (reference report shape: sections array<struct{title, content}>,
+    excel_validator.py:455-474). The oracle rebuilds both sections per
+    document straight from the documents table."""
+    pages = _sectioned_pages(spark, sf_dir)
+    out = extract_pages(pages, run_id="sections", num_partitions=8)
+    rows = out.select(
+        F.regexp_extract("url", r"sections/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.posexplode("sections").alias("sec_idx", "sec"),
+    )
+    return rows.select(
+        "doc_id",
+        F.col("sec_idx").cast("long").alias("sec_idx"),
+        F.col("sec")["title"].alias("title"),
+        F.col("sec")["content"].alias("content"),
+    )
+
+
+# nbsp replaced before the \s collapse — same canon as pipeline_main_text
+_CANON = (
+    "trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '), "
+    "'\\s+', ' ', 'g'))"
+)
+
+SECTIONS_ORACLE_SQL = f"""
+    SELECT doc_id, CAST(0 AS BIGINT) AS sec_idx,
+           'Doc ' || doc_id AS title,
+           {_CANON} AS content
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT) AS sec_idx,
+           'Stats' AS title,
+           'chars ' || n_chars AS content
+    FROM documents
+"""
+
+
 ORACLE_SQL = f"""
     WITH keys AS (
         SELECT DISTINCT l_orderkey FROM lineitem

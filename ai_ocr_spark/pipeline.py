@@ -98,6 +98,13 @@ TABLE_TYPE = T.StructType(
     ]
 )
 
+SECTION_TYPE = T.StructType(
+    [
+        T.StructField("title", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
 EXTRACTIONS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -105,6 +112,7 @@ EXTRACTIONS_SCHEMA = T.StructType(
         T.StructField("content_kind", T.StringType()),
         T.StructField("main_text", T.StringType()),
         T.StructField("tables", T.ArrayType(TABLE_TYPE)),
+        T.StructField("sections", T.ArrayType(SECTION_TYPE)),
         T.StructField("doc_type", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("fields", T.ArrayType(FIELD_TYPE)),
@@ -197,6 +205,7 @@ def _extract_batches(run_id: str):
                         "content_kind": "error",
                         "main_text": "",
                         "tables": [],
+                        "sections": [],
                         "doc_type": "generic",
                         "lang": "en",
                         "fields": [],
@@ -219,6 +228,7 @@ def _extract_batches(run_id: str):
                         "content_kind": r["content_kind"],
                         "main_text": r["main_text"],
                         "tables": r.get("tables", []),
+                        "sections": r.get("sections", []),
                         "doc_type": r["doc_type"],
                         "lang": r["lang"],
                         "fields": r["fields"],

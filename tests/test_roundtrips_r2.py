@@ -47,6 +47,39 @@ def test_pdf_roundtrip_reading_order_and_flate(spark):
         assert lines[1 : 1 + len(items)] == items
 
 
+def test_sections_golden():
+    from ai_ocr_spark.kernels.html import parse_blocks, sections_from_arena
+
+    html = (
+        "<html><body><p>preamble text here</p>"
+        "<h1>Alpha</h1><p>a one</p><p>a two</p>"
+        "<h2>Beta</h2><p>b one</p>"
+        "<h3>Empty</h3></body></html>"
+    )
+    secs = sections_from_arena(parse_blocks(html))
+    assert secs == [
+        {"title": "", "content": "preamble text here"},
+        {"title": "Alpha", "content": "a one\na two"},
+        {"title": "Beta", "content": "b one"},
+        {"title": "Empty", "content": ""},
+    ]
+    # no headings -> single untitled section; no content -> none
+    assert sections_from_arena(parse_blocks("<html><body><p>x y z</p></body></html>")) == [
+        {"title": "", "content": "x y z"}
+    ]
+    assert sections_from_arena(parse_blocks("<html><body></body></html>")) == []
+
+
+def test_pipeline_sections_query(spark):
+    from ai_ocr_spark.operators.roundtrip import pipeline_sections
+
+    df = pipeline_sections(spark, SF).toPandas()
+    assert set(df["sec_idx"]) == {0, 1}
+    stats = df[df["sec_idx"] == 1]
+    assert (stats["title"] == "Stats").all()
+    assert stats["content"].str.startswith("chars ").all()
+
+
 def test_flate_stream_trailing_cr_roundtrip():
     """Regression: compressed data ending in 0x0d must not lose that byte
     to the `\\r?\\nendstream` delimiter (1/256 of FlateDecode streams)."""
