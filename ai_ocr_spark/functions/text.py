@@ -77,13 +77,31 @@ def hash15(col: Column) -> Column:
     return F.conv(F.substring(md5_hex(col), 1, 15), 16, 10).cast("long")
 
 
-def minhash_component(shingle_arr: Column, i: int) -> Column:
-    """One minhash signature component: min over shingles of
-    md5('i:' || shingle). The min of uniformly-distributed hex digests is
-    a valid minhash; the salt i makes the K hash functions independent.
+MINHASH_SALTS = 3  # md5 calls per shingle; MINHASH_K = 4 slices x SALTS
+
+
+def minhash_digests(shingle_arr: Column) -> Column:
+    """Per-shingle concatenation of MINHASH_SALTS salted md5 digests
+    ('0:'||s .. '2:'||s -> 96 hex chars). Compute ONCE per shingle and
+    persist the column: the K=12 signature functions below are 8-hex
+    slices of this string, so the whole signature costs 3 md5 calls per
+    shingle instead of 12 (digest slicing — the standard multi-hash
+    economy; slices of a cryptographic digest are independent enough for
+    banded LSH)."""
+    return F.transform(
+        shingle_arr,
+        lambda s: F.concat(
+            *[md5_hex(F.concat(F.lit(f"{j}:"), s)) for j in range(MINHASH_SALTS)]
+        ),
+    )
+
+
+def minhash_component(digests: Column, i: int) -> Column:
+    """Minhash function i: min over shingles of the i-th 8-hex (32-bit)
+    slice of the per-shingle digest string from minhash_digests().
     NULL when the doc has no shingles (array_min([]) is NULL)."""
     return F.array_min(
-        F.transform(shingle_arr, lambda s: md5_hex(F.concat(F.lit(f"{i}:"), s)))
+        F.transform(digests, lambda d: F.substring(d, i * 8 + 1, 8))
     )
 
 

@@ -99,15 +99,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) pair space; shingle arrays are re-joined only for the verified
     candidate set. Signature + band hashes are pure codegen expressions.
 
-    The shingle table is persisted: it is consumed three times (bands +
-    both sides of the verify join), and the cache barrier also stops
-    CollapseProject from inlining the shingle expression tree into all
-    12 signature expressions (which bloats the generated code ~12x and
-    measured 3-6x slower). At 10^12 rows the equivalent is a checkpoint
-    of the shingle table to storage.
+    The shingle+digest table is persisted: it is consumed three times
+    (bands + both sides of the verify join), and the cache barrier also
+    stops CollapseProject from inlining the md5 digest expression into
+    all 12 signature slices (which would recompute every digest 4x and
+    bloat the generated code). With digest slicing (functions/text.py
+    minhash_digests) the signature costs 3 md5 calls per shingle, not
+    12. At 10^12 rows the equivalent is a checkpoint of this table to
+    storage.
     """
-    sh = _shingled(spark, sf_dir, 3)
-    sigs = [TX.minhash_component(F.col("shd"), i) for i in range(TX.MINHASH_K)]
+    key = _cache_key(spark, sf_dir, "minhash3")
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        docs = _docs(spark, sf_dir)
+        tok = TX.tokens(F.col("text"))
+        sh = (
+            docs.select(
+                "doc_id", F.array_distinct(TX.word_shingles(tok, 3)).alias("shd")
+            )
+            .select("doc_id", "shd", TX.minhash_digests(F.col("shd")).alias("dig"))
+            .persist()
+        )
+        _SHINGLE_CACHE[key] = sh
+    sigs = [TX.minhash_component(F.col("dig"), i) for i in range(TX.MINHASH_K)]
     bands = F.array(
         *[TX.lsh_band_hash(sigs, b) for b in range(TX.LSH_BANDS)]
     )

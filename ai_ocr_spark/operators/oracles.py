@@ -61,8 +61,11 @@ def dedup_exact() -> str:
 
 
 def dedup_minhash_lsh() -> str:
+    from ..functions.text import MINHASH_SALTS
+
+    digest = " || ".join(f"md5('{j}:' || s)" for j in range(MINHASH_SALTS))
     sigs = ",\n               ".join(
-        f"list_min(list_transform(shd, s -> md5('{i}:' || s))) AS sig{i}"
+        f"list_min(list_transform(dig, x -> substr(x, {i * 8 + 1}, 8))) AS sig{i}"
         for i in range(MINHASH_K)
     )
     band_cases = " ".join(
@@ -77,9 +80,12 @@ def dedup_minhash_lsh() -> str:
     return f"""
         WITH n AS (SELECT doc_id, string_split({NORM}, ' ') AS tok FROM documents),
         s AS (SELECT doc_id, list_distinct({_shingle_expr(3)}) AS shd FROM n),
+        d AS (SELECT doc_id, shd,
+                     list_transform(shd, s -> {digest}) AS dig
+              FROM s),
         sig AS (SELECT doc_id,
                {sigs}
-               FROM s),
+               FROM d),
         bands AS (
           SELECT doc_id, g.band AS band_idx,
                  CASE g.band {band_cases} END AS band_hash
