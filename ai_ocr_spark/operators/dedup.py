@@ -36,6 +36,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across all cores for the hash-heavy cached
+    projections: the test table is a single parquet split, so without an
+    explicit repartition the shingle/digest/simhash materialization runs
+    as ONE task and serializes the whole scan on one core (measured 9.9s
+    of a 11s op at sf0.1). At 100 TB the input arrives in thousands of
+    splits and this repartition collapses into the natural scan
+    parallelism."""
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    return _docs(spark, sf_dir).repartition(par, F.col("doc_id"))
+
+
 _SHINGLE_CACHE: dict[tuple, DataFrame] = {}  # persisted intermediates per (session, sf_dir, kind)
 
 
@@ -60,7 +72,7 @@ def _shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     key = _cache_key(spark, sf_dir, n)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
-        docs = _docs(spark, sf_dir)
+        docs = _docs_wide(spark, sf_dir)
         tok = TX.tokens(F.col("text"))
         df = docs.select(
             "doc_id", F.array_distinct(TX.word_shingles(tok, n)).alias("shd")
@@ -111,7 +123,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _cache_key(spark, sf_dir, "minhash3")
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
-        docs = _docs(spark, sf_dir)
+        docs = _docs_wide(spark, sf_dir)
         tok = TX.tokens(F.col("text"))
         sh = (
             docs.select(
@@ -173,7 +185,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _cache_key(spark, sf_dir, "simhash")
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
-        docs = _docs(spark, sf_dir)
+        docs = _docs_wide(spark, sf_dir)
         sh = docs.select(
             "doc_id", TX.simhash32(TX.tokens(F.col("text"))).alias("simhash")
         ).persist()
