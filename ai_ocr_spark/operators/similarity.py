@@ -179,12 +179,30 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.35 so there are no false positives.
 
     Recall at threshold t is 1-(1-p^k)^L with p = 1 - arccos(t)/pi;
-    tune (L, k) per threshold. Ground truth: dedup_embedding_cosine."""
+    tune (L, k) per threshold. Ground truth: dedup_embedding_cosine.
+
+    The (vec_id, tbl, sig) table is persisted+memoized: the 36 strict
+    left-fold dots per vector are the expensive part, and the self-join
+    would otherwise evaluate them on BOTH sides; the input is also
+    repartitioned to full width first (a single-split embeddings file
+    serializes the whole signature pass on one task otherwise). At
+    10^12 rows this is the signature table you would checkpoint."""
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
     emb = _emb(spark, sf_dir)
-    sig = emb.select(
-        "vec_id", "v", "nrm",
-        F.posexplode(srp_signatures(F.col("v"))).alias("tbl", "sig"),
-    )
+    key = _cache_key(spark, sf_dir, "srp-sig")
+    sig = _SHINGLE_CACHE.get(key)
+    if sig is None:
+        par = max(spark.sparkContext.defaultParallelism, 8)
+        sig = (
+            emb.repartition(par, F.col("vec_id"))
+            .select(
+                "vec_id",
+                F.posexplode(srp_signatures(F.col("v"))).alias("tbl", "sig"),
+            )
+            .persist()
+        )
+        _SHINGLE_CACHE[key] = sig
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
