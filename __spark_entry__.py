@@ -27,6 +27,11 @@ from ai_ocr_spark.operators import roundtrip_pdf as RP  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_xlsx as RX  # noqa: E402
 from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
 from ai_ocr_spark.operators import textstats as TS  # noqa: E402
+from ai_ocr_spark.streaming import windows as SW  # noqa: E402
+
+
+def _stream_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SW.stream_events_daily(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -111,6 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_xlsx_roundtrip": RX.pipeline_xlsx_roundtrip,
         # heading-delimited section segmentation of main_text
         "pipeline_sections": RT.pipeline_sections,
+        # Structured Streaming: AvailableNow drain of a watermarked
+        # windowed aggregation == the batch aggregation (oracle-checked)
+        "stream_events_daily": _stream_events_daily,
         # training-data ops: deduplication
         "dedup_exact": D.dedup_exact,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
@@ -322,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_pdf_roundtrip": RP.ORACLE_SQL,
         "pipeline_xlsx_roundtrip": RX.ORACLE_SQL,
         "pipeline_sections": RT.SECTIONS_ORACLE_SQL,
+        "stream_events_daily": SW.STREAM_EVENTS_DAILY_ORACLE,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

@@ -46,3 +46,71 @@ def windowed_crawl_metrics(
             "n_bytes",
         )
     )
+
+
+def stream_events_daily(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """Oracle-checkable streaming query: readStream over the events
+    table -> watermarked 1-day tumbling windows per event_type ->
+    Trigger.AvailableNow drain into a memory sink -> the drained result
+    as a batch DataFrame.
+
+    Because AvailableNow drains ALL currently-available input and
+    complete-mode aggregation holds every window, the final table equals
+    the batch aggregation of the same data — which is exactly what the
+    DuckDB twin computes (date_trunc-day groups; windows align because
+    the session timezone is pinned UTC). This turns the Structured
+    Streaming path (SURVEY §2.10) into a value-hash-checked surface
+    instead of pytest-only coverage."""
+    import uuid
+
+    from pyspark.sql import SparkSession  # noqa: F401  (typing)
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source requires a DIRECTORY; select just the events file
+    # from the table dir via pathGlobFilter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    # watermarks require TimestampType (not NTZ); session tz is pinned
+    # UTC so the cast is value-preserving and reversed on output
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = f"stream_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+STREAM_EVENTS_DAILY_ORACLE = """
+    SELECT date_trunc('day', ts) AS window_start,
+           date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE)
+               AS sum_value
+    FROM events GROUP BY 1, 2, 3
+"""

@@ -170,3 +170,21 @@ def test_windowed_crawl_metrics_event_time(spark, tmp_path):
     assert len(got) > 0
     for _, r in got.iterrows():
         assert batch_counts[(r["window_start"], r["lang"])] == r["n_pages"]
+
+
+def test_stream_events_daily_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.streaming.windows import stream_events_daily
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_events_daily(spark, sf).toPandas()
+    assert len(out) > 0
+    assert ((out["window_end"] - out["window_start"]).dt.days == 1).all()
+    batch = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(F.date_trunc("day", "ts").alias("window_start"), "event_type")
+        .count()
+        .toPandas()
+    )
+    assert out["n_events"].sum() == batch["count"].sum()
