@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": TS.text_quality_scores,
         "text_langid": TS.text_langid,
         "text_fingerprint": TS.text_fingerprint,
+        "text_pii_scrub": TS.text_pii_scrub,
+        "url_canonicalize": TS.url_canonicalize,
+        "quality_filter_gopher": TS.quality_filter_gopher,
         # training-data ops: multimodal plumbing. The _q projections
         # flatten/stringify array outputs (hashable frames) and the
         # synthetic payloads are reconstructable from `documents.text`,
@@ -445,6 +448,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),
         "text_fingerprint": ORC.text_fingerprint(),
+        "text_pii_scrub": ORC.text_pii_scrub(),
+        "url_canonicalize": ORC.url_canonicalize(),
+        "quality_filter_gopher": ORC.quality_filter_gopher(),
         "mm_image_features": ORC.mm_image_features(),
         "mm_frame_sample": ORC.mm_frame_sample(),
         "mm_audio_stats": ORC.mm_audio_stats(),

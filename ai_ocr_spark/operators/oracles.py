@@ -334,6 +334,120 @@ def text_fingerprint() -> str:
     """
 
 
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b\\d{3}-\\d{4}-\\d{4}\\b|\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+
+def text_pii_scrub() -> str:
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 coalesce(text, '') || ' contact: user' || doc_id
+                   || '@example.com or admin@site' || (doc_id % 7)
+                   || '.org tel 555-01'
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || '-4242.' AS seeded
+          FROM documents
+        ),
+        sc AS (
+          SELECT doc_id, seeded,
+                 regexp_replace(
+                   regexp_replace(seeded, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+          FROM s
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(seeded, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(seeded, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               substr(scrubbed, 1, 80) AS scrubbed_head,
+               substr(scrubbed, greatest(length(scrubbed) - 59, 1), 60)
+                   AS scrubbed_tail
+        FROM sc
+    """
+
+
+def url_canonicalize() -> str:
+    return r"""
+        WITH r AS (
+          SELECT doc_id,
+                 'HTTPS://WWW.' || source || '.Example.COM/Docs/' || doc_id
+                 || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=feed&utm_campaign=x&page=2'
+                      ELSE '?page=2' END
+                 || CASE WHEN doc_id % 5 = 0 THEN '#section-3' ELSE '' END
+                     AS raw_url
+          FROM documents
+        ),
+        c1 AS (SELECT doc_id, raw_url,
+                      regexp_replace(raw_url, '#.*$', '', 'g') AS u FROM r),
+        c2 AS (SELECT doc_id, raw_url,
+                      lower(regexp_extract(u, '^([A-Za-z]+://[^/]+)', 1))
+                      || regexp_extract(u, '^[A-Za-z]+://[^/]+(.*)$', 1) AS u
+               FROM c1),
+        c3 AS (SELECT doc_id, raw_url,
+                      regexp_replace(
+                        regexp_replace(u, '([?&])utm_[^&]*&', '\1', 'g'),
+                        '([?&])utm_[^&]*&', '\1', 'g') AS u
+               FROM c2),
+        c4 AS (SELECT doc_id, raw_url,
+                      regexp_replace(u, '[?&]utm_[^&]*$', '', 'g') AS u
+               FROM c3)
+        SELECT doc_id, raw_url,
+               regexp_replace(regexp_replace(u, '/\?', '?', 'g'), '/$', '', 'g')
+                   AS canon_url
+        FROM c4
+    """
+
+
+def quality_filter_gopher() -> str:
+    from .textstats import (
+        GOPHER_MAX_MEAN_WORD,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_WORD,
+        GOPHER_MIN_TOKENS,
+    )
+
+    stop = _sql_list(STOPWORDS_EN)
+    mean_word = (
+        "CASE WHEN n_tok > 0 THEN (n_chars - greatest(n_tok - 1, 0)) / n_tok "
+        "ELSE 0.0 END"
+    )
+    sym_ratio = "CASE WHEN n_chars > 0 THEN n_sym / n_chars ELSE 0.0 END"
+    return f"""
+        WITH n AS (
+          SELECT doc_id, {NORM} AS norm, string_split({NORM}, ' ') AS tok
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 length(norm) AS n_chars,
+                 CASE WHEN norm = '' THEN 0 ELSE len(tok) END AS n_tok,
+                 length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g'))
+                     AS n_sym,
+                 len(list_intersect(list_distinct(tok), {stop})) AS n_stop
+          FROM n
+        )
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               n_tok >= {GOPHER_MIN_TOKENS} AND n_tok <= {GOPHER_MAX_TOKENS}
+                   AS ok_tokens,
+               ({mean_word}) >= {GOPHER_MIN_MEAN_WORD}
+                 AND ({mean_word}) <= {GOPHER_MAX_MEAN_WORD} AS ok_mean_word,
+               ({sym_ratio}) <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbols,
+               n_stop > 0 AS ok_stopwords,
+               (n_tok >= {GOPHER_MIN_TOKENS} AND n_tok <= {GOPHER_MAX_TOKENS})
+                 AND (({mean_word}) >= {GOPHER_MIN_MEAN_WORD}
+                      AND ({mean_word}) <= {GOPHER_MAX_MEAN_WORD})
+                 AND (({sym_ratio}) <= {GOPHER_MAX_SYMBOL_RATIO})
+                 AND n_stop > 0 AS keep
+        FROM m
+    """
+
+
 # --- multimodal twins --------------------------------------------------------
 #
 # The media table is synthesized from documents by pure expressions

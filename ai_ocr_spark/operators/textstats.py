@@ -96,6 +96,123 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (the standard pre-training scrub): count and
+    replace emails/phone numbers with typed placeholders. The fixture
+    text carries no PII, so deterministic contact lines are appended
+    per doc (both engines build the identical string) before scrubbing —
+    the scrub itself is two regexp passes that run at scan speed."""
+    docs = _docs(spark, sf_dir)
+    seeded = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or admin@site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".org tel 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-4242."),
+    )
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\b\\d{3}-\\d{4}-\\d{4}\\b|\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(seeded, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(seeded, F.lit(email_re), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(seeded, F.lit(phone_re), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.substring(scrubbed, 1, 80).alias("scrubbed_head"),
+        # explicit start index: negative-start substring semantics for
+        # short strings differ across engines
+        F.substring(
+            scrubbed, F.greatest(F.length(scrubbed) - 59, F.lit(1)), F.lit(60)
+        ).alias("scrubbed_tail"),
+    )
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup keys: lowercase scheme+host,
+    strip fragment, drop utm_* tracking params, collapse a trailing
+    '/?'-remnant, strip trailing slash on non-root paths. Deterministic
+    messy URLs are synthesized per doc so every rule fires."""
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("?utm_source=feed&utm_campaign=x&page=2"),
+        ).otherwise(F.lit("?page=2")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-3")).otherwise(F.lit("")),
+    )
+    # 1. strip fragment  2. lowercase scheme://host  3. drop utm_* params
+    # (two passes for adjacent utm params + one for a trailing one —
+    # RE2 in the DuckDB twin has no lookaround, so every pattern here is
+    # plain)  4. collapse '/?' -> '?'  5. strip trailing '/' on paths
+    no_frag = F.regexp_replace(raw, "#.*$", "")
+    lowered = F.concat(
+        F.lower(F.regexp_extract(no_frag, "^([A-Za-z]+://[^/]+)", 1)),
+        F.regexp_extract(no_frag, "^[A-Za-z]+://[^/]+(.*)$", 1),
+    )
+    no_utm = F.regexp_replace(lowered, r"([?&])utm_[^&]*&", "$1")
+    no_utm = F.regexp_replace(no_utm, r"([?&])utm_[^&]*&", "$1")
+    no_utm = F.regexp_replace(no_utm, r"[?&]utm_[^&]*$", "")
+    canon = F.regexp_replace(
+        F.regexp_replace(no_utm, "/\\?", "?"), "/$", ""
+    )
+    return docs.select("doc_id", raw.alias("raw_url"), canon.alias("canon_url"))
+
+
+# Gopher-style quality-gate thresholds (shared with the oracle SQL)
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 50000
+GOPHER_MAX_SYMBOL_RATIO = 0.3
+GOPHER_MIN_MEAN_WORD = 1.0
+GOPHER_MAX_MEAN_WORD = 12.0
+
+
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules-style document gate: token-count bounds, mean word
+    length bounds, symbol ratio cap, and at-least-one-stopword — the
+    standard web-scale pre-training keep/drop pass, as four boolean
+    signal columns plus the conjunction. Pure projection (scan speed)."""
+    docs = _docs(spark, sf_dir)
+    norm = TX.norm_text(F.col("text"))
+    tok = F.split(norm, " ")
+    n_tok = _n_tokens(norm, tok)
+    n_chars = F.length(norm)
+    n_spaces = n_tok - F.lit(1)
+    mean_word = F.when(
+        n_tok > 0, (n_chars - F.greatest(n_spaces, F.lit(0))) / n_tok
+    ).otherwise(F.lit(0.0))
+    n_sym = n_chars - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))
+    sym_ratio = F.when(n_chars > 0, n_sym / n_chars).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in TX.STOPWORDS_EN])
+    has_stop = F.size(F.array_intersect(F.array_distinct(tok), stop_arr)) > 0
+    ok_tokens = (n_tok >= GOPHER_MIN_TOKENS) & (n_tok <= GOPHER_MAX_TOKENS)
+    ok_word = (mean_word >= GOPHER_MIN_MEAN_WORD) & (
+        mean_word <= GOPHER_MAX_MEAN_WORD
+    )
+    ok_sym = sym_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        ok_tokens.alias("ok_tokens"),
+        ok_word.alias("ok_mean_word"),
+        ok_sym.alias("ok_symbols"),
+        has_stop.alias("ok_stopwords"),
+        (ok_tokens & ok_word & ok_sym & has_stop).alias("keep"),
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint of the canonical form + bottom-4 sketch of 3-gram
     shingle hashes (a winnowing-style compact near-dup signature),
