@@ -70,6 +70,9 @@ def main() -> int:
         "ann_ivf_topk",
         "text_quality_scores",
         "text_langid",
+        "text_pii_scrub",
+        "quality_filter_gopher",
+        "url_canonicalize",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
