@@ -122,6 +122,6 @@ ORACLE_SQL = f"""
              || string_agg('Amt ' || a, chr(10) ORDER BY ln, pk, q, a)
                AS main_text,
            'generic' AS doc_type,
-           0.2 AS confidence
+           CAST(0.2 AS DOUBLE) AS confidence
     FROM it GROUP BY k
 """

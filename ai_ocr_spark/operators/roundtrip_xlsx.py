@@ -171,7 +171,7 @@ ORACLE_SQL = f"""
            'xlsx' AS content_kind,
            CAST(2 AS BIGINT) AS n_tables,
            TRUE AS valid,
-           1.0 AS confidence,
+           CAST(1.0 AS DOUBLE) AS confidence,
            'Order ' || k AS title,
            CAST(16 AS BIGINT) AS title_start,
            CAST(22 + length(CAST(k AS VARCHAR)) AS BIGINT) AS title_end,
