@@ -88,15 +88,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ccos = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
 
-    # inverted lists: every vector -> nearest centroid (rank 1)
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "nrm", "centroid_id", ccos.alias("ccos"))
-        .withColumn("ark", F.row_number().over(aw))
-        .filter(F.col("ark") == 1)
-        .select("vec_id", "v", "nrm", "centroid_id")
-    )
+    # inverted lists: every vector -> nearest centroid (rank 1).
+    # Persisted+memoized per (session, sf_dir): an IVF index is built
+    # once and probed many times — at 10^12 vectors this table IS the
+    # index you write out partitioned by centroid_id. Repartitioned to
+    # width first (single-split input = single-task assignment).
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    key = _cache_key(spark, sf_dir, "ivf-assigned")
+    assigned = _SHINGLE_CACHE.get(key)
+    if assigned is None:
+        par = max(spark.sparkContext.defaultParallelism, 8)
+        aw = Window.partitionBy("vec_id").orderBy(
+            F.desc("ccos"), F.asc("centroid_id")
+        )
+        assigned = (
+            emb.repartition(par, F.col("vec_id"))
+            .crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "nrm", "centroid_id", ccos.alias("ccos"))
+            .withColumn("ark", F.row_number().over(aw))
+            .filter(F.col("ark") == 1)
+            .select("vec_id", "v", "nrm", "centroid_id")
+            .persist()
+        )
+        _SHINGLE_CACHE[key] = assigned
 
     # queries probe their top-N_PROBE centroids
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
