@@ -533,16 +533,12 @@ def sniff_kind(payload: bytes) -> str:
         return "empty"
     if payload[:4] == b"PK\x03\x04":
         # zip container (magic at offset 0, no lstrip): xlsx iff it holds
-        # a workbook part; other archives stay opaque binary
-        import io
-        import zipfile
-
-        try:
-            if "xl/workbook.xml" in zipfile.ZipFile(io.BytesIO(payload)).namelist():
-                return "xlsx"
-        except Exception:
-            pass
-        return "binary"
+        # a workbook part. Member names appear verbatim in local file
+        # headers and the central directory, so a single bytes scan
+        # decides — no ZipFile construction / directory parse in the
+        # per-row hot path (parse_xlsx still validates structurally and
+        # degrades to empty sheets on a false positive).
+        return "xlsx" if b"xl/workbook.xml" in payload else "binary"
     head = payload[:2048].lstrip()
     if head.startswith(b"%PDF-"):
         return "pdf"

@@ -114,8 +114,9 @@ class GlyphRun:
 
 
 _STREAM_START_RE = re.compile(rb"stream\r?\n")
-# direct /Length only — (?!...) rejects the indirect `/Length 5 0 R` form
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# direct /Length only — (?!\d) pins the full number (no backtracked digit
+# prefix), then (?!...) rejects the indirect `/Length 5 0 R` form
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 def _decode_stream(obj_body: bytes) -> bytes | None:

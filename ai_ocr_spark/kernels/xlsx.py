@@ -61,8 +61,16 @@ _CORE = (
 
 
 def _xml_escape(s: str) -> str:
+    """Escape for BOTH text and attribute position (sheet name="...") —
+    an unescaped quote would emit invalid XML that parse_xlsx silently
+    degrades to zero sheets."""
     return (
-        str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        str(s)
+        .replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&apos;")
     )
 
 

@@ -63,6 +63,18 @@ def _cache_key(spark: SparkSession, *parts) -> tuple:
     return (app_id, *parts)
 
 
+def _shingle_table(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Unpersisted (doc_id, shd) plan — the ONE definition of shingle
+    construction, shared by _shingled and the minhash digest table so
+    the DuckDB oracle's _shingle_expr can never drift from only one of
+    them."""
+    docs = _docs_wide(spark, sf_dir)
+    tok = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id", F.array_distinct(TX.word_shingles(tok, n)).alias("shd")
+    )
+
+
 def _shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """doc_id + distinct n-word shingles, persisted and memoized per
     (session, sf_dir, n) — repeated operator calls in one session reuse
@@ -72,11 +84,7 @@ def _shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     key = _cache_key(spark, sf_dir, n)
     df = _SHINGLE_CACHE.get(key)
     if df is None:
-        docs = _docs_wide(spark, sf_dir)
-        tok = TX.tokens(F.col("text"))
-        df = docs.select(
-            "doc_id", F.array_distinct(TX.word_shingles(tok, n)).alias("shd")
-        ).persist()
+        df = _shingle_table(spark, sf_dir, n).persist()
         _SHINGLE_CACHE[key] = df
     return df
 
@@ -123,12 +131,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _cache_key(spark, sf_dir, "minhash3")
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
-        docs = _docs_wide(spark, sf_dir)
-        tok = TX.tokens(F.col("text"))
         sh = (
-            docs.select(
-                "doc_id", F.array_distinct(TX.word_shingles(tok, 3)).alias("shd")
-            )
+            _shingle_table(spark, sf_dir, 3)
             .select("doc_id", "shd", TX.minhash_digests(F.col("shd")).alias("dig"))
             .persist()
         )

@@ -95,12 +95,14 @@ def _sectioned_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-section page per document: h1-titled body + h2-titled stats."""
     from ..datagen import _CHROME_FOOT, _CHROME_HEAD
 
+    from ..pipeline import html_escape_col
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     html = F.concat(
         F.lit(_CHROME_HEAD.format(title="Doc") + "<h1>Doc "),
         F.col("doc_id").cast("string"),
         F.lit("</h1><p>"),
-        F.coalesce(F.col("text"), F.lit("")),
+        html_escape_col(F.coalesce(F.col("text"), F.lit(""))),
         F.lit("</p><h2>Stats</h2><p>chars "),
         F.col("n_chars").cast("string"),
         F.lit("</p>" + _CHROME_FOOT),

@@ -341,6 +341,17 @@ from .datagen import _CHROME_FOOT, _CHROME_HEAD  # noqa: E402
 _DOC_CHROME_HEAD = _CHROME_HEAD.format(title="Doc")
 
 
+def html_escape_col(c):
+    """&/</> escaped for embedding raw text in synthetic HTML. The
+    kernel decodes entities exactly once, so strip(wrap(escape(text)))
+    round-trips to the raw text — without this, a document containing
+    markup characters would parse as markup and silently diverge from
+    the raw-text oracles."""
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap /root/testdata documents.text in deterministic page chrome.
 
@@ -351,7 +362,7 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     html_str = F.concat(
         F.lit(_DOC_CHROME_HEAD + "<article><p>"),
-        F.coalesce(F.col("text"), F.lit("")),
+        html_escape_col(F.coalesce(F.col("text"), F.lit(""))),
         F.lit("</p></article>" + _CHROME_FOOT),
     )
     return docs.select(

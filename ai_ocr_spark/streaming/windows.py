@@ -96,13 +96,19 @@ def stream_events_daily(spark: "SparkSession", sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    out = spark.table(name).select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         F.col("w.end").cast("timestamp_ntz").alias("window_end"),
         "event_type",
         "n_events",
         "sum_value",
     )
+    # detach the result from the memory-sink temp view so the view can
+    # be dropped — otherwise every invocation leaks a full aggregate
+    # copy in the driver catalog for the session's lifetime
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    return result
 
 
 STREAM_EVENTS_DAILY_ORACLE = """

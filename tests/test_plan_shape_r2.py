@@ -48,9 +48,13 @@ def test_minhash_digest_cache_materializes_once(spark):
 
     plan = formatted_plan(dedup_minhash_lsh(spark, SF))
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
-    # and the expensive digest expression never appears inline in the
-    # banding/verify plan (it lives behind the cache barrier)
-    assert plan.count("md5") == 0 or "InMemoryRelation" in plan
+    # the shingle-digest construction (md5 inside a transform over shd)
+    # must live ONLY inside the cached subplan — if CollapseProject ever
+    # inlines it into the banding/verify stages it appears above the
+    # first InMemoryRelation marker and re-runs per consumer
+    before_cache = plan.split("InMemoryRelation", 1)[0]
+    assert not re.search(r"transform\(shd.*md5", before_cache), before_cache[-1500:]
+    assert re.search(r"transform\(shd.*md5", plan)  # marker is detectable at all
 
 
 def test_srp_signature_cache_in_plan(spark):
