@@ -26,6 +26,8 @@ from ai_ocr_spark.operators import roundtrip_fields as RF  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_pdf as RP  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_xlsx as RX  # noqa: E402
 from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
+from ai_ocr_spark.operators import sketch as SK  # noqa: E402
+from ai_ocr_spark.operators import temporal as TP  # noqa: E402
 from ai_ocr_spark.operators import textstats as TS  # noqa: E402
 from ai_ocr_spark.streaming import windows as SW  # noqa: E402
 
@@ -100,6 +102,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_first3_events_per_user": R.agg_first3_events_per_user,
         "agg_cube_status_priority": R.agg_cube_status_priority,
         "window_sessionize": R.window_sessionize,
+        # temporal joins Spark lacks natively (union+running-last asof,
+        # bucketed range join)
+        "join_asof_orders": TP.join_asof_orders,
+        "range_join_event_pairs": TP.range_join_event_pairs,
+        # deterministic sketch + stable sampling
+        "sketch_distinct_kmv": SK.sketch_distinct_kmv,
+        "sample_hash_stable": SK.sample_hash_stable,
         # the pipeline itself (§2.8) — oracle reconstructs the invariant
         "pipeline_main_text": _pipeline_main_text,
         # full kernel path: HTML built from lineitem -> DOM parse ->
@@ -334,6 +343,10 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_xlsx_roundtrip": RX.ORACLE_SQL,
         "pipeline_sections": RT.SECTIONS_ORACLE_SQL,
         "stream_events_daily": SW.STREAM_EVENTS_DAILY_ORACLE,
+        "join_asof_orders": TP.ASOF_ORACLE_SQL,
+        "range_join_event_pairs": TP.RANGE_ORACLE_SQL,
+        "sketch_distinct_kmv": SK.KMV_ORACLE_SQL,
+        "sample_hash_stable": SK.SAMPLE_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

@@ -1,0 +1,120 @@
+"""Deterministic sketches + stable sampling for training-data pipelines.
+
+  sketch_distinct_kmv  K-minimum-values distinct-count sketch: per
+                       group, the K smallest 60-bit content hashes; the
+                       estimate (K-1)/(kth/2^60) is fully deterministic
+                       (unlike HLL++, whose register layout differs
+                       across engines), so the DuckDB twin matches the
+                       estimate bit-for-bit — a sketch with an exact
+                       oracle.
+  sample_hash_stable   Bernoulli sampling by hash threshold: the
+                       industry-standard stable sample (same rows in
+                       every run, engine, and shard layout — unlike
+                       rand()-based sampling). Keep iff
+                       hash60(doc_id) < p * 2^60.
+
+Both ride the scan + one shuffle at most; hashes are md5-derived
+(functions/text.py hash15) so cross-engine reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+KMV_K = 32
+HASH_SPACE = float(1 << 60)  # hash15 yields 60-bit non-negative ints
+SAMPLE_THRESHOLD = (1 << 60) // 10  # p = 0.1 of the hash space
+
+
+def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-text estimate from the K smallest distinct
+    content hashes. Shape: distinct -> per-group top-K by window ->
+    tiny per-group aggregate; at 10^12 rows the top-K becomes a partial
+    bottom-K aggregate, same math."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = TX.hash15(TX.norm_text(F.col("text")))
+    d = docs.select("source", h.alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy(F.asc("h"))
+    topk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+    agg = topk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k_seen"),
+        F.max("h").alias("kth_hash"),
+    )
+    exact = (
+        docs.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(F.countDistinct("h").alias("n_exact"))
+    )
+    est = F.when(
+        F.col("k_seen") < KMV_K, F.col("k_seen").cast("double")
+    ).otherwise(
+        (F.lit(float(KMV_K - 1)) * F.lit(HASH_SPACE))
+        / F.col("kth_hash").cast("double")
+    )
+    return (
+        agg.join(exact, "source")
+        .select(
+            "source",
+            F.col("k_seen").cast("long").alias("k_seen"),
+            "kth_hash",
+            F.round(est, 4).alias("estimate"),
+            "n_exact",
+        )
+    )
+
+
+KMV_ORACLE_SQL = f"""
+    WITH h AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g'))), 1, 15))
+                   AS BIGINT) AS h
+        FROM documents
+    ),
+    d AS (SELECT DISTINCT source, h FROM h),
+    topk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+            FROM d
+        ) WHERE rn <= {KMV_K}
+    ),
+    agg AS (
+        SELECT source, count(*) AS k_seen, max(h) AS kth_hash
+        FROM topk GROUP BY source
+    ),
+    exact AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY source)
+    SELECT agg.source,
+           CAST(k_seen AS BIGINT) AS k_seen,
+           kth_hash,
+           round(CASE WHEN k_seen < {KMV_K} THEN CAST(k_seen AS DOUBLE)
+                 ELSE ({float(KMV_K - 1)} * {HASH_SPACE})
+                      / CAST(kth_hash AS DOUBLE) END, 4) AS estimate,
+           n_exact
+    FROM agg JOIN exact USING (source)
+"""
+
+
+def sample_hash_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable ~10% Bernoulli sample of documents by doc_id hash — the
+    deterministic sampling primitive (repeatable across runs/engines/
+    partitionings, unlike rand()). Pure scan-side filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = TX.hash15(F.col("doc_id").cast("string"))
+    return docs.select("doc_id", h.alias("h"), "source").filter(
+        F.col("h") < SAMPLE_THRESHOLD
+    )
+
+
+SAMPLE_ORACLE_SQL = f"""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h,
+           source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+          AS BIGINT) < {SAMPLE_THRESHOLD}
+"""
