@@ -73,6 +73,9 @@ def main() -> int:
         "text_pii_scrub",
         "quality_filter_gopher",
         "url_canonicalize",
+        "join_asof_orders",
+        "range_join_event_pairs",
+        "sketch_distinct_kmv",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
