@@ -60,17 +60,32 @@ _CORE = (
 )
 
 
+_ILLEGAL_XML = re.compile(
+    # XML 1.0 cannot represent these at all (not even as entities):
+    # C0 controls except \t\n\r, plus the noncharacters FFFE/FFFF
+    "[\x00-\x08\x0b\x0c\x0e-\x1f￾￿]"
+)
+
+
 def _xml_escape(s: str) -> str:
     """Escape for BOTH text and attribute position (sheet name="...") —
     an unescaped quote would emit invalid XML that parse_xlsx silently
-    degrades to zero sheets."""
+    degrades to zero sheets. Characters XML 1.0 cannot represent are
+    dropped (openpyxl raises IllegalCharacterError here; we sanitize —
+    the emitter must always produce a parseable workbook)."""
     return (
-        str(s)
+        _ILLEGAL_XML.sub("", str(s))
         .replace("&", "&amp;")
         .replace("<", "&lt;")
         .replace(">", "&gt;")
         .replace('"', "&quot;")
         .replace("'", "&apos;")
+        # whitespace as charrefs: literal \r is normalized to \n by any
+        # conforming parser, and \n/\t collapse to spaces in attribute
+        # values — charrefs survive both positions byte-exactly
+        .replace("\r", "&#13;")
+        .replace("\n", "&#10;")
+        .replace("\t", "&#9;")
     )
 
 

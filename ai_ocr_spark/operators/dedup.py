@@ -51,6 +51,24 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_CACHE: dict[tuple, DataFrame] = {}  # persisted intermediates per (session, sf_dir, kind)
 
 
+def clear_caches(spark: SparkSession | None = None) -> int:
+    """Unpersist and evict every memoized table (shingles, digests,
+    simhash, SRP signatures, IVF index). Long-lived sessions that touch
+    many sf_dirs should call this between datasets — entries otherwise
+    hold executor storage until the session dies. Returns the number of
+    evicted entries."""
+    n = 0
+    for key in list(_SHINGLE_CACHE):
+        entry = _SHINGLE_CACHE.pop(key)
+        for df in entry if isinstance(entry, tuple) else (entry,):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped: JVM-side storage is gone
+        n += 1
+    return n
+
+
 def _cache_key(spark: SparkSession, *parts) -> tuple:
     """Cache key rooted in the stable applicationId, not id(spark): a
     recycled id() after session GC would hand back DataFrames bound to a

@@ -93,3 +93,88 @@ def test_amount_normalize_total(v):
 
     out = normalize_amount(f"${v:,.2f}")
     assert isinstance(out, float)
+
+
+# --- round-2 kernel round-trips ----------------------------------------------
+
+_CELL = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs", "Cc")
+        ),
+        max_size=20,
+    ),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+                min_size=1,
+                max_size=16,
+            ),
+            st.lists(st.lists(_CELL, max_size=5), max_size=6),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.text(max_size=30),
+    st.text(max_size=20),
+)
+def test_xlsx_emit_parse_roundtrip(sheets, title, author):
+    """emit_xlsx -> parse_xlsx round-trips sheet names (in order), cell
+    values (ints as their decimal text), and core props for arbitrary
+    content — including XML metacharacters and quotes in names."""
+    from ai_ocr_spark.kernels.xlsx import emit_xlsx, parse_xlsx
+
+    import re
+
+    drop = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ufffe\uffff]")
+
+    def sanitize(x: str) -> str:
+        return drop.sub("", x)
+
+    wb = parse_xlsx(emit_xlsx(sheets, title=title, author=author))
+    assert [s["name"] for s in wb["sheets"]] == [
+        sanitize(name) for name, _ in sheets
+    ]
+    for parsed, (_name, rows) in zip(wb["sheets"], sheets):
+        assert parsed["rows"] == [
+            [sanitize(str(c)) for c in row] for row in rows
+        ]
+    assert wb["title"] == sanitize(title) and wb["author"] == sanitize(author)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=600, allow_nan=False),
+            st.floats(min_value=0, max_value=790, allow_nan=False),
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+                min_size=1,
+                max_size=30,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.booleans(),
+)
+def test_pdf_emit_extract_preserves_all_text(runs, compress):
+    """Every emitted text run (non-whitespace content) appears in the
+    extracted main_text, compressed or not — the parser may reorder by
+    layout but never lose glyphs."""
+    from ai_ocr_spark.kernels.html import collapse_ws
+    from ai_ocr_spark.kernels.pdf import emit_pdf, extract_pdf_text
+
+    text = extract_pdf_text(emit_pdf([runs], compress=compress))
+    for _x, _y, s in runs:
+        canon = collapse_ws(s)
+        if canon:
+            assert canon in text
