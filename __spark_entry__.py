@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": D.dedup_exact,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_simhash": D.dedup_simhash,
+        # pairs -> clusters: iterative min-label propagation over the
+        # minhash pair graph (recursive-CTE twin in DuckDB)
+        "dedup_connected_components": D.dedup_connected_components,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         # training-data ops: similarity search
@@ -452,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORC.dedup_exact(),
         "dedup_minhash_lsh": ORC.dedup_minhash_lsh(),
         "dedup_simhash": ORC.dedup_simhash(),
+        "dedup_connected_components": ORC.dedup_connected_components(),
         "dedup_ngram_jaccard": ORC.dedup_ngram_jaccard(),
         "dedup_embedding_cosine": ORC.dedup_embedding_cosine(),
         "ann_cosine_topk": ORC.ann_cosine_topk(),

@@ -280,6 +280,64 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- connected components over the near-dup graph ---------------------------
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: every document labeled with the minimum doc_id
+    reachable through the minhash-LSH pair graph (singletons label
+    themselves). This is the step that turns pairwise dedup output into
+    per-cluster canonical representatives — keep min(doc_id), drop the
+    rest.
+
+    Shape: iterative min-label propagation (each round: one equi-join of
+    labels to edges + one min-aggregate), converging in <= graph-diameter
+    rounds with an early-exit count. Near-dup graphs are
+    tiny-diameter clique-ish clusters, so rounds stay single-digit; at
+    10^12 rows the refinement is large-star/small-star pointer doubling
+    (O(log n) rounds), same per-round plan. Driver-side state is one
+    scalar count per round — no collect of data rows."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    ).persist()
+    for _ in range(15):
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("component_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nmin"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 # --- embedding cosine near-dup ----------------------------------------------
 
 

@@ -109,6 +109,29 @@ def dedup_minhash_lsh() -> str:
     """
 
 
+def dedup_connected_components() -> str:
+    """Transitive closure of the minhash pair graph via recursive CTE
+    (exact at test scale), labeling each doc with min reachable doc_id.
+    The pair set is the verbatim dedup_minhash_lsh twin, so the graph
+    can never drift from the Spark side's input."""
+    pairs_sql = dedup_minhash_lsh()
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(src, node) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        )
+        SELECT src AS doc_id, min(node) AS component_id
+        FROM reach GROUP BY src
+    """
+
+
 def dedup_simhash() -> str:
     return f"""
         WITH n AS (SELECT doc_id, string_split({NORM}, ' ') AS tok FROM documents),

@@ -77,3 +77,39 @@ def test_stable_sample_rate_and_determinism(spark):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     rate = len(a) / n_docs
     assert 0.02 < rate < 0.25  # ~10% with small-n variance
+
+
+def test_connected_components_match_bruteforce(spark):
+    from ai_ocr_spark.operators.dedup import (
+        dedup_connected_components,
+        dedup_minhash_lsh,
+    )
+
+    labels = dedup_connected_components(spark, SF).toPandas()
+    pairs = dedup_minhash_lsh(spark, SF).toPandas()
+    # brute-force union-find over the same pairs
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in pairs.iterrows():
+        ra, rb = find(int(r["doc_a"])), find(int(r["doc_b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got = dict(zip(labels["doc_id"], labels["component_id"]))
+    comp: dict[int, int] = {}
+    for d in got:
+        comp[d] = find(int(d)) if int(d) in parent else int(d)
+    # normalize brute-force roots to min element per component
+    by_root: dict[int, list[int]] = {}
+    for d, r in comp.items():
+        by_root.setdefault(r, []).append(d)
+    for members in by_root.values():
+        m = min(members)
+        for d in members:
+            assert got[d] == m, (d, got[d], m)
