@@ -24,6 +24,8 @@ from .html import (
 from .pdf import extract_pdf_text
 from .validate import confidence_score, validate_fields
 
+_GZIP_MAX_BYTES = 64 * 1024 * 1024  # decompression cap (zip-bomb guard)
+
 
 def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
     """-> (content_kind, canonical main_text, structured tables,
@@ -36,6 +38,23 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
     canonical tabular shape (headers + data rows,
     excel_validator.py:394-429): HTML <table>s, or the single logical
     table of a CSV payload."""
+    if payload[:2] == b"\x1f\x8b":
+        # transport compression (Common-Crawl payloads arrive gzipped):
+        # decompress transparently and analyze the inner bytes — the
+        # content kind is the INNER kind. Bounded decompression guards
+        # against zip bombs (a 100:1 ratio cap; beyond it the payload
+        # degrades to opaque binary instead of OOMing the worker).
+        import gzip as _gzip
+        import io as _io
+
+        try:
+            with _gzip.GzipFile(fileobj=_io.BytesIO(payload)) as gz:
+                inner = gz.read(_GZIP_MAX_BYTES + 1)
+            if len(inner) > _GZIP_MAX_BYTES:
+                return "binary", "", [], []
+        except Exception:
+            return "binary", "", [], []
+        return analyze_payload(inner)
     kind = sniff_kind(payload)
     if kind == "empty":
         return kind, "", [], []

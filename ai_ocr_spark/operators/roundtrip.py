@@ -88,6 +88,51 @@ def pipeline_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- gzip transport-compression round-trip -----------------------------------
+
+
+def pipeline_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl reality: payloads arrive gzip-compressed. The same
+    chrome-wrapped pages as pipeline_main_text, but gzipped before the
+    pipeline — extraction must transparently inflate (bounded, zip-bomb
+    guarded) and produce the identical main_text with the INNER content
+    kind. Oracle: the raw-text canon, exactly like pipeline_main_text."""
+    from ..pipeline import PAGES_SCHEMA, extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+
+    def gz(batches):
+        import gzip
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["html"] = [
+                gzip.compress(bytes(b), mtime=0) if b is not None else b
+                for b in pdf["html"]
+            ]
+            yield pdf
+
+    gz_pages = pages.mapInPandas(gz, PAGES_SCHEMA)
+    out = extract_pages(gz_pages, run_id="gzip", num_partitions=8)
+    return out.select(
+        "url",
+        "content_kind",
+        "main_text",
+        (F.col("main_text") != "").alias("nonempty"),
+    )
+
+
+GZIP_ORACLE_SQL = """
+    SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+           'html' AS content_kind,
+           trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '),
+                '\\s+', ' ', 'g')) AS main_text,
+           trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '),
+                '\\s+', ' ', 'g')) <> '' AS nonempty
+    FROM documents
+"""
+
+
 # --- heading-delimited sections (report `sections` shape) --------------------
 
 

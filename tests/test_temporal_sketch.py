@@ -113,3 +113,25 @@ def test_connected_components_match_bruteforce(spark):
         m = min(members)
         for d in members:
             assert got[d] == m, (d, got[d], m)
+
+
+def test_gzip_transport_and_bomb_guard():
+    import gzip
+
+    from ai_ocr_spark.kernels.oracle import analyze_payload, extract_one
+
+    html = b"<html><body><p>hello compressed world</p></body></html>"
+    kind, text, _t, _s = analyze_payload(gzip.compress(html))
+    assert kind == "html" and text == "hello compressed world"
+    # inner kind propagates for any payload type
+    kind2, text2, _t2, _s2 = analyze_payload(gzip.compress(b"plain words here"))
+    assert kind2 == "text" and text2 == "plain words here"
+    # truncated gzip degrades to binary, never raises
+    assert analyze_payload(gzip.compress(html)[:10])[0] == "binary"
+    # zip bomb: 512MB of zeros compresses tiny; must cap, not inflate
+    bomb = gzip.compress(b"\x00" * (512 * 1024 * 1024))
+    assert len(bomb) < 1024 * 1024
+    assert analyze_payload(bomb)[0] == "binary"
+    # end-to-end row shape unaffected
+    res = extract_one("https://x.example.com/gz/1", gzip.compress(html))
+    assert res["content_kind"] == "html" and res["valid"] is True
