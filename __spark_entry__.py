@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gzip transport compression: inflate-then-extract equals the
         # uncompressed pipeline byte-for-byte
         "pipeline_gzip_roundtrip": RT.pipeline_gzip_roundtrip,
+        # WARC container (Common Crawl): record unwrap -> same extraction
+        "pipeline_warc_roundtrip": RT.pipeline_warc_roundtrip,
         # Structured Streaming: AvailableNow drain of a watermarked
         # windowed aggregation == the batch aggregation (oracle-checked)
         "stream_events_daily": _stream_events_daily,
@@ -349,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_xlsx_roundtrip": RX.ORACLE_SQL,
         "pipeline_sections": RT.SECTIONS_ORACLE_SQL,
         "pipeline_gzip_roundtrip": RT.GZIP_ORACLE_SQL,
+        "pipeline_warc_roundtrip": RT.WARC_ORACLE_SQL,
         "stream_events_daily": SW.STREAM_EVENTS_DAILY_ORACLE,
         "join_asof_orders": TP.ASOF_ORACLE_SQL,
         "range_join_event_pairs": TP.RANGE_ORACLE_SQL,

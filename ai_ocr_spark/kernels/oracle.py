@@ -55,6 +55,16 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
         except Exception:
             return "binary", "", [], []
         return analyze_payload(inner)
+    if payload[:5] == b"WARC/":
+        # WARC record stream (Common Crawl's container): unwrap the
+        # first response record's HTTP body and analyze THAT — the
+        # content kind is the inner kind, like the gzip transport above
+        from .warc import first_response_body
+
+        inner = first_response_body(payload)
+        if inner:
+            return analyze_payload(inner)
+        return "binary", "", [], []
     kind = sniff_kind(payload)
     if kind == "empty":
         return kind, "", [], []

@@ -133,6 +133,52 @@ GZIP_ORACLE_SQL = """
 """
 
 
+# --- WARC container round-trip -----------------------------------------------
+
+
+def pipeline_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payloads wrapped as single-record WARC response streams (the
+    Common-Crawl container): the kernel must unwrap the HTTP body and
+    extract the identical main_text with the inner content kind."""
+    from ..kernels.warc import emit_warc
+    from ..pipeline import PAGES_SCHEMA, extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+
+    def wrap(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["html"] = [
+                emit_warc([(u, "2025-03-01T00:00:00Z", bytes(b))])
+                if b is not None
+                else b
+                for u, b in zip(pdf["url"], pdf["html"])
+            ]
+            yield pdf
+
+    warc_pages = pages.mapInPandas(wrap, PAGES_SCHEMA)
+    out = extract_pages(warc_pages, run_id="warc", num_partitions=8)
+    return out.select(
+        "url",
+        "content_kind",
+        "main_text",
+        (F.col("main_text") != "").alias("nonempty"),
+    )
+
+
+# same reconstruction as the gzip/plain pipelines — the container must
+# be invisible to the extracted text
+WARC_ORACLE_SQL = """
+    SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+           'html' AS content_kind,
+           trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '),
+                '\\s+', ' ', 'g')) AS main_text,
+           trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '),
+                '\\s+', ' ', 'g')) <> '' AS nonempty
+    FROM documents
+"""
+
+
 # --- heading-delimited sections (report `sections` shape) --------------------
 
 

@@ -46,6 +46,51 @@ def pages_from_binary_files(spark: SparkSession, glob_path: str) -> DataFrame:
     )
 
 
+def pages_from_warc(spark: SparkSession, glob_path: str) -> DataFrame:
+    """WARC files (Common Crawl's container) -> pages rows: one task per
+    WARC file via the binaryFile source, records flattened in a single
+    mapInPandas (whole-file gzip inflated first — CC ships .warc.gz).
+    Each response record becomes (WARC-Target-URI, WARC-Date, body)."""
+    from collections.abc import Iterator
+
+    from ..pipeline import PAGES_SCHEMA
+
+    raw = spark.read.format("binaryFile").load(glob_path).select("content")
+
+    def explode_records(batches: Iterator) -> Iterator:
+        import gzip
+
+        import pandas as pd
+
+        from ..kernels.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    try:
+                        data = gzip.decompress(data)
+                    except Exception:
+                        continue
+                for rec in parse_warc(data):
+                    ts = pd.to_datetime(rec["date"], errors="coerce", utc=True)
+                    rows.append(
+                        {
+                            "url": rec["url"],
+                            "warc_ts": None if pd.isna(ts) else ts.tz_localize(None),
+                            "html": rec["body"],
+                            "text": None,
+                            "lang": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return raw.mapInPandas(explode_records, schema=PAGES_SCHEMA)
+
+
 def content_kind(payload: Column, url: Column | None = None) -> Column:
     """Magic-byte pre-filter: pdf / html / csv / text.
 

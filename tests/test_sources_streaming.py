@@ -188,3 +188,46 @@ def test_stream_events_daily_equals_batch(spark):
         .toPandas()
     )
     assert out["n_events"].sum() == batch["count"].sum()
+
+
+def test_warc_emit_parse_roundtrip_and_file_source(spark, tmp_path):
+    import gzip
+
+    from ai_ocr_spark.kernels.warc import emit_warc, first_response_body, parse_warc
+    from ai_ocr_spark.sources.pages import pages_from_warc
+
+    records = [
+        ("https://a.example.com/1", "2025-03-01T00:00:00Z", b"<html><body><p>alpha one</p></body></html>"),
+        ("https://b.example.com/2", "2025-03-01T00:00:01Z", b"plain beta text"),
+        ("https://c.example.com/3", "2025-03-01T00:00:02Z", "utf8 é漢".encode()),
+    ]
+    stream = emit_warc(records)
+    parsed = parse_warc(stream)
+    assert [(r["url"], r["body"]) for r in parsed] == [
+        (u, b) for u, _d, b in records
+    ]
+    assert first_response_body(stream) == records[0][2]
+    # malformed never raises
+    assert parse_warc(b"WARC/1.0\r\nbroken") == []
+    assert parse_warc(stream[: len(stream) // 2])  # truncated: best effort
+
+    # file source: plain + whole-file gzip, records flattened
+    (tmp_path / "a.warc").write_bytes(stream)
+    (tmp_path / "b.warc.gz").write_bytes(gzip.compress(stream))
+    pages = pages_from_warc(spark, str(tmp_path) + "/*").toPandas()
+    assert len(pages) == 2 * len(records)
+    assert set(pages["url"]) == {u for u, _d, _b in records}
+    assert pages["warc_ts"].notna().all()
+
+
+def test_warc_payload_unwraps_in_extraction():
+    from ai_ocr_spark.kernels.oracle import extract_one
+    from ai_ocr_spark.kernels.warc import emit_warc
+
+    payload = emit_warc(
+        [("https://x.example.com/p", "2025-03-01T00:00:00Z",
+          b"<html><body><p>warc wrapped words</p></body></html>")]
+    )
+    res = extract_one("https://x.example.com/p", payload)
+    assert res["content_kind"] == "html"
+    assert res["main_text"] == "warc wrapped words"
