@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": TS.text_langid,
         "text_fingerprint": TS.text_fingerprint,
         "text_pii_scrub": TS.text_pii_scrub,
+        "text_line_dedup": TS.text_line_dedup,
         "url_canonicalize": TS.url_canonicalize,
         "quality_filter_gopher": TS.quality_filter_gopher,
         # training-data ops: multimodal plumbing. The _q projections
@@ -473,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": ORC.text_langid(),
         "text_fingerprint": ORC.text_fingerprint(),
         "text_pii_scrub": ORC.text_pii_scrub(),
+        "text_line_dedup": ORC.text_line_dedup(),
         "url_canonicalize": ORC.url_canonicalize(),
         "quality_filter_gopher": ORC.quality_filter_gopher(),
         "mm_image_features": ORC.mm_image_features(),

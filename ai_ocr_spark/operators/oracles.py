@@ -357,6 +357,33 @@ def text_fingerprint() -> str:
     """
 
 
+def text_line_dedup() -> str:
+    return """
+        WITH l AS (
+          SELECT doc_id,
+                 string_split(
+                   substr(coalesce(text, ''), 1, 40) || chr(10)
+                   || substr(coalesce(text, ''), 41, 40) || chr(10)
+                   || substr(coalesce(text, ''), 1, 40) || chr(10)
+                   || 'line ' || (doc_id % 5),
+                   chr(10)) AS lines
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id, lines,
+                 list_filter(lines, (x, i) -> list_position(lines, x) = i)
+                     AS uniq
+          FROM l
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(uniq) AS BIGINT) AS n_unique,
+               1.0 - len(uniq) / len(lines) AS repetition_ratio,
+               substr(array_to_string(uniq, chr(10)), 1, 100) AS dedup_head
+        FROM u
+    """
+
+
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PHONE_RE = "\\b\\d{3}-\\d{4}-\\d{4}\\b|\\b\\d{3}-\\d{2}-\\d{4}\\b"
 

@@ -213,6 +213,38 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style within-document repetition removal: keep the
+    FIRST occurrence of each line, report the repetition ratio. Pure
+    array expressions (first-occurrence filter via array_position ==
+    index), scan speed, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    # the fixture text is single-line; build a deterministic multi-line
+    # document (two slices + a REPEATED first slice + a short tail) so
+    # the dedup actually fires — both engines assemble the same string
+    t = F.coalesce(F.col("text"), F.lit(""))
+    seeded = F.concat_ws(
+        "\n",
+        F.substring(t, 1, 40),
+        F.substring(t, 41, 40),
+        F.substring(t, 1, 40),
+        F.concat(F.lit("line "), (F.col("doc_id") % 5).cast("string")),
+    )
+    lines = F.split(seeded, "\n")
+    uniq = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + 1
+    )
+    n_lines = F.size(lines)
+    n_uniq = F.size(uniq)
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        n_uniq.cast("long").alias("n_unique"),
+        (F.lit(1.0) - n_uniq / n_lines).alias("repetition_ratio"),
+        F.substring(F.array_join(uniq, "\n"), 1, 100).alias("dedup_head"),
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 fingerprint of the canonical form + bottom-4 sketch of 3-gram
     shingle hashes (a winnowing-style compact near-dup signature),
