@@ -38,33 +38,43 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
     canonical tabular shape (headers + data rows,
     excel_validator.py:394-429): HTML <table>s, or the single logical
     table of a CSV payload."""
-    if payload[:2] == b"\x1f\x8b":
-        # transport compression (Common-Crawl payloads arrive gzipped):
-        # decompress transparently and analyze the inner bytes — the
-        # content kind is the INNER kind. Bounded decompression guards
-        # against zip bombs (a 100:1 ratio cap; beyond it the payload
-        # degrades to opaque binary instead of OOMing the worker).
-        import gzip as _gzip
-        import io as _io
+    # transport unwrapping (gzip + WARC records, possibly nested — a
+    # gzipped WARC holding gzipped pages is real Common-Crawl shape).
+    # ITERATIVE with a depth cap: recursing per layer would let a
+    # crafted 1000x-nested gzip raise RecursionError through the
+    # documented never-raises contract.
+    for _ in range(8):
+        if payload[:2] == b"\x1f\x8b":
+            # bounded decompression: beyond the cap (zip bomb) the
+            # payload degrades to opaque binary instead of OOMing
+            import gzip as _gzip
+            import io as _io
 
-        try:
-            with _gzip.GzipFile(fileobj=_io.BytesIO(payload)) as gz:
-                inner = gz.read(_GZIP_MAX_BYTES + 1)
-            if len(inner) > _GZIP_MAX_BYTES:
+            try:
+                with _gzip.GzipFile(fileobj=_io.BytesIO(payload)) as gz:
+                    inner = gz.read(_GZIP_MAX_BYTES + 1)
+                if len(inner) > _GZIP_MAX_BYTES:
+                    return "binary", "", [], []
+            except Exception:
                 return "binary", "", [], []
-        except Exception:
-            return "binary", "", [], []
-        return analyze_payload(inner)
-    if payload[:5] == b"WARC/":
-        # WARC record stream (Common Crawl's container): unwrap the
-        # first response record's HTTP body and analyze THAT — the
-        # content kind is the inner kind, like the gzip transport above
-        from .warc import first_response_body
+            payload = inner
+            continue
+        # WARC record stream: version line + a WARC-Type header, not
+        # just the 5-char prefix (a text page QUOTING 'WARC/1.0' must
+        # not be swallowed as a container)
+        if (
+            payload[:5] == b"WARC/"
+            and b"\r\n" in payload[:32]
+            and b"WARC-Type:" in payload[:2048]
+        ):
+            from .warc import first_response_body
 
-        inner = first_response_body(payload)
-        if inner:
-            return analyze_payload(inner)
-        return "binary", "", [], []
+            inner = first_response_body(payload)
+            if not inner:
+                return "binary", "", [], []
+            payload = inner
+            continue
+        break
     kind = sniff_kind(payload)
     if kind == "empty":
         return kind, "", [], []

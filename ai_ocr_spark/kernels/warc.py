@@ -50,9 +50,12 @@ def _http_body(payload: bytes) -> bytes:
     return payload[sep + 4 :]
 
 
-def parse_warc(stream: bytes) -> list[dict]:
+def parse_warc(stream: bytes, first_only: bool = False) -> list[dict]:
     """WARC stream -> [{url, date, body}] for every response record.
-    Malformed records end the scan (best effort, never raises)."""
+    Malformed records end the scan (best effort, never raises).
+    first_only stops after the first response record (the payload-unwrap
+    path needs exactly one — scanning a whole CC file per row would be
+    O(stream) wasted work)."""
     out: list[dict] = []
     i, n = 0, len(stream)
     while i < n:
@@ -69,8 +72,10 @@ def parse_warc(stream: bytes) -> list[dict]:
         for line in stream[i:hdr_end].split(CRLF)[1:]:
             k, _, v = line.partition(b":")
             if _:
-                headers[k.strip().decode("latin-1").lower()] = (
-                    v.strip().decode("latin-1")
+                # WARC headers are UTF-8 (the emitter writes UTF-8 URIs;
+                # latin-1 here would mojibake every non-ASCII IRI)
+                headers[k.strip().decode("utf-8", "replace").lower()] = (
+                    v.strip().decode("utf-8", "replace")
                 )
         try:
             clen = int(headers.get("content-length", ""))
@@ -85,6 +90,8 @@ def parse_warc(stream: bytes) -> list[dict]:
                     "body": _http_body(payload),
                 }
             )
+            if first_only:
+                return out
         i = hdr_end + 4 + clen
         # skip the record-terminating blank lines
         while stream.startswith(CRLF, i):
@@ -94,6 +101,7 @@ def parse_warc(stream: bytes) -> list[dict]:
 
 def first_response_body(stream: bytes) -> bytes:
     """Body of the first response record ('' when none) — the payload
-    unwrap used by the transparent WARC branch in kernels.oracle."""
-    recs = parse_warc(stream)
+    unwrap used by the transparent WARC branch in kernels.oracle.
+    Stops scanning at the first response record."""
+    recs = parse_warc(stream, first_only=True)
     return recs[0]["body"] if recs else b""

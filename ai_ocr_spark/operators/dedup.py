@@ -52,13 +52,18 @@ _SHINGLE_CACHE: dict[tuple, DataFrame] = {}  # persisted intermediates per (sess
 
 
 def clear_caches(spark: SparkSession | None = None) -> int:
-    """Unpersist and evict every memoized table (shingles, digests,
-    simhash, SRP signatures, IVF index). Long-lived sessions that touch
-    many sf_dirs should call this between datasets — entries otherwise
-    hold executor storage until the session dies. Returns the number of
-    evicted entries."""
+    """Unpersist and evict memoized tables (shingles, digests, simhash,
+    SRP signatures, IVF index, component labels). With a session, only
+    THAT session's entries are evicted (keys are per-applicationId —
+    indiscriminate eviction would destroy another live session's warm
+    caches); with None, everything goes. Long-lived sessions that touch
+    many sf_dirs should call this between datasets. Returns the number
+    of evicted entries."""
+    app_id = spark.sparkContext.applicationId if spark is not None else None
     n = 0
     for key in list(_SHINGLE_CACHE):
+        if app_id is not None and key[0] != app_id:
+            continue
         entry = _SHINGLE_CACHE.pop(key)
         for df in entry if isinstance(entry, tuple) else (entry,):
             try:
@@ -297,6 +302,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12 rows the refinement is large-star/small-star pointer doubling
     (O(log n) rounds), same per-round plan. Driver-side state is one
     scalar count per round — no collect of data rows."""
+    key = _cache_key(spark, sf_dir, "components")
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     docs = _docs(spark, sf_dir).select("doc_id")
     edges = pairs.unionByName(
@@ -307,7 +316,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select(
         "doc_id", F.col("doc_id").alias("component_id")
     ).persist()
-    for _ in range(15):
+    converged = False
+    for _ in range(50):
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -333,8 +343,20 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent non-convergence would return split components and
+        # diverge from the exact transitive-closure oracle
+        labels.unpersist()
+        raise RuntimeError(
+            "connected components did not converge within the round cap "
+            "(graph diameter > 50 — switch to pointer-doubling)"
+        )
+    # memoized (and thus clear_caches-evictable): the final labels stay
+    # persisted for reuse instead of leaking one persist per call
+    _SHINGLE_CACHE[key] = labels
     return labels
 
 

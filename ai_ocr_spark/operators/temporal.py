@@ -38,7 +38,10 @@ def join_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.max("o_orderkey").alias("ref_orderkey"),
-            F.max("o_totalprice").alias("ref_price"),
+            # max_by: the price of THAT order — independent max() would
+            # pair the max orderkey with a different order's price when
+            # a customer has several orders on one date
+            F.max_by("o_totalprice", "o_orderkey").alias("ref_price"),
         )
         .select(
             "custkey",
@@ -92,7 +95,7 @@ ASOF_ORACLE_SQL = """
         SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
                0 AS is_probe,
                max(o_orderkey) AS ref_orderkey,
-               max(o_totalprice) AS ref_price,
+               arg_max(o_totalprice, o_orderkey) AS ref_price,
                CAST(NULL AS BIGINT) AS l_orderkey,
                CAST(NULL AS BIGINT) AS l_linenumber
         FROM orders GROUP BY 1, 2

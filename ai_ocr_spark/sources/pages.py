@@ -59,9 +59,11 @@ def pages_from_warc(spark: SparkSession, glob_path: str) -> DataFrame:
 
     def explode_records(batches: Iterator) -> Iterator:
         import gzip
+        import io
 
         import pandas as pd
 
+        from ..kernels.oracle import _GZIP_MAX_BYTES
         from ..kernels.warc import parse_warc
 
         for pdf in batches:
@@ -69,8 +71,14 @@ def pages_from_warc(spark: SparkSession, glob_path: str) -> DataFrame:
             for blob in pdf["content"]:
                 data = bytes(blob)
                 if data[:2] == b"\x1f\x8b":
+                    # bounded inflate — same zip-bomb guard as the
+                    # payload path (an unbounded decompress of a hostile
+                    # .warc.gz would OOM the executor)
                     try:
-                        data = gzip.decompress(data)
+                        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                            data = gz.read(_GZIP_MAX_BYTES + 1)
+                        if len(data) > _GZIP_MAX_BYTES:
+                            continue
                     except Exception:
                         continue
                 for rec in parse_warc(data):

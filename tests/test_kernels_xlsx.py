@@ -88,3 +88,16 @@ def test_extract_one_workbook_metadata_fields():
     assert len(res["tables"]) == 2
     assert res["tables"][0]["headers"] == ["sku", "qty", "price"]
     assert res["valid"] is True
+
+
+def test_whitespace_and_quotes_roundtrip_exactly():
+    """\\r \\n \\t survive text AND attribute position via charrefs (a
+    conforming parser normalizes the literals); quotes survive names."""
+    sheets = [('My "Q1"\r\n\tdata', [["x\r\ny", "a\tb", 'q"w']])]
+    wb = parse_xlsx(
+        emit_xlsx(sheets, title='T "t"\r\nnext', author="a\tb\rc")
+    )
+    assert wb["sheets"][0]["name"] == 'My "Q1"\r\n\tdata'
+    assert wb["sheets"][0]["rows"] == [["x\r\ny", "a\tb", 'q"w']]
+    assert wb["title"] == 'T "t"\r\nnext'
+    assert wb["author"] == "a\tb\rc"

@@ -231,3 +231,46 @@ def test_warc_payload_unwraps_in_extraction():
     res = extract_one("https://x.example.com/p", payload)
     assert res["content_kind"] == "html"
     assert res["main_text"] == "warc wrapped words"
+
+
+def test_warc_edge_cases_from_review():
+    import gzip
+
+    from ai_ocr_spark.kernels.oracle import analyze_payload
+    from ai_ocr_spark.kernels.warc import emit_warc, parse_warc
+
+    # non-ASCII IRI round-trips (headers are UTF-8, not latin-1)
+    recs = parse_warc(emit_warc([("https://ex.com/café/資料", "2025-03-01T00:00:00Z", b"x")]))
+    assert recs[0]["url"] == "https://ex.com/café/資料"
+    # a text page QUOTING the magic is NOT swallowed as a container
+    quoted = b"WARC/1.0 is the container format used by Common Crawl."
+    kind, text, _t, _s = analyze_payload(quoted)
+    assert kind == "text" and "container format" in text
+    # nested transports unwrap iteratively (gzip(warc(gzip(html))))
+    html = b"<html><body><p>deeply nested page</p></body></html>"
+    nested = gzip.compress(
+        emit_warc([("https://n.example.com/x", "2025-03-01T00:00:00Z", gzip.compress(html))])
+    )
+    kind2, text2, _t2, _s2 = analyze_payload(nested)
+    assert kind2 == "html" and text2 == "deeply nested page"
+    # pathological 50x-nested gzip: bounded unwrap, no RecursionError
+    bomb = html
+    for _ in range(50):
+        bomb = gzip.compress(bomb)
+    kind3 = analyze_payload(bomb)[0]
+    assert kind3 == "binary"  # depth cap hit -> opaque, never a raise
+
+
+def test_asof_price_belongs_to_the_picked_order(spark):
+    """max_by regression: asof_price must come from the SAME order as
+    asof_orderkey when a customer has several orders on the as-of date."""
+    import pandas as pd
+
+    from ai_ocr_spark.operators.temporal import join_asof_orders
+
+    out = join_asof_orders(spark, "/root/testdata/sf0.001").toPandas()
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").toPandas()
+    price_of = dict(zip(orders["o_orderkey"], orders["o_totalprice"]))
+    hit = out[out["asof_orderkey"].notna()].head(200)
+    for _, r in hit.iterrows():
+        assert r["asof_price"] == price_of[int(r["asof_orderkey"])]
