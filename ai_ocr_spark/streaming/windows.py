@@ -65,6 +65,10 @@ def stream_events_daily(spark: "SparkSession", sf_dir: str) -> DataFrame:
 
     from pyspark.sql import SparkSession  # noqa: F401  (typing)
 
+    # the NTZ->timestamp cast below reads the session timezone; pin UTC
+    # so the window boundaries match the DuckDB twin even under a driver
+    # session that didn't come from ai_ocr_spark.session.get_spark
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source requires a DIRECTORY; select just the events file
     # from the table dir via pathGlobFilter
