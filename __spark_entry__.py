@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pairs -> clusters: iterative min-label propagation over the
         # minhash pair graph (recursive-CTE twin in DuckDB)
         "dedup_connected_components": D.dedup_connected_components,
+        "text_dup_fraction": D.text_dup_fraction,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         # training-data ops: similarity search
@@ -464,6 +465,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": ORC.dedup_minhash_lsh(),
         "dedup_simhash": ORC.dedup_simhash(),
         "dedup_connected_components": ORC.dedup_connected_components(),
+        "text_dup_fraction": ORC.text_dup_fraction(),
         "dedup_ngram_jaccard": ORC.dedup_ngram_jaccard(),
         "dedup_embedding_cosine": ORC.dedup_embedding_cosine(),
         "ann_cosine_topk": ORC.ann_cosine_topk(),

@@ -285,6 +285,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-document duplicate-text fraction ------------------------------------
+
+
+def text_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style signal: the fraction of a document's distinct
+    5-gram shingles that also occur in at least one OTHER document.
+    High values flag boilerplate/templated pages even when no single
+    pair crosses a near-dup threshold.
+
+    Shape: inverted index on the cached shingle table (one shuffle on
+    the shingle key for document frequencies, one back on doc_id) —
+    the same skew profile as dedup_ngram_jaccard, minus the pair join."""
+    sh = _shingled(spark, sf_dir, 5)
+    inv = sh.select("doc_id", F.explode("shd").alias("s"))
+    df = inv.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        inv.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = docs.join(per_doc, "doc_id", "left")
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
+    n_dup = F.coalesce(F.col("n_dup"), F.lit(0))
+    return out.select(
+        "doc_id",
+        n_sh.cast("long").alias("n_shingles"),
+        n_dup.cast("long").alias("n_dup"),
+        F.when(n_sh > 0, n_dup / n_sh).otherwise(F.lit(0.0)).alias("dup_fraction"),
+    )
+
+
 # --- connected components over the near-dup graph ---------------------------
 
 

@@ -357,6 +357,28 @@ def text_fingerprint() -> str:
     """
 
 
+def text_dup_fraction() -> str:
+    return f"""
+        WITH n AS (SELECT doc_id, string_split({NORM}, ' ') AS tok FROM documents),
+        s AS (SELECT doc_id, list_distinct({_shingle_expr(5)}) AS shd FROM n),
+        inv AS (SELECT doc_id, u.sh FROM s, unnest(shd) u(sh)),
+        dfreq AS (SELECT sh, count(*) AS df FROM inv GROUP BY sh),
+        per_doc AS (
+            SELECT inv.doc_id,
+                   count(*) AS n_shingles,
+                   sum(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS n_dup
+            FROM inv JOIN dfreq USING (sh) GROUP BY inv.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+               CASE WHEN coalesce(p.n_shingles, 0) > 0
+                    THEN coalesce(p.n_dup, 0) / p.n_shingles
+                    ELSE 0.0 END AS dup_fraction
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def text_line_dedup() -> str:
     return """
         WITH l AS (
