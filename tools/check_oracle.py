@@ -24,6 +24,15 @@ TABLES = (
 
 
 def canon_cell(v) -> str:
+    """Dtype-faithful canonical form (driver-strength).
+
+    The r1/r2 version collapsed integral floats to ints and formatted
+    at 9 significant digits; that masked the DuckDB sum(INTEGER) ->
+    HUGEINT -> pandas-float64 drift for two rounds while the driver's
+    exact hash saw red (VERDICT r2 "What's wrong" #2). Floats now
+    canonicalize via repr() — full precision, `0.0` stays `0.0` and
+    never equals int `0` — so local green predicts driver green.
+    """
     import datetime
     import math
 
@@ -34,9 +43,7 @@ def canon_cell(v) -> str:
             return "NaN"
         if math.isinf(v):
             return "Inf" if v > 0 else "-Inf"
-        if abs(v) < 1e15 and v == int(v):
-            return str(int(v))
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, bool):
         return "t" if v else "f"
     if isinstance(v, datetime.datetime):
@@ -66,13 +73,20 @@ def canon_row(tup) -> str:
     return "\x1f".join(canon_cell(_canon_value(v)) for v in tup)
 
 
-def canon_df(pdf) -> tuple[int, list[str], str]:
+def canon_df(pdf) -> tuple[int, list[str], list[str], str]:
+    """Row count, sorted columns, per-column dtype kinds, value hash.
+
+    Kinds (numpy kind chars: i=int, f=float, b=bool, M=datetime,
+    O=object) catch engine-side type drift even when every value
+    happens to render identically; kind (not full dtype) avoids false
+    alarms on datetime64[ns] vs datetime64[us] resolution."""
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
+    kinds = [pdf[c].dtype.kind for c in cols]
     rows = [canon_row(tup) for tup in pdf.itertuples(index=False, name=None)]
     rows.sort()
     h = hashlib.md5("\x1e".join(rows).encode()).hexdigest()[:16]
-    return len(rows), cols, h
+    return len(rows), cols, kinds, h
 
 
 def main() -> int:
@@ -111,15 +125,18 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error {e}")
             n_fail += 1
             continue
-        sn, sc, sh = canon_df(sdf)
-        on, oc, oh = canon_df(odf)
-        ok = (sn, sc, sh) == (on, oc, oh)
+        sn, sc, sk, sh = canon_df(sdf)
+        on, oc, ok_, oh = canon_df(odf)
+        ok = (sn, sc, sk, sh) == (on, oc, ok_, oh)
         if ok:
             n_pass += 1
             print(f"PASS {name}: {sn} rows ({time.time()-t0:.1f}s)")
         else:
             n_fail += 1
-            print(f"FAIL {name}: spark({sn},{sc},{sh}) vs duck({on},{oc},{oh})")
+            print(
+                f"FAIL {name}: spark({sn},{sc},{sk},{sh})"
+                f" vs duck({on},{oc},{ok_},{oh})"
+            )
             if sn == on and sc == oc:
                 # show first differing row (same canon as the hash path)
                 srows = sorted(
