@@ -13,6 +13,8 @@ pipeline does.
 
 from __future__ import annotations
 
+from collections.abc import Iterable, Iterator
+
 CRLF = b"\r\n"
 
 
@@ -50,23 +52,50 @@ def _http_body(payload: bytes) -> bytes:
     return payload[sep + 4 :]
 
 
-def parse_warc(stream: bytes, first_only: bool = False) -> list[dict]:
-    """WARC stream -> [{url, date, body}] for every response record.
-    Malformed records end the scan (best effort, never raises).
-    first_only stops after the first response record (the payload-unwrap
-    path needs exactly one — scanning a whole CC file per row would be
-    O(stream) wasted work)."""
+# Incremental-parse bounds. _HDR_MAX: a record whose header block never
+# closes (no CRLFCRLF within 64 KiB) is hostile, not buffering-lag.
+# _REC_MAX: real CC response records are <~1 MiB; a 64 MiB+ payload is a
+# bomb — refusing it keeps streaming-parse memory bounded per task.
+# _TAIL_KEEP: bytes kept across chunk boundaries so a "\r\nWARC/" magic
+# straddling two chunks is never missed.
+_HDR_MAX = 64 * 1024
+_REC_MAX = 64 * 1024 * 1024
+_TAIL_KEEP = 8
+
+
+def _parse_core(
+    stream: bytes,
+    final: bool,
+    max_records: int | None = None,
+    max_record_bytes: int | None = _REC_MAX,
+) -> tuple[list[dict], int, str | None]:
+    """Parse COMPLETE records from a stream prefix.
+
+    Returns (records, consumed_bytes, fatal_reason). With final=False
+    an incomplete trailing record is left unconsumed (the caller keeps
+    stream[consumed:] and retries with more bytes); with final=True it
+    is discarded (best effort at EOF). fatal_reason is non-None for
+    unrecoverable malformation (negative/garbage/oversized
+    Content-Length, unterminated header block) — the scan stops there
+    so a hostile record can neither wedge the cursor in a loop nor
+    force unbounded buffering.
+    """
     out: list[dict] = []
     i, n = 0, len(stream)
     while i < n:
         if not stream.startswith(b"WARC/", i):
             nxt = stream.find(b"\r\nWARC/", i)
             if nxt < 0:
+                i = n if final else max(i, n - _TAIL_KEEP)
                 break
             i = nxt + 2
             continue
         hdr_end = stream.find(CRLF + CRLF, i)
         if hdr_end < 0:
+            if n - i > _HDR_MAX:
+                return out, i, "unterminated header block"
+            if final:
+                i = n
             break
         headers: dict[str, str] = {}
         for line in stream[i:hdr_end].split(CRLF)[1:]:
@@ -80,8 +109,25 @@ def parse_warc(stream: bytes, first_only: bool = False) -> list[dict]:
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
-            break
+            return out, i, "bad content-length"
+        if clen < 0:
+            # A negative Content-Length would move the cursor BACKWARDS
+            # (i = hdr_end + 4 + clen), and the \r\nWARC/ rescan would
+            # re-find the same record forever — a hostile/corrupt record
+            # must not wedge an executor in an infinite loop.
+            return out, i, "negative content-length"
+        if max_record_bytes is not None and clen > max_record_bytes:
+            return out, i, "record exceeds size cap"
+        if hdr_end + 4 + clen > n:
+            if not final:
+                break  # wait for more bytes; record starts at i
+            i = n
+            break  # truncated at EOF: best effort, drop it
         payload = stream[hdr_end + 4 : hdr_end + 4 + clen]
+        i = hdr_end + 4 + clen
+        # skip the record-terminating blank lines
+        while stream.startswith(CRLF, i):
+            i += 2
         if headers.get("warc-type") == "response":
             out.append(
                 {
@@ -90,13 +136,52 @@ def parse_warc(stream: bytes, first_only: bool = False) -> list[dict]:
                     "body": _http_body(payload),
                 }
             )
-            if first_only:
-                return out
-        i = hdr_end + 4 + clen
-        # skip the record-terminating blank lines
-        while stream.startswith(CRLF, i):
-            i += 2
-    return out
+            if max_records is not None and len(out) >= max_records:
+                return out, i, None
+    return out, i, None
+
+
+def parse_warc(stream: bytes, first_only: bool = False) -> list[dict]:
+    """WARC stream -> [{url, date, body}] for every response record.
+    Malformed records end the scan (best effort, never raises).
+    first_only stops after the first response record (the payload-unwrap
+    path needs exactly one — scanning a whole CC file per row would be
+    O(stream) wasted work)."""
+    recs, _, _ = _parse_core(
+        stream,
+        final=True,
+        max_records=1 if first_only else None,
+        # the in-memory payload path is already size-capped upstream
+        # (transport unwrap / MAX_PAYLOAD_BYTES); no per-record cap here
+        # so pre-cap callers keep their exact behavior
+        max_record_bytes=None,
+    )
+    return recs
+
+
+def iter_warc_stream(chunks: Iterable[bytes]) -> Iterator[dict]:
+    """Incrementally parse an iterable of byte chunks into response
+    records — the file-source path for real Common Crawl segments,
+    which inflate to several GB: memory stays bounded by
+    (chunk size + largest record), never the whole inflated file.
+
+    Yields record dicts; a final {"_error": reason} dict is yielded
+    instead of silently stopping when the stream is unrecoverably
+    malformed, so callers can surface the failure as a diagnostic row.
+    """
+    buf = bytearray()
+    for chunk in chunks:
+        buf += chunk
+        recs, consumed, fatal = _parse_core(bytes(buf), final=False)
+        yield from recs
+        if fatal is not None:
+            yield {"_error": fatal}
+            return
+        del buf[:consumed]
+    recs, _, fatal = _parse_core(bytes(buf), final=True)
+    yield from recs
+    if fatal is not None:
+        yield {"_error": fatal}
 
 
 def first_response_body(stream: bytes) -> bytes:

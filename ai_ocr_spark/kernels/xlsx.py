@@ -323,6 +323,13 @@ def parse_xlsx(payload: bytes) -> dict:
                         ci = _col_index(c.get("r", ""))
                         if ci < 0:
                             ci = len(cells)
+                        if ci < len(cells):
+                            # duplicate or out-of-order cell ref: last
+                            # write wins IN PLACE — appending instead
+                            # would silently shift the cell into the
+                            # wrong column (undetectable downstream)
+                            cells[ci] = text
+                            continue
                         while len(cells) < ci:
                             cells.append("")
                         cells.append(text)

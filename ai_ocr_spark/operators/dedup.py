@@ -54,11 +54,14 @@ _SHINGLE_CACHE: dict[tuple, DataFrame] = {}  # persisted intermediates per (sess
 def clear_caches(spark: SparkSession | None = None) -> int:
     """Unpersist and evict memoized tables (shingles, digests, simhash,
     SRP signatures, IVF index, component labels). With a session, only
-    THAT session's entries are evicted (keys are per-applicationId —
-    indiscriminate eviction would destroy another live session's warm
-    caches); with None, everything goes. Long-lived sessions that touch
-    many sf_dirs should call this between datasets. Returns the number
-    of evicted entries."""
+    entries keyed to THAT session's applicationId are evicted; with
+    None, everything goes. Note the scoping is bookkeeping, not
+    isolation: PySpark runs one SparkContext per process, so every
+    live SparkSession here shares one applicationId — entries under a
+    DIFFERENT applicationId belong to a stopped context and are purged
+    lazily by _cache_key anyway. Long-lived sessions that touch many
+    sf_dirs should call this between datasets. Returns the number of
+    evicted entries."""
     app_id = spark.sparkContext.applicationId if spark is not None else None
     n = 0
     for key in list(_SHINGLE_CACHE):

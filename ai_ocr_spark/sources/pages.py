@@ -46,52 +46,90 @@ def pages_from_binary_files(spark: SparkSession, glob_path: str) -> DataFrame:
     )
 
 
+WARC_ERROR_URL_PREFIX = "warcerr://"
+
+
 def pages_from_warc(spark: SparkSession, glob_path: str) -> DataFrame:
     """WARC files (Common Crawl's container) -> pages rows: one task per
     WARC file via the binaryFile source, records flattened in a single
-    mapInPandas (whole-file gzip inflated first — CC ships .warc.gz).
-    Each response record becomes (WARC-Target-URI, WARC-Date, body)."""
+    mapInPandas. Each response record becomes
+    (WARC-Target-URI, WARC-Date, body).
+
+    Scale + failure semantics: real CC .warc.gz segments inflate to
+    several GB, so the gzip transport is decompressed in 8 MiB chunks
+    and fed to the incremental record parser (kernels/warc.py
+    iter_warc_stream) — per-task memory is bounded by
+    chunk + largest record, never the inflated file (the r2 version
+    whole-file-inflated under a 64 MB cap and SILENTLY dropped any
+    file past it). Unrecoverable failures (corrupt gzip, hostile
+    record) emit a diagnostic row `warcerr://<path>#<reason>` with an
+    empty body instead of vanishing: downstream counts them with a
+    cheap `startswith(WARC_ERROR_URL_PREFIX)` filter, and they flow to
+    content_kind='empty' in extraction. (The binaryFile source itself
+    holds one COMPRESSED file per row — Spark caps that at 2 GiB/file;
+    CC segments ship ~1 GiB compressed, under the cap.)
+    """
     from collections.abc import Iterator
 
     from ..pipeline import PAGES_SCHEMA
 
-    raw = spark.read.format("binaryFile").load(glob_path).select("content")
+    raw = spark.read.format("binaryFile").load(glob_path).select("path", "content")
 
     def explode_records(batches: Iterator) -> Iterator:
         import gzip
         import io
+        import zlib
 
         import pandas as pd
 
-        from ..kernels.oracle import _GZIP_MAX_BYTES
-        from ..kernels.warc import parse_warc
+        from ..kernels.warc import iter_warc_stream
+
+        _CHUNK = 8 * 1024 * 1024
+
+        def chunks_of(data: bytes) -> Iterator[bytes]:
+            if data[:2] == b"\x1f\x8b":
+                # streaming inflate: gzip.GzipFile walks multi-member
+                # files (CC writes one gzip member per record)
+                with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                    while True:
+                        c = gz.read(_CHUNK)
+                        if not c:
+                            return
+                        yield c
+            else:
+                for off in range(0, len(data), _CHUNK):
+                    yield data[off : off + _CHUNK]
 
         for pdf in batches:
             rows = []
-            for blob in pdf["content"]:
-                data = bytes(blob)
-                if data[:2] == b"\x1f\x8b":
-                    # bounded inflate — same zip-bomb guard as the
-                    # payload path (an unbounded decompress of a hostile
-                    # .warc.gz would OOM the executor)
-                    try:
-                        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-                            data = gz.read(_GZIP_MAX_BYTES + 1)
-                        if len(data) > _GZIP_MAX_BYTES:
+
+            def err_row(path: str, reason: str) -> dict:
+                return {
+                    "url": f"{WARC_ERROR_URL_PREFIX}{path}#{reason}",
+                    "warc_ts": None,
+                    "html": b"",
+                    "text": None,
+                    "lang": None,
+                }
+
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    for rec in iter_warc_stream(chunks_of(bytes(blob))):
+                        if "_error" in rec:
+                            rows.append(err_row(path, rec["_error"]))
                             continue
-                    except Exception:
-                        continue
-                for rec in parse_warc(data):
-                    ts = pd.to_datetime(rec["date"], errors="coerce", utc=True)
-                    rows.append(
-                        {
-                            "url": rec["url"],
-                            "warc_ts": None if pd.isna(ts) else ts.tz_localize(None),
-                            "html": rec["body"],
-                            "text": None,
-                            "lang": None,
-                        }
-                    )
+                        ts = pd.to_datetime(rec["date"], errors="coerce", utc=True)
+                        rows.append(
+                            {
+                                "url": rec["url"],
+                                "warc_ts": None if pd.isna(ts) else ts.tz_localize(None),
+                                "html": rec["body"],
+                                "text": None,
+                                "lang": None,
+                            }
+                        )
+                except (OSError, EOFError, zlib.error):
+                    rows.append(err_row(path, "corrupt gzip transport"))
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

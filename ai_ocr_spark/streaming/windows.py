@@ -67,52 +67,63 @@ def stream_events_daily(spark: "SparkSession", sf_dir: str) -> DataFrame:
 
     # the NTZ->timestamp cast below reads the session timezone; pin UTC
     # so the window boundaries match the DuckDB twin even under a driver
-    # session that didn't come from ai_ocr_spark.session.get_spark
+    # session that didn't come from ai_ocr_spark.session.get_spark.
+    # Saved/restored around the drain — a caller's session must not
+    # inherit UTC as a side effect of running one streaming query.
+    prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source requires a DIRECTORY; select just the events file
-    # from the table dir via pathGlobFilter
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(sf_dir)
-    )
-    # watermarks require TimestampType (not NTZ); session tz is pinned
-    # UTC so the cast is value-preserving and reversed on output
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    agg = (
-        stream.withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
-            .cast("double")
-            .alias("sum_value"),
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        # the file source requires a DIRECTORY; select just the events
+        # file from the table dir via pathGlobFilter
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(sf_dir)
         )
-    )
-    name = f"stream_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name).select(
-        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
-        "event_type",
-        "n_events",
-        "sum_value",
-    )
-    # detach the result from the memory-sink temp view so the view can
-    # be dropped — otherwise every invocation leaks a full aggregate
-    # copy in the driver catalog for the session's lifetime
-    result = spark.createDataFrame(out.collect(), out.schema)
-    spark.catalog.dropTempView(name)
-    return result
+        # watermarks require TimestampType (not NTZ); session tz is
+        # pinned UTC so the cast is value-preserving, reversed on output
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+                .cast("double")
+                .alias("sum_value"),
+            )
+        )
+        name = f"stream_events_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name).select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        # detach the result from the memory-sink temp view so the view
+        # can be dropped — otherwise every invocation leaks a full
+        # aggregate copy in the driver catalog for the session's
+        # lifetime. Must happen inside the UTC pin: the NTZ casts above
+        # evaluate at this collect.
+        result = spark.createDataFrame(out.collect(), out.schema)
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        if prior_tz is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prior_tz)
 
 
 STREAM_EVENTS_DAILY_ORACLE = """

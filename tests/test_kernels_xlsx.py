@@ -70,6 +70,37 @@ def test_parse_never_raises_on_malformed():
     assert wb["sheets"] == [{"name": "S", "rows": []}]
 
 
+def test_out_of_order_and_duplicate_cell_refs_land_in_their_column():
+    """ADVICE r2: a duplicate or out-of-order cell ref (ci < len(cells))
+    must overwrite its own column slot, not silently append at the end
+    (which shifted the value into the wrong column)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "xl/workbook.xml",
+            "<workbook xmlns:r='http://schemas.openxmlformats.org/officeDocument/2006/relationships'>"
+            "<sheets><sheet name='S' r:id='rId1'/></sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            "<Relationships><Relationship Id='rId1' Target='worksheets/sheet1.xml'/></Relationships>",
+        )
+        # C1 before A1 (out of order), then a duplicate A1 (last wins)
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            "<worksheet><sheetData><row>"
+            "<c r='C1' t='inlineStr'><is><t>cee</t></is></c>"
+            "<c r='A1' t='inlineStr'><is><t>aye-old</t></is></c>"
+            "<c r='A1' t='inlineStr'><is><t>aye</t></is></c>"
+            "</row></sheetData></worksheet>",
+        )
+    wb = parse_xlsx(buf.getvalue())
+    assert wb["sheets"][0]["rows"] == [["aye", "", "cee"]]
+
+
 def test_extract_one_workbook_metadata_fields():
     res = extract_one("https://x.example.com/wb/1", _wb())
     assert res["content_kind"] == "xlsx"

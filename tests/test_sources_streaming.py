@@ -261,6 +261,80 @@ def test_warc_edge_cases_from_review():
     assert kind3 == "binary"  # depth cap hit -> opaque, never a raise
 
 
+def test_warc_negative_content_length_terminates():
+    """A record with a negative Content-Length must not wedge the scan:
+    i = hdr_end + 4 + clen moves the cursor BACKWARDS, and the
+    \\r\\nWARC/ rescan re-finds the same record forever. parse_warc is
+    called per-row on untrusted Common-Crawl payloads inside the fused
+    kernel (contract: never raises, and — stronger — never hangs)."""
+    from ai_ocr_spark.kernels.warc import emit_warc, parse_warc
+
+    good = emit_warc([("https://ok.example.com/a", "2025-03-01T00:00:00Z", b"fine")])
+    hostile = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://evil.example.com/x\r\n"
+        b"Content-Length: -100\r\n"
+        b"\r\n"
+    )
+    # hostile record first: the scan must stop (best effort), not loop
+    recs = parse_warc(hostile + good)
+    assert isinstance(recs, list)  # returned at all == no hang
+    # sane records BEFORE the hostile one still come back
+    recs2 = parse_warc(good + hostile)
+    assert [r["url"] for r in recs2] == ["https://ok.example.com/a"]
+
+
+def test_warc_incremental_stream_chunk_boundaries():
+    """iter_warc_stream must yield exactly the records parse_warc sees
+    regardless of how the byte stream is chunked — including chunks so
+    small the 'WARC/' magic and header/payload boundaries straddle
+    every split."""
+    from ai_ocr_spark.kernels.warc import emit_warc, iter_warc_stream, parse_warc
+
+    records = [
+        (f"https://s{i}.example.com/{i}", "2025-03-01T00:00:00Z",
+         ("payload %d " % i * 50).encode())
+        for i in range(10)
+    ]
+    stream = emit_warc(records)
+    want = [(r["url"], r["body"]) for r in parse_warc(stream)]
+    for size in (1, 7, 64, 1024, len(stream)):
+        chunks = [stream[o : o + size] for o in range(0, len(stream), size)]
+        got = [(r["url"], r["body"]) for r in iter_warc_stream(chunks)]
+        assert got == want, f"chunk size {size} diverged"
+
+
+def test_warc_file_source_surfaces_errors_not_silent_drop(spark, tmp_path):
+    """ADVICE r2: a failing WARC file must emit a countable warcerr://
+    diagnostic row, never vanish (the r2 version silently `continue`d)."""
+    import gzip
+
+    from ai_ocr_spark.kernels.warc import emit_warc
+    from ai_ocr_spark.sources.pages import WARC_ERROR_URL_PREFIX, pages_from_warc
+
+    good = emit_warc(
+        [("https://ok.example.com/a", "2025-03-01T00:00:00Z", b"<p>fine</p>")]
+    )
+    hostile = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: -100\r\n\r\n"
+    )
+    (tmp_path / "good.warc.gz").write_bytes(gzip.compress(good))
+    # valid gzip magic, garbage body -> corrupt-transport error row
+    (tmp_path / "corrupt.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 64)
+    # good record then hostile record -> record rows AND an error row
+    (tmp_path / "partial.warc").write_bytes(good + hostile)
+
+    pages = pages_from_warc(spark, str(tmp_path) + "/*").toPandas()
+    errs = pages[pages["url"].str.startswith(WARC_ERROR_URL_PREFIX)]
+    oks = pages[~pages["url"].str.startswith(WARC_ERROR_URL_PREFIX)]
+    assert len(oks) == 2  # one good record from each parseable file
+    assert len(errs) == 2  # corrupt gzip + negative content-length
+    reasons = set(u.rsplit("#", 1)[1] for u in errs["url"])
+    assert reasons == {"corrupt gzip transport", "negative content-length"}
+
+
 def test_asof_price_belongs_to_the_picked_order(spark):
     """max_by regression: asof_price must come from the SAME order as
     asof_orderkey when a customer has several orders on the as-of date."""
