@@ -298,6 +298,13 @@ def run_extraction_job(
     run is a no-op. Returns the commit entry (or {} when nothing was
     pending). Replaces the reference's seven-hop job lifecycle
     (src/processor/app/main.py:59-163) with one lazy plan and one commit.
+
+    Every Spark job the run submits is tagged with the run_id as its
+    job group, so an in-flight run is cancelable by id via cancel_run
+    — mirroring the reference's job-cancel endpoint
+    (src/processor/app/main.py:207-243). A cancel mid-write aborts
+    before the manifest commit, so no snapshot becomes visible
+    (atomic-append guarantee in catalog.py).
     """
     import uuid as _uuid
 
@@ -307,29 +314,49 @@ def run_extraction_job(
     extractions = SnapshotTable(f"{out_root}/extractions")
     metrics = SnapshotTable(f"{out_root}/metrics")
 
-    pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
-    pending = extractions.pending(spark, pages)
-    if num_partitions is None:
-        num_partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
-    out = extract_pages(pending, run_id=run_id, num_partitions=num_partitions)
-    # ONE pass over the input: extract+write, then decide from the
-    # written snapshot (an isEmpty() pre-check would run the scan and
-    # the anti-join twice — a full extra pass at 10^12 rows)
-    entry = extractions.append(out, run_id=run_id)
-    snap_df = spark.read.parquet(f"{extractions.root}/{entry['dir']}")
-    if snap_df.isEmpty():
-        extractions.remove_snapshot(entry["dir"])
-        entry = {}
+    sc = spark.sparkContext
+    prior_group = sc.getLocalProperty("spark.jobGroup.id")
+    prior_desc = sc.getLocalProperty("spark.job.description")
+    sc.setJobGroup(run_id, f"extraction run {run_id}", interruptOnCancel=True)
+    try:
+        pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
+        pending = extractions.pending(spark, pages)
+        if num_partitions is None:
+            num_partitions = max(sc.defaultParallelism * 2, 8)
+        out = extract_pages(pending, run_id=run_id, num_partitions=num_partitions)
+        # ONE pass over the input: extract+write, then decide from the
+        # written snapshot (an isEmpty() pre-check would run the scan and
+        # the anti-join twice — a full extra pass at 10^12 rows)
+        entry = extractions.append(out, run_id=run_id)
+        snap_df = spark.read.parquet(f"{extractions.root}/{entry['dir']}")
+        if snap_df.isEmpty():
+            extractions.remove_snapshot(entry["dir"])
+            entry = {}
 
-    # metrics reconcile (idempotent): backfill for every committed
-    # extraction snapshot missing its metrics rows — heals a crash
-    # between the two appends instead of assuming they were atomic
-    have = {s["run_id"] for s in metrics.snapshots()}
-    for s in extractions.snapshots():
-        if s["run_id"] not in have:
-            sdf = spark.read.parquet(f"{extractions.root}/{s['dir']}")
-            metrics.append(metrics_of(sdf, run_id=s["run_id"]), run_id=s["run_id"])
-    return entry
+        # metrics reconcile (idempotent): backfill for every committed
+        # extraction snapshot missing its metrics rows — heals a crash
+        # between the two appends instead of assuming they were atomic
+        have = {s["run_id"] for s in metrics.snapshots()}
+        for s in extractions.snapshots():
+            if s["run_id"] not in have:
+                sdf = spark.read.parquet(f"{extractions.root}/{s['dir']}")
+                metrics.append(metrics_of(sdf, run_id=s["run_id"]), run_id=s["run_id"])
+        return entry
+    finally:
+        # restore, not clear: a caller running inside its own job group
+        # (e.g. a scheduler wrapping several runs) keeps its tagging
+        sc.setLocalProperty("spark.jobGroup.id", prior_group)
+        sc.setLocalProperty("spark.job.description", prior_desc)
+
+
+def cancel_run(spark: SparkSession, run_id: str) -> None:
+    """Cancel every in-flight Spark job belonging to run_id (the job
+    group run_extraction_job sets). Tasks are interrupted
+    (interruptOnCancel), the driver-side writer raises, and because the
+    snapshot manifest commit happens only after a successful write, a
+    canceled run leaves NO committed snapshot — the next run resumes
+    from the last committed state as if the canceled one never started."""
+    spark.sparkContext.cancelJobGroup(run_id)
 
 
 # ---------------------------------------------------------------------------

@@ -121,6 +121,58 @@ def test_concurrent_appends_both_commit(spark, pages_parquet, tmp_path):
     assert tbl.read(spark).count() == 3 + 4 + 5
 
 
+def test_cancel_run_leaves_no_committed_snapshot(spark, pages_parquet, tmp_path):
+    """cancel_run(run_id) must abort an in-flight run (job-group cancel,
+    reference cancel semantics src/processor/app/main.py:207-243) and —
+    because the manifest commit happens only after a successful write —
+    leave NO committed snapshot, so the next run starts clean."""
+    import threading
+    import time
+
+    from ai_ocr_spark.pipeline import cancel_run, run_extraction_job
+
+    # inflate the fixture so the run is reliably in flight when the
+    # cancel lands (240 docs extract in well under a second at local[4])
+    big = str(tmp_path / "bigpages")
+    pages = spark.read.parquet(pages_parquet)
+    pages.crossJoin(spark.range(60).select(F.col("id").alias("rep"))).select(
+        F.concat_ws("/", "url", "rep").alias("url"), "warc_ts", "html", "text", "lang"
+    ).write.parquet(big)
+
+    out_root = str(tmp_path / "wh")
+    run_id = "cancel-me"
+    errs: list[Exception] = []
+
+    def go():
+        try:
+            run_extraction_job(spark, big, out_root, run_id=run_id)
+        except Exception as e:
+            errs.append(e)
+
+    t = threading.Thread(target=go)
+    t.start()
+    # wait until a job tagged with the run's group is actually running
+    tracker = spark.sparkContext.statusTracker()
+    deadline = time.time() + 60
+    while time.time() < deadline and not tracker.getJobIdsForGroup(run_id):
+        if not t.is_alive():
+            break
+        time.sleep(0.01)
+    assert tracker.getJobIdsForGroup(run_id), "run finished before cancel"
+    # re-issue until the run dies: cancelJobGroup only kills ACTIVE jobs,
+    # and the first job the poll saw may be a short planning job
+    deadline = time.time() + 120
+    while t.is_alive() and time.time() < deadline:
+        cancel_run(spark, run_id)
+        t.join(timeout=0.05)
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert errs, "cancel did not abort the run"
+    assert SnapshotTable(f"{out_root}/extractions").snapshots() == []
+    # the run's job group must not leak into the caller's thread state
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") in (None, "")
+
+
 def test_metrics_backfill_after_partial_commit(spark, pages_parquet, tmp_path):
     """Crash between the extractions append and the metrics append is
     healed by the next run (reconcile loop in run_extraction_job)."""
