@@ -29,6 +29,7 @@ from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
 from ai_ocr_spark.operators import sketch as SK  # noqa: E402
 from ai_ocr_spark.operators import temporal as TP  # noqa: E402
 from ai_ocr_spark.operators import textstats as TS  # noqa: E402
+from ai_ocr_spark.sources import pages as PG  # noqa: E402
 from ai_ocr_spark.streaming import windows as SW  # noqa: E402
 
 
@@ -99,6 +100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- oracle SQL fixed this round (DuckDB HUGEINT casts) --
         "agg_column_profile": R.agg_column_profile,
         "agg_rollup_category": R.agg_rollup_category,
+        # S2 encoding / S3 delimiter sniff + P6 gate over synthesized
+        # payloads (new in r3 — closes the last pytest-only S-rows)
+        "sniff_roundtrip": PG.sniff_roundtrip,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -201,6 +205,51 @@ def oracle_sql() -> dict[str, str]:
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang
+        """,
+        "sniff_roundtrip": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(floor(doc_id / 4) AS BIGINT) % 4 AS bm,
+                       doc_id % 53 = 0 AS is_empty,
+                       CASE doc_id % 4 WHEN 0 THEN ',' WHEN 1 THEN ';'
+                            WHEN 2 THEN chr(9) ELSE '|' END AS d,
+                       source, coalesce(lang, '') AS lang0,
+                       substr(coalesce(text, ''), 1, 120) AS sample
+                FROM documents
+            ),
+            built AS (
+                SELECT doc_id, bm, is_empty,
+                       CASE WHEN is_empty THEN '' ELSE
+                           'id' || d || 'status' || d || 'label' || chr(10) ||
+                           CAST(doc_id AS VARCHAR) || d || source || d || lang0 || chr(10) ||
+                           sample || chr(10) ||
+                           repeat(',', CAST(doc_id % 5 AS INT)) ||
+                           repeat(';', CAST(doc_id % 7 AS INT)) ||
+                           repeat('|', CAST(doc_id % 3 AS INT))
+                       END AS body
+                FROM base
+            ),
+            counted AS (
+                SELECT doc_id, bm, is_empty,
+                       length(body) - length(replace(body, ',', '')) AS cc,
+                       length(body) - length(replace(body, ';', '')) AS cs,
+                       length(body) - length(replace(body, chr(9), '')) AS ct,
+                       length(body) - length(replace(body, '|', '')) AS cp
+                FROM built
+            )
+            SELECT doc_id,
+                   CASE WHEN is_empty THEN 'utf-8'
+                        WHEN bm = 0 THEN 'utf-8-sig'
+                        WHEN bm = 1 THEN 'utf-16-le'
+                        WHEN bm = 2 THEN 'utf-16-be'
+                        ELSE 'utf-8' END AS encoding,
+                   CASE WHEN cc = greatest(cc, cs, ct, cp) THEN ','
+                        WHEN cs = greatest(cc, cs, ct, cp) THEN ';'
+                        WHEN ct = greatest(cc, cs, ct, cp) THEN chr(9)
+                        ELSE '|' END AS delimiter,
+                   NOT is_empty AS accepted,
+                   CASE WHEN is_empty THEN 'empty payload' END AS skip_reason
+            FROM counted
         """,
         "agg_bool_checks": """
             SELECT l_returnflag,
