@@ -151,3 +151,40 @@ def test_embedding_lsh_recall_against_bruteforce(spark):
         recall = len(lsh_pairs) / len(exact_pairs)
         # 6 tables x 6 planes: expected 1-(1-p^6)^6 ~ 0.25 at cos 0.35
         assert recall >= 0.12, recall
+
+
+def test_connected_components_pointer_doubling_on_long_path(spark):
+    """A 200-node path graph (diameter 199): the r2 propagation loop
+    needed one round per hop and its 50-round cap made it raise here.
+    Pointer doubling halves label-chain length every round, so 12
+    rounds (~log2(199)+detect) must suffice and every node must land
+    on component 0."""
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.operators.dedup import connected_components_labels
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    out = connected_components_labels(nodes, pairs, max_rounds=12).toPandas()
+    assert len(out) == n
+    assert set(out["component_id"]) == {0}
+
+
+def test_connected_components_round_cap_still_raises(spark):
+    """Non-convergence must stay loud: with max_rounds too small for
+    the graph, the operator raises instead of returning split labels."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.operators.dedup import connected_components_labels
+
+    n = 64
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_labels(nodes, pairs, max_rounds=2)
