@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S2 encoding / S3 delimiter sniff + P6 gate over synthesized
         # payloads (new in r3 — closes the last pytest-only S-rows)
         "sniff_roundtrip": PG.sniff_roundtrip,
+        # append-mode streaming drain (new in r3): watermark drops and
+        # the unemitted tail are value-checked on both engines
+        "stream_events_daily_append": SW.stream_events_daily_append,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -415,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_gzip_roundtrip": RT.GZIP_ORACLE_SQL,
         "pipeline_warc_roundtrip": RT.WARC_ORACLE_SQL,
         "stream_events_daily": SW.STREAM_EVENTS_DAILY_ORACLE,
+        "stream_events_daily_append": SW.STREAM_EVENTS_DAILY_APPEND_ORACLE,
         "join_asof_orders": TP.ASOF_ORACLE_SQL,
         "range_join_event_pairs": TP.RANGE_ORACLE_SQL,
         "sketch_distinct_kmv": SK.KMV_ORACLE_SQL,

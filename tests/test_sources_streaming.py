@@ -348,3 +348,28 @@ def test_asof_price_belongs_to_the_picked_order(spark):
     hit = out[out["asof_orderkey"].notna()].head(200)
     for _, r in hit.iterrows():
         assert r["asof_price"] == price_of[int(r["asof_orderkey"])]
+
+
+def test_append_drain_provably_drops_late_rows_and_tail(spark):
+    """The append-mode drain must differ from the complete-mode drain
+    in BOTH documented ways: the unemitted tail (windows the final
+    watermark left open) and late-row drops (batch-2 rows whose window
+    closed under the batch-0 watermark). If either effect vanished the
+    oracle would be value-checking a trivial copy of the batch rollup."""
+    from ai_ocr_spark.streaming.windows import (
+        stream_events_daily,
+        stream_events_daily_append,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = stream_events_daily(spark, sf).toPandas()
+    app = stream_events_daily_append(spark, sf).toPandas()
+    assert len(app) < len(full)  # tail windows never emitted
+    m = app.merge(
+        full,
+        on=["window_start", "window_end", "event_type"],
+        suffixes=("_a", "_f"),
+    )
+    assert len(m) == len(app)  # every emitted window exists in batch
+    assert (m["n_events_a"] < m["n_events_f"]).any()  # real late drops
+    assert (m["n_events_a"] <= m["n_events_f"]).all()
