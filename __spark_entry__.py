@@ -24,6 +24,7 @@ from ai_ocr_spark.operators import relational as R  # noqa: E402
 from ai_ocr_spark.operators import roundtrip as RT  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_fields as RF  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_pdf as RP  # noqa: E402
+from ai_ocr_spark.operators import roundtrip_xls as RXL  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_xlsx as RX  # noqa: E402
 from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
 from ai_ocr_spark.operators import sketch as SK  # noqa: E402
@@ -106,6 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # append-mode streaming drain (new in r3): watermark drops and
         # the unemitted tail are value-checked on both engines
         "stream_events_daily_append": SW.stream_events_daily_append,
+        # legacy .xls: OLE2 compound file -> BIFF8 records -> tables
+        # (new in r3 — closes the last input-format gap vs the
+        # reference's file_validator.py xls acceptance)
+        "pipeline_xls_roundtrip": RXL.pipeline_xls_roundtrip,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -414,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_invoice_roundtrip": RF.ORACLE_SQL,
         "pipeline_pdf_roundtrip": RP.ORACLE_SQL,
         "pipeline_xlsx_roundtrip": RX.ORACLE_SQL,
+        "pipeline_xls_roundtrip": RXL.ORACLE_SQL,
         "pipeline_sections": RT.SECTIONS_ORACLE_SQL,
         "pipeline_gzip_roundtrip": RT.GZIP_ORACLE_SQL,
         "pipeline_warc_roundtrip": RT.WARC_ORACLE_SQL,

@@ -531,6 +531,12 @@ def sniff_kind(payload: bytes) -> str:
     (reference: src/processor/app/parsers/excel_parser.py:32-40)."""
     if not payload:
         return "empty"
+    if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        # OLE2 compound file: legacy .xls (BIFF8). The reference
+        # accepts xls uploads (file_validator.py:15-57); parse_xls
+        # validates structurally and degrades to empty sheets when the
+        # container holds no Workbook stream.
+        return "xls"
     if payload[:4] == b"PK\x03\x04":
         # zip container (magic at offset 0, no lstrip): xlsx iff it holds
         # a workbook part. Member names appear verbatim in local file

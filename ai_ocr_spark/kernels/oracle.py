@@ -83,20 +83,32 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
             return kind, extract_pdf_text(payload), [], []
         except Exception:
             return kind, "", [], []
-    if kind == "xlsx":
+    if kind in ("xlsx", "xls"):
         # multi-sheet scan + workbook metadata (S5): props/counters are
         # rendered as 'Label: value' lines so the standard labeled-field
         # extractor yields them as fields WITH real spans; each sheet
         # becomes one table through the same header heuristic as HTML
-        # (reference: excel_parser.py:40-113 sheet scan, :331-392 props)
-        from .xlsx import parse_xlsx
+        # (reference: excel_parser.py:40-113 sheet scan, :331-392 props).
+        # Legacy BIFF8 .xls flows through the same block — parse_xls
+        # returns the parse_xlsx dict shape (props empty by scope).
+        if kind == "xls":
+            from .xls import parse_xls as _parse_wb
+        else:
+            from .xlsx import parse_xlsx as _parse_wb
 
-        wb = parse_xlsx(payload)
-        lines = [
-            "Workbook",
-            f"Title: {wb['title']}",
-            f"Author: {wb['author']}",
-            f"Created: {wb['created']}",
+        wb = _parse_wb(payload)
+        lines = ["Workbook"]
+        # empty prop lines are omitted, not rendered as 'Title: ' — a
+        # label with no value makes the labeled-field extractor capture
+        # the NEXT label as its value (xls has no props by scope)
+        for label, val in (
+            ("Title", wb["title"]),
+            ("Author", wb["author"]),
+            ("Created", wb["created"]),
+        ):
+            if val:
+                lines.append(f"{label}: {val}")
+        lines += [
             f"Sheets: {len(wb['sheets'])}",
             f"Merged Cells: {wb['n_merged']}",
             f"Formulas: {wb['n_formulas']}",

@@ -1,0 +1,484 @@
+"""Minimal legacy .xls (OLE2 + BIFF8) reader + emitter, stdlib only.
+
+Closes the last input-format gap vs the reference, which accepts xls
+alongside xlsx/csv (reference: src/api/app/utils/file_validator.py:15-57,
+dispatch src/processor/app/parsers/excel_parser.py:32-40). Same contract
+as kernels.xlsx: the emitter produces the fixture subset, the parser
+round-trips it and never raises on malformed input.
+
+Scope (and the documented descope):
+  * OLE2/CFB container: 512-byte sectors, header-resident DIFAT plus
+    chained DIFAT sectors, regular FAT chains, AND the mini-stream path
+    (miniFAT + ministream) for streams under the 4096-byte cutoff.
+  * BIFF8 Workbook stream: BOF/EOF substream structure, BOUNDSHEET
+    sheet names, SST/LABELSST shared strings (compressed and UTF-16
+    cell text), LABEL, NUMBER, RK (both integer and double encodings,
+    with the /100 flag), MERGEDCELLS and FORMULA counters.
+  * NOT parsed: the \x05SummaryInformation property-set stream — xls
+    document properties (title/author/created) come back empty; cell
+    values, sheet names and the merged/formula counters carry the S5
+    surface. CONTINUE-spanning SSTs degrade to the entries that fit
+    (best effort, never a raise).
+
+Number cells render exactly like the xlsx parser renders numeric <v>
+cells built from ints: integral doubles as '5', everything else via
+repr — so a workbook emitted from the same rows produces byte-identical
+table text through either container.
+"""
+
+from __future__ import annotations
+
+import struct
+
+SECT = 512
+MINISECT = 64
+MINI_CUTOFF = 4096
+FREESECT = 0xFFFFFFFF
+ENDOFCHAIN = 0xFFFFFFFE
+FATSECT = 0xFFFFFFFD
+OLE_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+
+# BIFF8 record ids
+_BOF = 0x0809
+_EOF = 0x000A
+_SST = 0x00FC
+_LABELSST = 0x00FD
+_LABEL = 0x0204
+_NUMBER = 0x0203
+_RK = 0x027E
+_MULRK = 0x00BD
+_BOUNDSHEET = 0x0085
+_MERGEDCELLS = 0x00E5
+_FORMULA = 0x0006
+_CODEPAGE = 0x0042
+
+
+# ---------------------------------------------------------------------------
+# OLE2 container
+# ---------------------------------------------------------------------------
+
+
+def _ole_wrap(stream: bytes, force_mini: bool | None = None) -> bytes:
+    """Wrap one 'Workbook' stream in a minimal OLE2 compound file.
+
+    Streams under the 4096-byte cutoff go through the ministream (the
+    spec requires it, and it exercises the reader's miniFAT path);
+    larger streams use regular FAT chains. force_mini overrides for
+    tests."""
+    mini = len(stream) < MINI_CUTOFF if force_mini is None else force_mini
+
+    def pad(b: bytes, unit: int) -> bytes:
+        rem = len(b) % unit
+        return b if rem == 0 else b + b"\x00" * (unit - rem)
+
+    if mini:
+        ministream = pad(stream, MINISECT)
+        n_mini = len(ministream) // MINISECT
+        n_ministream_sects = max(1, (len(ministream) + SECT - 1) // SECT)
+        ministream = pad(ministream, SECT)
+        # sectors: [FAT...] [DIR] [MINIFAT] [ministream...]
+        n_fat = 1
+        while n_fat * (SECT // 4) < n_fat + 2 + n_ministream_sects:
+            n_fat += 1
+        dir_sect = n_fat
+        minifat_sect = n_fat + 1
+        mini_start = n_fat + 2
+        fat = [FATSECT] * n_fat + [ENDOFCHAIN, ENDOFCHAIN]
+        fat += [mini_start + i + 1 for i in range(n_ministream_sects - 1)]
+        fat += [ENDOFCHAIN]
+        minifat = [i + 1 for i in range(n_mini - 1)] + [ENDOFCHAIN]
+        minifat_bytes = pad(
+            b"".join(struct.pack("<I", e) for e in minifat), SECT
+        )
+        body = minifat_bytes + ministream
+        root_start, root_size = mini_start, n_mini * MINISECT
+        wb_start, wb_size = 0, len(stream)
+        first_minifat, n_minifat = minifat_sect, 1
+    else:
+        data = pad(stream, SECT)
+        n_stream = len(data) // SECT
+        n_fat = 1
+        while n_fat * (SECT // 4) < n_fat + 1 + n_stream:
+            n_fat += 1
+        dir_sect = n_fat
+        stream_start = n_fat + 1
+        fat = [FATSECT] * n_fat + [ENDOFCHAIN]
+        fat += [stream_start + i + 1 for i in range(n_stream - 1)]
+        fat += [ENDOFCHAIN]
+        body = data
+        root_start, root_size = ENDOFCHAIN, 0
+        wb_start, wb_size = stream_start, len(stream)
+        first_minifat, n_minifat = ENDOFCHAIN, 0
+
+    fat_bytes = b"".join(struct.pack("<I", e) for e in fat)
+    fat_bytes = fat_bytes + b"\xff" * (n_fat * SECT - len(fat_bytes))
+
+    def dirent(name: str, typ: int, start: int, size: int, child: int = FREESECT) -> bytes:
+        raw = name.encode("utf-16-le") + b"\x00\x00"
+        return (
+            raw.ljust(64, b"\x00")
+            + struct.pack("<H", len(raw))
+            + struct.pack("<BB", typ, 1)          # type, black
+            + struct.pack("<iii", -1, -1, struct.unpack("<i", struct.pack("<I", child & 0xFFFFFFFF))[0])
+            + b"\x00" * 16                         # clsid
+            + b"\x00" * 4                          # state bits
+            + b"\x00" * 16                         # timestamps
+            + struct.pack("<I", start)
+            + struct.pack("<Q", size)
+        )
+
+    directory = (
+        dirent("Root Entry", 5, root_start, root_size, child=1)
+        + dirent("Workbook", 2, wb_start, wb_size)
+        + b"\x00" * 128 * 2
+    )
+
+    difat = [i for i in range(n_fat)] + [FREESECT] * (109 - n_fat)
+    header = (
+        OLE_MAGIC
+        + b"\x00" * 16                             # clsid
+        + struct.pack("<HH", 0x003E, 0x0003)        # minor, major (v3)
+        + struct.pack("<H", 0xFFFE)                 # little-endian
+        + struct.pack("<HH", 9, 6)                  # sector 512, mini 64
+        + b"\x00" * 6
+        + struct.pack("<I", 0)                      # num dir sectors (v3: 0)
+        + struct.pack("<I", n_fat)
+        + struct.pack("<I", dir_sect)
+        + struct.pack("<I", 0)                      # transaction
+        + struct.pack("<I", MINI_CUTOFF)
+        + struct.pack("<I", first_minifat)
+        + struct.pack("<I", n_minifat)
+        + struct.pack("<I", ENDOFCHAIN)             # first DIFAT sector
+        + struct.pack("<I", 0)                      # num DIFAT sectors
+        + b"".join(struct.pack("<I", e) for e in difat)
+    )
+    assert len(header) == SECT
+    return header + fat_bytes + directory + body
+
+
+def _ole_stream(payload: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -> bytes:
+    """Extract the first stream matching `names` from an OLE2 file.
+    Returns b'' on any malformation (never raises)."""
+    try:
+        if payload[:8] != OLE_MAGIC or len(payload) < SECT:
+            return b""
+        (ssz,) = struct.unpack_from("<H", payload, 30)
+        sect = 1 << ssz
+        if sect not in (512, 4096) or sect > len(payload):
+            return b""
+        (n_fat,) = struct.unpack_from("<I", payload, 44)
+        (dir_start,) = struct.unpack_from("<I", payload, 48)
+        (mini_cutoff,) = struct.unpack_from("<I", payload, 56)
+        (minifat_start,) = struct.unpack_from("<I", payload, 60)
+        (difat_start,) = struct.unpack_from("<I", payload, 68)
+        (n_difat,) = struct.unpack_from("<I", payload, 72)
+
+        def sector(i: int) -> bytes:
+            off = SECT + i * sect if sect == 512 else sect + i * sect
+            return payload[off : off + sect]
+
+        # DIFAT: 109 header entries + optional chained DIFAT sectors
+        difat = list(struct.unpack_from("<109I", payload, 76))
+        nxt = difat_start
+        for _ in range(min(n_difat, 1024)):
+            if nxt in (ENDOFCHAIN, FREESECT):
+                break
+            blk = sector(nxt)
+            entries = struct.unpack(f"<{sect // 4}I", blk)
+            difat += entries[:-1]
+            nxt = entries[-1]
+        fat: list[int] = []
+        for sid in difat[: max(n_fat, 0)]:
+            if sid in (FREESECT, ENDOFCHAIN):
+                continue
+            fat += struct.unpack(f"<{sect // 4}I", sector(sid))
+
+        def chain(start: int, cap: int = 1 << 20) -> bytes:
+            out, cur, seen = [], start, set()
+            while cur not in (ENDOFCHAIN, FREESECT) and len(seen) < cap:
+                if cur in seen or cur >= len(fat):
+                    break  # cycle or corrupt chain: best effort
+                seen.add(cur)
+                out.append(sector(cur))
+                cur = fat[cur]
+            return b"".join(out)
+
+        directory = chain(dir_start)
+        root_start = root_size = None
+        target = None
+        for off in range(0, len(directory) - 127, 128):
+            ent = directory[off : off + 128]
+            (nlen,) = struct.unpack_from("<H", ent, 64)
+            if not 2 <= nlen <= 64:
+                continue
+            name = ent[: nlen - 2].decode("utf-16-le", "replace")
+            typ = ent[66]
+            (start,) = struct.unpack_from("<I", ent, 116)
+            (size,) = struct.unpack_from("<Q", ent, 120)
+            size &= 0xFFFFFFFF  # v3: only the low 4 bytes are valid
+            if typ == 5:
+                root_start, root_size = start, size
+            elif typ == 2 and name in names and target is None:
+                target = (start, size)
+        if target is None:
+            return b""
+        start, size = target
+        if size < mini_cutoff and root_start is not None:
+            ministream = chain(root_start)[: root_size or None]
+            minifat_raw = chain(minifat_start)
+            minifat = struct.unpack(f"<{len(minifat_raw) // 4}I", minifat_raw)
+            out, cur, seen = [], start, set()
+            while cur not in (ENDOFCHAIN, FREESECT) and cur not in seen:
+                seen.add(cur)
+                out.append(ministream[cur * MINISECT : (cur + 1) * MINISECT])
+                if cur >= len(minifat):
+                    break
+                cur = minifat[cur]
+            got = b"".join(out)[:size]
+            if len(got) == size:
+                return got
+            # spec says sub-cutoff streams live in the ministream, but a
+            # lenient reader tries the regular chain before giving up
+        return chain(start)[:size]
+    except Exception:
+        return b""
+
+
+# ---------------------------------------------------------------------------
+# BIFF8 records
+# ---------------------------------------------------------------------------
+
+
+def _rec(typ: int, data: bytes) -> bytes:
+    return struct.pack("<HH", typ, len(data)) + data
+
+
+def _ucs(s: str, short: bool) -> bytes:
+    """ShortXLUnicodeString (cch as byte) or XLUnicodeString (cch as
+    word), always emitted as 16-bit chars (grbit 0x01)."""
+    raw = s.encode("utf-16-le")
+    cch = min(len(s), 255 if short else 0xFFFF)
+    head = struct.pack("<BB" if short else "<HB", cch, 0x01)
+    return head + raw[: 2 * cch]
+
+
+def _read_ucs(data: bytes, off: int, short: bool) -> tuple[str, int]:
+    """Parse an XLUnicodeString; returns (text, next offset)."""
+    if short:
+        cch = data[off]
+        off += 1
+    else:
+        (cch,) = struct.unpack_from("<H", data, off)
+        off += 2
+    grbit = data[off]
+    off += 1
+    if grbit & 0x08:  # rich runs
+        (cruns,) = struct.unpack_from("<H", data, off)
+        off += 2
+    else:
+        cruns = 0
+    if grbit & 0x04:  # extended (phonetic)
+        (cb_ext,) = struct.unpack_from("<I", data, off)
+        off += 4
+    else:
+        cb_ext = 0
+    if grbit & 0x01:
+        text = data[off : off + 2 * cch].decode("utf-16-le", "replace")
+        off += 2 * cch
+    else:
+        text = data[off : off + cch].decode("latin-1")
+        off += cch
+    off += 4 * cruns + cb_ext
+    return text, off
+
+
+def _num_text(x: float) -> str:
+    """Match the xlsx parser's rendering of numeric cells built from
+    ints: integral doubles print without the trailing .0."""
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    return repr(x)
+
+
+def _rk_value(raw: int) -> float:
+    if raw & 0x02:  # 30-bit signed integer
+        v = raw >> 2
+        if v & 0x20000000:
+            v -= 0x40000000
+        num = float(v)
+    else:  # high 30 bits of an IEEE double
+        num = struct.unpack("<d", struct.pack("<Q", (raw & 0xFFFFFFFC) << 32))[0]
+    return num / 100.0 if raw & 0x01 else num
+
+
+def emit_xls(
+    sheets: list[tuple[str, list[list[object]]]],
+    merged: dict[str, list[tuple[int, int, int, int]]] | None = None,
+) -> bytes:
+    """Build a minimal BIFF8 .xls: [(name, rows)] with int/float cells
+    as NUMBER records and everything else through the SST. merged maps
+    sheet name -> [(rw_first, rw_last, col_first, col_last)]."""
+    merged = merged or {}
+    # SST over all string cells, dedup in first-seen order
+    sst_index: dict[str, int] = {}
+    for _name, rows in sheets:
+        for row in rows:
+            for cell in row:
+                if not isinstance(cell, (int, float)) and str(cell) not in sst_index:
+                    sst_index[str(cell)] = len(sst_index)
+    n_refs = sum(
+        1
+        for _n, rows in sheets
+        for row in rows
+        for c in row
+        if not isinstance(c, (int, float))
+    )
+    sst_data = struct.pack("<II", max(n_refs, len(sst_index)), len(sst_index))
+    for s in sst_index:
+        sst_data += _ucs(s, short=False)
+
+    sheet_streams: list[bytes] = []
+    for name, rows in sheets:
+        body = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0x0DBB, 0x07CC, 0, 0))
+        for r, row in enumerate(rows):
+            for c, cell in enumerate(row):
+                if isinstance(cell, (int, float)):
+                    body += _rec(
+                        _NUMBER, struct.pack("<HHHd", r, c, 0, float(cell))
+                    )
+                else:
+                    body += _rec(
+                        _LABELSST,
+                        struct.pack("<HHHI", r, c, 0, sst_index[str(cell)]),
+                    )
+        if name in merged:
+            refs = merged[name]
+            body += _rec(
+                _MERGEDCELLS,
+                struct.pack("<H", len(refs))
+                + b"".join(struct.pack("<HHHH", *ref) for ref in refs),
+            )
+        body += _rec(_EOF, b"")
+        sheet_streams.append(body)
+
+    # globals need BOUNDSHEET stream offsets -> build with placeholders,
+    # then patch once the globals length is known
+    def globals_block(offsets: list[int]) -> bytes:
+        g = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0))
+        g += _rec(_CODEPAGE, struct.pack("<H", 1200))
+        g += _rec(_SST, sst_data)
+        for (name, _rows), off in zip(sheets, offsets):
+            g += _rec(
+                _BOUNDSHEET, struct.pack("<IH", off, 0x0000) + _ucs(name, short=True)
+            )
+        g += _rec(_EOF, b"")
+        return g
+
+    glen = len(globals_block([0] * len(sheets)))
+    offsets, pos = [], glen
+    for ss in sheet_streams:
+        offsets.append(pos)
+        pos += len(ss)
+    stream = globals_block(offsets) + b"".join(sheet_streams)
+    return _ole_wrap(stream)
+
+
+def parse_xls(payload: bytes) -> dict:
+    """xls bytes -> the parse_xlsx dict shape: {sheets: [{name, rows}],
+    title, author, created, n_merged, n_formulas}. Document properties
+    are empty by scope (no property-set stream parsing). Best-effort,
+    never raises."""
+    out: dict = {
+        "sheets": [],
+        "title": "",
+        "author": "",
+        "created": "",
+        "n_merged": 0,
+        "n_formulas": 0,
+    }
+    try:
+        stream = _ole_stream(payload)
+        if not stream:
+            return out
+        sst: list[str] = []
+        names: list[str] = []
+        grids: list[dict] = []
+        grid: dict | None = None
+        bof_count = 0
+        i, n = 0, len(stream)
+        while i + 4 <= n:
+            typ, ln = struct.unpack_from("<HH", stream, i)
+            i += 4
+            if typ == 0:  # zero padding after the last EOF
+                break
+            data = stream[i : i + ln]
+            i += ln
+            if len(data) < ln:
+                break  # truncated record: best effort
+            try:
+                if typ == _BOF:
+                    # first BOF opens the workbook globals; every later
+                    # BOF starts a sheet substream
+                    bof_count += 1
+                    if bof_count > 1:
+                        grid = {}
+                elif typ == _EOF:
+                    if grid is not None:
+                        grids.append(grid)
+                        grid = None
+                elif typ == _SST:
+                    off = 8
+                    (_total, n_unique) = struct.unpack_from("<II", data, 0)
+                    for _ in range(min(n_unique, 1 << 20)):
+                        if off >= len(data):
+                            break  # CONTINUE-spanning SST: keep what fits
+                        s, off = _read_ucs(data, off, short=False)
+                        sst.append(s)
+                elif typ == _BOUNDSHEET:
+                    s, _ = _read_ucs(data, 6, short=True)
+                    names.append(s)
+                elif grid is not None and typ == _LABELSST:
+                    r, c, _xf, idx = struct.unpack_from("<HHHI", data, 0)
+                    grid[(r, c)] = sst[idx] if idx < len(sst) else ""
+                elif grid is not None and typ == _LABEL:
+                    r, c, _xf = struct.unpack_from("<HHH", data, 0)
+                    s, _ = _read_ucs(data, 6, short=False)
+                    grid[(r, c)] = s
+                elif grid is not None and typ == _NUMBER:
+                    r, c, _xf, num = struct.unpack_from("<HHHd", data, 0)
+                    grid[(r, c)] = _num_text(num)
+                elif grid is not None and typ == _RK:
+                    r, c, _xf, raw = struct.unpack_from("<HHHI", data, 0)
+                    grid[(r, c)] = _num_text(_rk_value(raw))
+                elif grid is not None and typ == _MULRK:
+                    r, c0 = struct.unpack_from("<HH", data, 0)
+                    n_cells = (len(data) - 6) // 6
+                    for j in range(n_cells):
+                        (raw,) = struct.unpack_from("<I", data, 4 + 6 * j + 2)
+                        grid[(r, c0 + j)] = _num_text(_rk_value(raw))
+                elif typ == _MERGEDCELLS:
+                    (cmcs,) = struct.unpack_from("<H", data, 0)
+                    out["n_merged"] += cmcs
+                elif typ == _FORMULA:
+                    out["n_formulas"] += 1
+            except (struct.error, IndexError):
+                continue  # malformed record body: skip, keep scanning
+        if grid is not None:  # EOF missing: flush what we have
+            grids.append(grid)
+        for k, g in enumerate(grids):
+            rows: list[list[str]] = []
+            if g:
+                max_r = max(r for r, _c in g)
+                for r in range(max_r + 1):
+                    cols = [c for (rr, c) in g if rr == r]
+                    rows.append(
+                        [g.get((r, c), "") for c in range(max(cols) + 1)]
+                        if cols
+                        else []
+                    )
+            out["sheets"].append(
+                {"name": names[k] if k < len(names) else f"Sheet{k + 1}", "rows": rows}
+            )
+    except Exception:
+        pass  # contract: never raises; return best-effort state
+    return out

@@ -152,9 +152,15 @@ def content_kind(payload: Column, url: Column | None = None) -> Column:
     # bytes — UTF-8 decode throws on arbitrary binary payloads. The
     # ASCII '<' test is byte-identical under both charsets.
     head = F.decode(F.substring(payload, 1, 256), "ISO-8859-1")
-    kind = F.when(
-        F.substring(payload, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf")
-    ).when(F.ltrim(head).startswith("<"), F.lit("html"))
+    kind = (
+        F.when(F.substring(payload, 1, 5) == F.lit(b"%PDF-"), F.lit("pdf"))
+        .when(
+            F.substring(payload, 1, 8)
+            == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"),
+            F.lit("xls"),
+        )
+        .when(F.ltrim(head).startswith("<"), F.lit("html"))
+    )
     if url is not None:
         kind = kind.when(url.rlike(r"\.csv($|\?)"), F.lit("csv"))
     return kind.otherwise(F.lit("text"))
