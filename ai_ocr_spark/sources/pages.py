@@ -169,28 +169,25 @@ def content_kind(payload: Column, url: Column | None = None) -> Column:
 def sniff_csv_delimiter(payload: Column, probe_bytes: int = 4096) -> Column:
     """S3 delimiter sniff as expressions: count each candidate in the
     first 4 KB, argmax with the reference's precedence , ; tab |
-    (api/excel_parser.py:260-284)."""
+    (api/excel_parser.py:260-284).
+
+    Shape: ONE transform over the candidate array with plain (non-
+    regex) replace, then array_position(counts, max) — candidate order
+    IS the tie precedence. The r2 version built greatest()+when chains
+    whose shared probe subexpression CollapseProject inlined ~20x
+    (20 regex passes over 4 KB per row); this form evaluates the probe
+    once per candidate."""
     # ISO-8859-1, not UTF-8: total decode (never raises under ANSI on
     # malformed bytes — e.g. a UTF-16 BOM or binary junk), and the
     # delimiters are ASCII, whose byte counts are identical under both
     # charsets (UTF-8 continuation bytes are all >= 0x80)
     probe = F.decode(F.substring(payload, 1, probe_bytes), "ISO-8859-1")
-
-    def count_of(ch: str) -> Column:
-        return F.length(probe) - F.length(F.regexp_replace(probe, f"[{ch}]", ""))
-
-    counts = {
-        ",": count_of(","),
-        ";": count_of(";"),
-        "\t": count_of("\\t"),
-        "|": count_of("[|]"),
-    }
-    best = F.greatest(*counts.values())
-    # precedence order on ties mirrors the reference's dict iteration
-    out = F.lit(",")
-    for ch in ["|", "\t", ";", ","]:
-        out = F.when(counts[ch] == best, F.lit(ch)).otherwise(out)
-    return out
+    delims = F.array(F.lit(","), F.lit(";"), F.lit("\t"), F.lit("|"))
+    counts = F.transform(
+        delims, lambda d: F.length(probe) - F.length(F.replace(probe, d, F.lit("")))
+    )
+    # first index holding the max == highest-precedence winner
+    return F.element_at(delims, F.array_position(counts, F.array_max(counts)).cast("int"))
 
 
 def sniff_encoding(payload: Column) -> Column:
