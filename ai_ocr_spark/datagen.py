@@ -349,15 +349,26 @@ def make_page(i: int, seed: int = SEED) -> dict:
         ]
         total = sum(r[1] * r[2] for r in items[1:])
         summary = [["metric", "value", "rank"], ["total", total, 1], ["rows", n, 2]]
-        html = emit_xlsx(
-            [("Items", items), ("Summary", summary)],
-            title=f"Workbook {i}",
-            author=f"clerk-{rng.randint(0, 9)}",
-            merged={"Summary": ["A1:C1"]} if rng.random() < 0.7 else None,
-            formulas={"Summary": {"B2": ("SUM(Items!C:C)", total)}}
-            if rng.random() < 0.7
-            else None,
-        )
+        if rng.random() < 0.35:
+            # legacy BIFF8 container for a slice of the corpus — same
+            # family draw (so pinned fixtures don't shift), different
+            # container; xls has no doc-prop stream by scope
+            from .kernels.xls import emit_xls
+
+            html = emit_xls(
+                [("Items", items), ("Summary", summary)],
+                merged={"Summary": [(0, 0, 0, 2)]} if rng.random() < 0.7 else None,
+            )
+        else:
+            html = emit_xlsx(
+                [("Items", items), ("Summary", summary)],
+                title=f"Workbook {i}",
+                author=f"clerk-{rng.randint(0, 9)}",
+                merged={"Summary": ["A1:C1"]} if rng.random() < 0.7 else None,
+                formulas={"Summary": {"B2": ("SUM(Items!C:C)", total)}}
+                if rng.random() < 0.7
+                else None,
+            )
         text = None
     elif fam == "pdf":
         html = pdf_payload(rng)
