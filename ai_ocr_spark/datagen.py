@@ -352,12 +352,15 @@ def make_page(i: int, seed: int = SEED) -> dict:
         if rng.random() < 0.35:
             # legacy BIFF8 container for a slice of the corpus — same
             # family draw (so pinned fixtures don't shift), different
-            # container; xls has no doc-prop stream by scope
+            # container; props ride the SummaryInformation stream
             from .kernels.xls import emit_xls
 
             html = emit_xls(
                 [("Items", items), ("Summary", summary)],
                 merged={"Summary": [(0, 0, 0, 2)]} if rng.random() < 0.7 else None,
+                title=f"Workbook {i}",
+                author=f"clerk-{rng.randint(0, 9)}",
+                created="2025-03-01T00:00:00Z",
             )
         else:
             html = emit_xlsx(

@@ -58,58 +58,70 @@ _CODEPAGE = 0x0042
 # ---------------------------------------------------------------------------
 
 
-def _ole_wrap(stream: bytes, force_mini: bool | None = None) -> bytes:
-    """Wrap one 'Workbook' stream in a minimal OLE2 compound file.
+def _ole_wrap(
+    streams: bytes | list[tuple[str, bytes]], force_mini: bool | None = None
+) -> bytes:
+    """Wrap one or more named streams in a minimal OLE2 compound file.
 
-    Streams under the 4096-byte cutoff go through the ministream (the
-    spec requires it, and it exercises the reader's miniFAT path);
-    larger streams use regular FAT chains. force_mini overrides for
+    A bare bytes argument means a single 'Workbook' stream. Streams
+    under the 4096-byte cutoff go through the ministream (the spec
+    requires it, and it exercises the reader's miniFAT path); larger
+    streams use regular FAT chains. force_mini overrides per-file for
     tests."""
-    mini = len(stream) < MINI_CUTOFF if force_mini is None else force_mini
+    if isinstance(streams, bytes):
+        streams = [("Workbook", streams)]
 
     def pad(b: bytes, unit: int) -> bytes:
         rem = len(b) % unit
         return b if rem == 0 else b + b"\x00" * (unit - rem)
 
-    if mini:
-        ministream = pad(stream, MINISECT)
-        n_mini = len(ministream) // MINISECT
-        n_ministream_sects = max(1, (len(ministream) + SECT - 1) // SECT)
-        ministream = pad(ministream, SECT)
-        # sectors: [FAT...] [DIR] [MINIFAT] [ministream...]
-        n_fat = 1
-        while n_fat * (SECT // 4) < n_fat + 2 + n_ministream_sects:
-            n_fat += 1
-        dir_sect = n_fat
-        minifat_sect = n_fat + 1
-        mini_start = n_fat + 2
-        fat = [FATSECT] * n_fat + [ENDOFCHAIN, ENDOFCHAIN]
-        fat += [mini_start + i + 1 for i in range(n_ministream_sects - 1)]
-        fat += [ENDOFCHAIN]
-        minifat = [i + 1 for i in range(n_mini - 1)] + [ENDOFCHAIN]
-        minifat_bytes = pad(
-            b"".join(struct.pack("<I", e) for e in minifat), SECT
-        )
-        body = minifat_bytes + ministream
-        root_start, root_size = mini_start, n_mini * MINISECT
-        wb_start, wb_size = 0, len(stream)
-        first_minifat, n_minifat = minifat_sect, 1
-    else:
-        data = pad(stream, SECT)
-        n_stream = len(data) // SECT
-        n_fat = 1
-        while n_fat * (SECT // 4) < n_fat + 1 + n_stream:
-            n_fat += 1
-        dir_sect = n_fat
-        stream_start = n_fat + 1
-        fat = [FATSECT] * n_fat + [ENDOFCHAIN]
-        fat += [stream_start + i + 1 for i in range(n_stream - 1)]
-        fat += [ENDOFCHAIN]
-        body = data
-        root_start, root_size = ENDOFCHAIN, 0
-        wb_start, wb_size = stream_start, len(stream)
-        first_minifat, n_minifat = ENDOFCHAIN, 0
+    def is_mini(data: bytes) -> bool:
+        return len(data) < MINI_CUTOFF if force_mini is None else force_mini
 
+    # ministream: every mini stream padded to 64-byte minisectors,
+    # concatenated; minifat chains them
+    ministream = b""
+    minifat: list[int] = []
+    mini_starts: dict[str, int] = {}
+    for name, data in streams:
+        if not is_mini(data):
+            continue
+        start = len(ministream) // MINISECT
+        mini_starts[name] = start
+        chunk = pad(data, MINISECT)
+        n = len(chunk) // MINISECT
+        ministream += chunk
+        minifat += [start + i + 1 for i in range(n - 1)] + [ENDOFCHAIN]
+    n_ms = (len(pad(ministream, SECT)) // SECT) if ministream else 0
+    ministream = pad(ministream, SECT)
+    minifat_bytes = pad(b"".join(struct.pack("<I", e) for e in minifat), SECT)
+    m_f = (len(minifat_bytes) // SECT) if minifat else 0
+    minifat_bytes = minifat_bytes if minifat else b""
+
+    regular = [(name, pad(data, SECT)) for name, data in streams if not is_mini(data)]
+    n_dir = (1 + len(streams) + 3) // 4  # 128-byte entries, 4 per sector
+
+    total_data = n_dir + m_f + n_ms + sum(len(d) // SECT for _n, d in regular)
+    n_fat = 1
+    while n_fat * (SECT // 4) < n_fat + total_data:
+        n_fat += 1
+
+    # sector layout: [FAT...] [DIR...] [MINIFAT...] [ministream...] [regular...]
+    dir_sect = n_fat
+    minifat_sect = dir_sect + n_dir
+    ms_sect = minifat_sect + m_f
+    reg_sect = ms_sect + n_ms
+    fat = [FATSECT] * n_fat
+    fat += [dir_sect + i + 1 for i in range(n_dir - 1)] + [ENDOFCHAIN]
+    fat += [minifat_sect + i + 1 for i in range(m_f - 1)] + ([ENDOFCHAIN] if m_f else [])
+    fat += [ms_sect + i + 1 for i in range(n_ms - 1)] + ([ENDOFCHAIN] if n_ms else [])
+    reg_starts: dict[str, int] = {}
+    cur = reg_sect
+    for name, data in regular:
+        n = len(data) // SECT
+        reg_starts[name] = cur
+        fat += [cur + i + 1 for i in range(n - 1)] + [ENDOFCHAIN]
+        cur += n
     fat_bytes = b"".join(struct.pack("<I", e) for e in fat)
     fat_bytes = fat_bytes + b"\xff" * (n_fat * SECT - len(fat_bytes))
 
@@ -127,11 +139,24 @@ def _ole_wrap(stream: bytes, force_mini: bool | None = None) -> bytes:
             + struct.pack("<Q", size)
         )
 
-    directory = (
-        dirent("Root Entry", 5, root_start, root_size, child=1)
-        + dirent("Workbook", 2, wb_start, wb_size)
-        + b"\x00" * 128 * 2
+    root = dirent(
+        "Root Entry",
+        5,
+        ms_sect if n_ms else ENDOFCHAIN,
+        len(ministream) if n_ms else 0,
+        child=1,
     )
+    entries = b"".join(
+        dirent(
+            name,
+            2,
+            mini_starts[name] if name in mini_starts else reg_starts[name],
+            len(data),
+        )
+        for name, data in streams
+    )
+    directory = pad(root + entries, SECT)
+    directory += b"\x00" * (n_dir * SECT - len(directory))
 
     difat = [i for i in range(n_fat)] + [FREESECT] * (109 - n_fat)
     header = (
@@ -146,14 +171,14 @@ def _ole_wrap(stream: bytes, force_mini: bool | None = None) -> bytes:
         + struct.pack("<I", dir_sect)
         + struct.pack("<I", 0)                      # transaction
         + struct.pack("<I", MINI_CUTOFF)
-        + struct.pack("<I", first_minifat)
-        + struct.pack("<I", n_minifat)
+        + struct.pack("<I", minifat_sect if m_f else ENDOFCHAIN)
+        + struct.pack("<I", m_f)
         + struct.pack("<I", ENDOFCHAIN)             # first DIFAT sector
         + struct.pack("<I", 0)                      # num DIFAT sectors
         + b"".join(struct.pack("<I", e) for e in difat)
     )
     assert len(header) == SECT
-    return header + fat_bytes + directory + body
+    return header + fat_bytes + directory + minifat_bytes + ministream + b"".join(d for _n, d in regular)
 
 
 def _ole_stream(payload: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -> bytes:
@@ -245,6 +270,112 @@ def _ole_stream(payload: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -
 
 
 # ---------------------------------------------------------------------------
+# \x05SummaryInformation property set (document props: title/author/created)
+# ---------------------------------------------------------------------------
+
+_SUMMARY_STREAM = "\x05SummaryInformation"
+# FMTID_SummaryInformation {F29F85E0-4FF9-1068-AB91-08002B27B3D9}
+_FMTID_SI = struct.pack(
+    "<IHH8B", 0xF29F85E0, 0x4FF9, 0x1068, 0xAB, 0x91, 0x08, 0x00, 0x2B, 0x27, 0xB3, 0xD9
+)
+_PID_CODEPAGE, _PID_TITLE, _PID_AUTHOR, _PID_CREATED = 0x01, 0x02, 0x04, 0x0C
+_VT_I2, _VT_LPSTR, _VT_FILETIME = 0x0002, 0x001E, 0x0040
+_EPOCH_1601_DELTA = 11644473600  # seconds between 1601-01-01 and 1970-01-01
+
+
+def _iso_to_filetime(iso: str) -> int:
+    import calendar
+    import time as _time
+
+    t = _time.strptime(iso, "%Y-%m-%dT%H:%M:%SZ")
+    return (calendar.timegm(t) + _EPOCH_1601_DELTA) * 10_000_000
+
+
+def _filetime_to_iso(ft: int) -> str:
+    import time as _time
+
+    secs = ft // 10_000_000 - _EPOCH_1601_DELTA
+    return _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime(secs))
+
+
+def _emit_summary_info(title: str, author: str, created: str) -> bytes:
+    """Minimal PropertySetStream holding codepage + the three props the
+    S5 surface needs. Strings are VT_LPSTR in codepage 65001 (UTF-8)."""
+    # codepage first (readers use it to decode the LPSTRs that follow);
+    # 65001 = UTF-8, stored in VT_I2's 4-byte padded slot
+    props: list[tuple[int, bytes]] = [
+        (_PID_CODEPAGE, struct.pack("<Ii", _VT_I2, 65001))
+    ]
+
+    def lpstr(s: str) -> bytes:
+        raw = s.encode("utf-8") + b"\x00"
+        raw += b"\x00" * (-len(raw) % 4)
+        return struct.pack("<II", _VT_LPSTR, len(raw)) + raw
+
+    if title:
+        props.append((_PID_TITLE, lpstr(title)))
+    if author:
+        props.append((_PID_AUTHOR, lpstr(author)))
+    if created:
+        props.append(
+            (_PID_CREATED, struct.pack("<IQ", _VT_FILETIME, _iso_to_filetime(created)))
+        )
+    head_len = 8 + 8 * len(props)
+    offs, blob = [], b""
+    for _pid, val in props:
+        offs.append(head_len + len(blob))
+        blob += val
+    section = struct.pack("<II", head_len + len(blob), len(props))
+    for (pid, _val), off in zip(props, offs):
+        section += struct.pack("<II", pid, off)
+    section += blob
+    return (
+        struct.pack("<HHI", 0xFFFE, 0, 0x00020005)  # byte order, version, system
+        + b"\x00" * 16                               # CLSID
+        + struct.pack("<I", 1)                       # one property set
+        + _FMTID_SI
+        + struct.pack("<I", 48)                      # section offset
+        + section
+    )
+
+
+def _parse_summary_info(data: bytes) -> dict:
+    """PropertySetStream -> {title, author, created}; empty strings on
+    any malformation (never raises)."""
+    out = {"title": "", "author": "", "created": ""}
+    try:
+        if len(data) < 52 or data[:2] != b"\xfe\xff":
+            return out
+        (sec_off,) = struct.unpack_from("<I", data, 44)
+        (_sec_size, n_props) = struct.unpack_from("<II", data, sec_off)
+        codepage = 65001
+        entries = []
+        for k in range(min(n_props, 64)):
+            pid, off = struct.unpack_from("<II", data, sec_off + 8 + 8 * k)
+            entries.append((pid, sec_off + off))
+        for pid, off in entries:
+            (vt,) = struct.unpack_from("<I", data, off)
+            if pid == _PID_CODEPAGE and vt == _VT_I2:
+                (cp,) = struct.unpack_from("<i", data, off + 4)
+                codepage = cp & 0xFFFF if cp > 0 else 65001
+        enc = {65001: "utf-8", 1252: "latin-1"}.get(codepage, "utf-8")
+        for pid, off in entries:
+            (vt,) = struct.unpack_from("<I", data, off)
+            if vt == _VT_LPSTR and pid in (_PID_TITLE, _PID_AUTHOR):
+                (ln,) = struct.unpack_from("<I", data, off + 4)
+                raw = data[off + 8 : off + 8 + ln].split(b"\x00")[0]
+                out["title" if pid == _PID_TITLE else "author"] = raw.decode(
+                    enc, "replace"
+                )
+            elif vt == _VT_FILETIME and pid == _PID_CREATED:
+                (ft,) = struct.unpack_from("<Q", data, off + 4)
+                out["created"] = _filetime_to_iso(ft)
+    except Exception:
+        pass  # contract: never raises
+    return out
+
+
+# ---------------------------------------------------------------------------
 # BIFF8 records
 # ---------------------------------------------------------------------------
 
@@ -314,10 +445,15 @@ def _rk_value(raw: int) -> float:
 def emit_xls(
     sheets: list[tuple[str, list[list[object]]]],
     merged: dict[str, list[tuple[int, int, int, int]]] | None = None,
+    title: str = "",
+    author: str = "",
+    created: str = "",
 ) -> bytes:
     """Build a minimal BIFF8 .xls: [(name, rows)] with int/float cells
     as NUMBER records and everything else through the SST. merged maps
-    sheet name -> [(rw_first, rw_last, col_first, col_last)]."""
+    sheet name -> [(rw_first, rw_last, col_first, col_last)]. Non-empty
+    title/author/created (ISO 'YYYY-MM-DDTHH:MM:SSZ') are written to a
+    \\x05SummaryInformation property-set stream."""
     merged = merged or {}
     # SST over all string cells, dedup in first-seen order
     sst_index: dict[str, int] = {}
@@ -380,14 +516,18 @@ def emit_xls(
         offsets.append(pos)
         pos += len(ss)
     stream = globals_block(offsets) + b"".join(sheet_streams)
-    return _ole_wrap(stream)
+    streams: list[tuple[str, bytes]] = [("Workbook", stream)]
+    if title or author or created:
+        streams.append((_SUMMARY_STREAM, _emit_summary_info(title, author, created)))
+    return _ole_wrap(streams)
 
 
 def parse_xls(payload: bytes) -> dict:
     """xls bytes -> the parse_xlsx dict shape: {sheets: [{name, rows}],
     title, author, created, n_merged, n_formulas}. Document properties
-    are empty by scope (no property-set stream parsing). Best-effort,
-    never raises."""
+    come from the \\x05SummaryInformation property-set stream when
+    present (codepage-aware LPSTR title/author, FILETIME created).
+    Best-effort, never raises."""
     out: dict = {
         "sheets": [],
         "title": "",
@@ -400,6 +540,9 @@ def parse_xls(payload: bytes) -> dict:
         stream = _ole_stream(payload)
         if not stream:
             return out
+        si = _ole_stream(payload, names=(_SUMMARY_STREAM,))
+        if si:
+            out.update(_parse_summary_info(si))
         sst: list[str] = []
         names: list[str] = []
         grids: list[dict] = []
@@ -468,11 +611,15 @@ def parse_xls(payload: bytes) -> dict:
         for k, g in enumerate(grids):
             rows: list[list[str]] = []
             if g:
-                max_r = max(r for r, _c in g)
-                for r in range(max_r + 1):
-                    cols = [c for (rr, c) in g if rr == r]
+                # bucket cells per row once (a per-row scan over the
+                # whole grid would be O(rows x cells))
+                by_row: dict[int, dict[int, str]] = {}
+                for (r, c), v in g.items():
+                    by_row.setdefault(r, {})[c] = v
+                for r in range(max(by_row) + 1):
+                    cols = by_row.get(r)
                     rows.append(
-                        [g.get((r, c), "") for c in range(max(cols) + 1)]
+                        [cols.get(c, "") for c in range(max(cols) + 1)]
                         if cols
                         else []
                     )

@@ -4,12 +4,11 @@ The xls sibling of roundtrip_xlsx: builds one two-sheet BIFF8 workbook
 per order from lineitem rows (kernels.xls.emit_xls — NUMBER records for
 ints, SST/LABELSST for strings, one MERGEDCELLS on the Summary sheet),
 runs the REAL extraction pipeline (OLE2 magic sniff -> compound-file
-stream walk -> BIFF record scan -> header heuristic), and compares the
-recovered Items rows plus the S5 counters against a DuckDB
-reconstruction. Document properties are empty by scope (no
-property-set stream in xls support), so unlike the xlsx twin there are
-no title/author/created columns — the sheet/merged/formula counters
-and the per-cell values carry the parity claim.
+stream walk -> BIFF record scan + \\x05SummaryInformation property
+set -> header heuristic), and compares the recovered Items rows plus
+the full S5 surface — title (value AND span), author, created,
+sheet/merged/formula counters — against a DuckDB reconstruction,
+exactly like the xlsx twin.
 
 Reference parity: xls acceptance (src/api/app/utils/file_validator.py:
 15-57) and the extension dispatch it feeds
@@ -30,6 +29,7 @@ if TYPE_CHECKING:
     import pandas as pd
 
 N_WORKBOOKS = 50
+CREATED = "2025-03-01T00:00:00Z"
 
 
 def _xls_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,6 +73,9 @@ def _xls_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = emit_xls(
                     [("Items", item_rows), ("Summary", summary)],
                     merged={"Summary": [(0, 0, 0, 2)]},  # A1:C1
+                    title=f"Order {k}",
+                    author=f"clerk-{k % 13}",
+                    created=CREATED,
                 )
                 rows.append(
                     {
@@ -101,16 +104,19 @@ def pipeline_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(fields, lambda f: f["name"] == F.lit(name)), F.lit(1)
         )
 
-    n_sheets = fv("n_sheets")
+    title = fv("title")
     doc = out.select(
         F.regexp_extract("url", r"xls/(\d+)$", 1).cast("long").alias("l_orderkey"),
         "content_kind",
         F.size("tables").cast("long").alias("n_tables"),
         "valid",
         "confidence",
-        n_sheets["value"].alias("n_sheets"),
-        n_sheets["span_start"].cast("long").alias("sheets_start"),
-        n_sheets["span_end"].cast("long").alias("sheets_end"),
+        title["value"].alias("title"),
+        title["span_start"].cast("long").alias("title_start"),
+        title["span_end"].cast("long").alias("title_end"),
+        fv("author")["value"].alias("author"),
+        fv("created")["value"].alias("created"),
+        fv("n_sheets")["value"].alias("n_sheets"),
         fv("n_merged_cells")["value"].alias("n_merged_cells"),
         fv("n_formulas")["value"].alias("n_formulas"),
         F.col("tables")[0].alias("t0"),
@@ -128,16 +134,20 @@ def pipeline_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tables",
         "valid",
         "confidence",
+        "title",
+        "title_start",
+        "title_end",
+        "author",
+        "created",
         "n_sheets",
-        "sheets_start",
-        "sheets_end",
         "n_merged_cells",
         "n_formulas",
     )
 
 
-# main_text: 'Workbook\nSheets: 2\n...' — n_sheets value starts at char
-# 17 ('Workbook\n' = 9 + 'Sheets: ' = 8) and is always the 1-char '2'.
+# main_text layout for spans: 'Workbook\nTitle: Order <k>\n...' — the
+# title value starts at char 16 ('Workbook\n' = 9 + 'Title: ' = 7),
+# exactly like the xlsx twin.
 ORACLE_SQL = f"""
     WITH keys AS (
         SELECT DISTINCT l_orderkey FROM lineitem ORDER BY 1 LIMIT {N_WORKBOOKS}
@@ -159,9 +169,12 @@ ORACLE_SQL = f"""
            CAST(2 AS BIGINT) AS n_tables,
            TRUE AS valid,
            CAST(1.0 AS DOUBLE) AS confidence,
+           'Order ' || k AS title,
+           CAST(16 AS BIGINT) AS title_start,
+           CAST(22 + length(CAST(k AS VARCHAR)) AS BIGINT) AS title_end,
+           'clerk-' || (k % 13) AS author,
+           '{CREATED}' AS created,
            '2' AS n_sheets,
-           CAST(17 AS BIGINT) AS sheets_start,
-           CAST(18 AS BIGINT) AS sheets_end,
            '1' AS n_merged_cells,
            '0' AS n_formulas
     FROM it

@@ -21,6 +21,9 @@ def _wb():
             ("Summary", [["metric", "value", "rank"], ["total", 831, 1]]),
         ],
         merged={"Summary": [(0, 0, 0, 2)]},
+        title="Workbook T",
+        author="clerk-3",
+        created="2025-03-01T00:00:00Z",
     )
 
 
@@ -34,8 +37,32 @@ def test_emit_parse_roundtrip():
     ]
     assert wb["sheets"][1]["rows"][1] == ["total", "831", "1"]
     assert wb["n_merged"] == 1 and wb["n_formulas"] == 0
-    # props are empty by documented scope (no property-set stream)
+    # props round-trip through the SummaryInformation property set
+    assert (wb["title"], wb["author"], wb["created"]) == (
+        "Workbook T",
+        "clerk-3",
+        "2025-03-01T00:00:00Z",
+    )
+
+
+def test_props_absent_when_not_emitted():
+    wb = parse_xls(emit_xls([("S", [["a", 1]])]))
     assert (wb["title"], wb["author"], wb["created"]) == ("", "", "")
+    assert wb["sheets"][0]["rows"] == [["a", "1"]]
+
+
+def test_props_unicode_and_filetime_roundtrip():
+    wb = parse_xls(
+        emit_xls(
+            [("S", [["a"]])],
+            title="売上レポート",
+            author="担当者",
+            created="1999-12-31T23:59:59Z",
+        )
+    )
+    assert wb["title"] == "売上レポート"
+    assert wb["author"] == "担当者"
+    assert wb["created"] == "1999-12-31T23:59:59Z"
 
 
 def test_ole_wrap_mini_and_regular_streams():
@@ -112,13 +139,28 @@ def test_extract_one_routes_xls():
 
     res = extract_one("https://x.example.com/wb.xls", _wb())
     assert res["content_kind"] == "xls"
-    assert res["main_text"].startswith("Workbook\nSheets: 2\n")
+    assert res["main_text"].startswith("Workbook\nTitle: Workbook T\n")
     by_name = {f["name"]: f for f in res["fields"]}
+    assert by_name["title"]["value"] == "Workbook T"
+    assert by_name["author"]["value"] == "clerk-3"
+    assert by_name["created"]["value"] == "2025-03-01T00:00:00Z"
     assert by_name["n_sheets"]["value"] == "2"
     assert by_name["n_merged_cells"]["value"] == "1"
     assert by_name["n_formulas"]["value"] == "0"
-    s = by_name["n_sheets"]
-    assert res["main_text"][s["span_start"] : s["span_end"]] == "2"
+    t = by_name["title"]
+    assert res["main_text"][t["span_start"] : t["span_end"]] == "Workbook T"
     assert len(res["tables"]) == 2
     assert res["tables"][0]["headers"] == ["sku", "qty", "price"]
     assert res["valid"] is True
+
+
+def test_extract_one_xls_without_props_omits_empty_lines():
+    """Empty props must not render as 'Title: ' lines (the labeled-field
+    extractor would swallow the next label as the value)."""
+    from ai_ocr_spark.kernels.oracle import extract_one
+
+    res = extract_one(
+        "https://x.example.com/bare.xls", emit_xls([("S", [["h"], ["v"]])])
+    )
+    assert res["main_text"].startswith("Workbook\nSheets: 1\n")
+    assert "Title:" not in res["main_text"]
