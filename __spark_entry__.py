@@ -31,6 +31,7 @@ from ai_ocr_spark.operators import sketch as SK  # noqa: E402
 from ai_ocr_spark.operators import temporal as TP  # noqa: E402
 from ai_ocr_spark.operators import textstats as TS  # noqa: E402
 from ai_ocr_spark.sources import pages as PG  # noqa: E402
+from ai_ocr_spark.streaming import stateful as SS  # noqa: E402
 from ai_ocr_spark.streaming import windows as SW  # noqa: E402
 
 
@@ -111,6 +112,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (new in r3 — closes the last input-format gap vs the
         # reference's file_validator.py xls acceptance)
         "pipeline_xls_roundtrip": RXL.pipeline_xls_roundtrip,
+        # applyInPandasWithState per-domain counters, final state vs a
+        # byte-exact batch recount (closes the last §2.10 pytest-only)
+        "stream_stateful_domain_counts": SS.stream_stateful_domain_counts,
+        # corpus-statistics quality proxy (CCNet-ish, exact arithmetic):
+        # token-frequency build + skew-aware join back per document
+        "text_unigram_rarity": TS.text_unigram_rarity,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -425,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_warc_roundtrip": RT.WARC_ORACLE_SQL,
         "stream_events_daily": SW.STREAM_EVENTS_DAILY_ORACLE,
         "stream_events_daily_append": SW.STREAM_EVENTS_DAILY_APPEND_ORACLE,
+        "stream_stateful_domain_counts": SS.stateful_oracle_sql(),
         "join_asof_orders": TP.ASOF_ORACLE_SQL,
         "range_join_event_pairs": TP.RANGE_ORACLE_SQL,
         "sketch_distinct_kmv": SK.KMV_ORACLE_SQL,
@@ -542,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ORC.ann_ivf_topk(),
         "dedup_embedding_lsh": ORC.dedup_embedding_lsh(),
         "text_token_stats": ORC.text_token_stats(),
+        "text_unigram_rarity": ORC.text_unigram_rarity(),
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),
         "text_fingerprint": ORC.text_fingerprint(),

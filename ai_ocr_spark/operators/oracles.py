@@ -648,3 +648,33 @@ def dedup_embedding_lsh() -> str:
           JOIN e2 eb ON eb.vec_id = cand.vec_b
         ) WHERE cos >= {LSH_COS_THRESHOLD}
     """
+
+
+def text_unigram_rarity() -> str:
+    """Twin of operators/textstats.text_unigram_rarity: same tokenizer
+    (NORM split on single spaces, empty tokens dropped), same exact
+    DECIMAL-sum -> double -> one division -> round(4) ratio shape."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, t AS token
+          FROM documents, unnest(string_split({NORM}, ' ')) AS u(t)
+          WHERE t <> ''
+        ),
+        freq AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        agg AS (
+          SELECT tok.doc_id,
+                 count(*) AS n_tok,
+                 round(CAST(sum(CAST(freq.tf AS DECIMAL(28,8))) AS DOUBLE)
+                       / count(*), 4) AS mean_tf,
+                 round(CAST(sum(CAST(CASE WHEN freq.tf <= 2 THEN 1 ELSE 0 END
+                                      AS DECIMAL(28,8))) AS DOUBLE)
+                       / count(*), 4) AS rare_frac
+          FROM tok JOIN freq USING (token)
+          GROUP BY tok.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_tok, 0) AS BIGINT) AS n_tok,
+               coalesce(a.mean_tf, 0.0) AS mean_tf,
+               coalesce(a.rare_frac, 0.0) AS rare_frac
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """

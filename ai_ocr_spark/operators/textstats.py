@@ -264,3 +264,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.md5_hex(norm).alias("fingerprint"),
         bottomk.alias("bottomk_sketch"),
     )
+
+
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-statistics quality proxy WITHOUT transcendental
+    parity risk: instead of an LM log-prob (ln() is not bit-stable
+    across engines), score each document by its tokens' corpus term
+    frequencies — exact integers, one DECIMAL-exact division per
+    ratio, HALF_UP round on both engines.
+
+      n_tok      tokens in the document (empty-token rows excluded)
+      mean_tf    mean corpus frequency of the document's tokens —
+                 LOW for rare/garbled text, HIGH for boilerplate
+      rare_frac  fraction of tokens seen <= 2 times corpus-wide
+                 (hapax-ish) — the usual "is this text weird" signal
+
+    Shape: two passes over the token table (build frequencies, join
+    back) — the canonical corpus-statistics plan. The join key is the
+    Zipf-skewed token; at 100 TB the hot head ("the", "and") dominates
+    a plain shuffle join, so AQE skew-join handles stragglers and the
+    frequency table's heavy head could be broadcast-split (top-k
+    tokens joined map-side, tail shuffled) — the same split this repo
+    uses for shingle df stop-listing in dedup_ngram_jaccard."""
+    docs = _docs(spark, sf_dir)
+    tok = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    joined = tok.join(freq, "token")
+    dec = F.col("tf").cast("decimal(28,8)")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 4).alias("mean_tf"),
+        F.round(
+            F.sum(F.when(F.col("tf") <= 2, 1).otherwise(0).cast("decimal(28,8)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("rare_frac"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+        F.coalesce(F.col("mean_tf"), F.lit(0.0)).alias("mean_tf"),
+        F.coalesce(F.col("rare_frac"), F.lit(0.0)).alias("rare_frac"),
+    )

@@ -60,6 +60,100 @@ def _update_domain_counts(
     )
 
 
+def stream_stateful_domain_counts(spark, sf_dir: str) -> DataFrame:
+    """Oracle surface for the applyInPandasWithState operator (the last
+    §2.10 pytest-only row): pages synthesized from documents are split
+    into two mtime-ordered files, domain_running_counts drains them
+    with Trigger.AvailableNow in Update mode, and the FINAL state per
+    domain (counters are monotonic, so max() over the update stream)
+    must equal a batch recount — which the DuckDB twin reconstructs
+    byte-exactly: n_bytes is the UTF-8 octet length of the page chrome
+    plus the entity-escaped document text, rebuilt in SQL from the
+    shared chrome-length constant."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..pipeline import pages_from_documents
+
+    stage = tempfile.mkdtemp(prefix="stateful_oracle_")
+    try:
+        pages = pages_from_documents(spark, sf_dir)
+        os.makedirs(os.path.join(stage, "in"))
+        now = 1_700_000_000
+        for k in range(2):
+            tmp = os.path.join(stage, f"t{k}")
+            pages.filter(F.col("url").rlike(f"/doc/\\d*[{'02468' if k == 0 else '13579'}]$")).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp)
+                if p.endswith(".parquet") and not p.startswith("_")
+            )
+            dst = os.path.join(stage, "in", f"b{k}.parquet")
+            shutil.move(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            os.utime(dst, (now + 100 * k, now + 100 * k))
+        schema = spark.read.parquet(os.path.join(stage, "in")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(stage, "in"))
+        )
+        counts = domain_running_counts(stream)
+        name = f"stateful_{uuid.uuid4().hex[:8]}"
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(stage, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .groupBy("domain")
+            .agg(
+                F.max("n_pages").alias("n_pages"),
+                F.max("n_bytes").alias("n_bytes"),
+            )
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+        spark.catalog.dropTempView(name)
+        return result
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _chrome_overhead_bytes() -> int:
+    from ..pipeline import _CHROME_FOOT, _DOC_CHROME_HEAD
+
+    return len((_DOC_CHROME_HEAD + "<article><p>").encode()) + len(
+        ("</p></article>" + _CHROME_FOOT).encode()
+    )
+
+
+def stateful_oracle_sql() -> str:
+    """DuckDB twin: final per-domain totals over ALL documents; n_bytes
+    rebuilt as chrome overhead + octet length of the entity-escaped
+    text (the same three replaces as pipeline.html_escape_col, & first
+    so later entities aren't double-escaped)."""
+    return f"""
+        SELECT source || '.example.com' AS domain,
+               count(*) AS n_pages,
+               CAST(sum(
+                   {_chrome_overhead_bytes()}
+                   + octet_length(encode(
+                       replace(replace(replace(coalesce(text, ''),
+                           '&', '&amp;'), '<', '&lt;'), '>', '&gt;')))
+               ) AS BIGINT) AS n_bytes
+        FROM documents
+        GROUP BY source
+    """
+
+
 def domain_running_counts(pages_stream: DataFrame) -> DataFrame:
     """Streaming pages -> running (n_pages, n_bytes) per domain.
 

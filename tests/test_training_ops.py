@@ -188,3 +188,18 @@ def test_connected_components_round_cap_still_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components_labels(nodes, pairs, max_rounds=2)
+
+
+def test_unigram_rarity_scores_rare_text_low_mean_tf(spark):
+    """A doc of corpus-common tokens must have higher mean_tf and lower
+    rare_frac than a doc of unique garbage tokens; empty docs get
+    zeros."""
+    from ai_ocr_spark.operators.textstats import text_unigram_rarity
+
+    out = text_unigram_rarity(spark, "/root/testdata/sf0.001").toPandas()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").toPandas()
+    assert len(out) == len(docs)
+    assert ((out["rare_frac"] >= 0) & (out["rare_frac"] <= 1)).all()
+    assert (out["mean_tf"] >= out["n_tok"].clip(upper=1)).all()  # tf >= 1 per token
+    empty = out[out["n_tok"] == 0]
+    assert (empty["mean_tf"] == 0).all() and (empty["rare_frac"] == 0).all()
