@@ -90,13 +90,22 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
         # becomes one table through the same header heuristic as HTML
         # (reference: excel_parser.py:40-113 sheet scan, :331-392 props).
         # Legacy BIFF8 .xls flows through the same block — parse_xls
-        # returns the parse_xlsx dict shape (props empty by scope).
+        # returns the parse_xlsx dict shape (props from the
+        # SummaryInformation stream when present).
         if kind == "xls":
             from .xls import parse_xls as _parse_wb
         else:
             from .xlsx import parse_xlsx as _parse_wb
 
         wb = _parse_wb(payload)
+        if kind == "xls" and not wb["sheets"]:
+            # every OLE2 compound file shares the d0cf11e0 magic
+            # (.doc, .ppt, .msg, .msi ...) and most carry a
+            # SummaryInformation stream, so only an actual Workbook
+            # stream with sheets proves a spreadsheet — anything else
+            # degrades to opaque binary instead of fabricating
+            # 'Sheets: 0' workbook metadata
+            return "binary", "", [], []
         lines = ["Workbook"]
         # empty prop lines are omitted, not rendered as 'Title: ' — a
         # label with no value makes the labeled-field extractor capture

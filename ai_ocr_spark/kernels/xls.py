@@ -14,11 +14,13 @@ Scope (and the documented descope):
     sheet names, SST/LABELSST shared strings (compressed and UTF-16
     cell text), LABEL, NUMBER, RK (both integer and double encodings,
     with the /100 flag), MERGEDCELLS and FORMULA counters.
-  * NOT parsed: the \x05SummaryInformation property-set stream — xls
-    document properties (title/author/created) come back empty; cell
-    values, sheet names and the merged/formula counters carry the S5
-    surface. CONTINUE-spanning SSTs degrade to the entries that fit
-    (best effort, never a raise).
+  * The \x05SummaryInformation property-set stream: codepage-aware
+    VT_LPSTR title/author and VT_FILETIME created, emitted and parsed,
+    so xls carries the same S5 document-property surface as xlsx.
+  * Best-effort bounds: CONTINUE-spanning SSTs degrade to the entries
+    that fit (never a raise); the EMITTER caps at the 109
+    header-resident DIFAT slots (~6.9 MB of stream data — the reader
+    follows chained DIFAT sectors from real files regardless).
 
 Number cells render exactly like the xlsx parser renders numeric <v>
 cells built from ints: integral doubles as '5', everything else via
@@ -105,6 +107,14 @@ def _ole_wrap(
     n_fat = 1
     while n_fat * (SECT // 4) < n_fat + total_data:
         n_fat += 1
+    if n_fat > 109:
+        # the emitter fills only the 109 header-resident DIFAT slots
+        # (the READER follows chained DIFAT sectors, the writer does
+        # not emit them) — past ~6.9 MB of stream data fail loudly
+        # instead of writing a corrupt header
+        raise ValueError(
+            "emit: streams exceed the header-resident DIFAT capacity (~6.9 MB)"
+        )
 
     # sector layout: [FAT...] [DIR...] [MINIFAT...] [ministream...] [regular...]
     dir_sect = n_fat
@@ -358,7 +368,9 @@ def _parse_summary_info(data: bytes) -> dict:
             if pid == _PID_CODEPAGE and vt == _VT_I2:
                 (cp,) = struct.unpack_from("<i", data, off + 4)
                 codepage = cp & 0xFFFF if cp > 0 else 65001
-        enc = {65001: "utf-8", 1252: "latin-1"}.get(codepage, "utf-8")
+        # cp1252, not latin-1: 0x80-0x9F are printable in windows-1252
+        # (euro, curly quotes, dashes), C1 controls in latin-1
+        enc = {65001: "utf-8", 1252: "cp1252"}.get(codepage, "utf-8")
         for pid, off in entries:
             (vt,) = struct.unpack_from("<I", data, off)
             if vt == _VT_LPSTR and pid in (_PID_TITLE, _PID_AUTHOR):
@@ -388,7 +400,10 @@ def _ucs(s: str, short: bool) -> bytes:
     """ShortXLUnicodeString (cch as byte) or XLUnicodeString (cch as
     word), always emitted as 16-bit chars (grbit 0x01)."""
     raw = s.encode("utf-16-le")
-    cch = min(len(s), 255 if short else 0xFFFF)
+    # cch counts UTF-16 CODE UNITS, not Python code points — a non-BMP
+    # char (emoji) is a surrogate pair = 2 units; counting code points
+    # would silently truncate the last 2 bytes per astral char
+    cch = min(len(raw) // 2, 255 if short else 0xFFFF)
     head = struct.pack("<BB" if short else "<HB", cch, 0x01)
     return head + raw[: 2 * cch]
 

@@ -61,7 +61,9 @@ def clear_caches(spark: SparkSession | None = None) -> int:
     DIFFERENT applicationId belong to a stopped context and are purged
     lazily by _cache_key anyway. Long-lived sessions that touch many
     sf_dirs should call this between datasets. Returns the number of
-    evicted entries."""
+    evicted entries. The components entry is localCheckpoint-ed (not
+    cached), so its unpersist() here is a no-op — dropping the dict
+    reference is what lets the ContextCleaner free its blocks."""
     app_id = spark.sparkContext.applicationId if spark is not None else None
     n = 0
     for key in list(_SHINGLE_CACHE):
@@ -432,7 +434,12 @@ def connected_components_labels(
             .filter(F.col("n.component_id") != F.col("o.component_id"))
             .count()
         )
-        labels.unpersist()
+        # storage note: unpersist() is a cache-manager call and a no-op
+        # on localCheckpoint-ed frames — the previous round's checkpoint
+        # blocks are freed by the ContextCleaner once this Python
+        # reference drops (next line), so the transient footprint is
+        # bounded by GC lag over ~log2(n) small label tables, not held
+        # for the session
         labels = new_labels
         if changed == 0:
             converged = True
@@ -441,7 +448,6 @@ def connected_components_labels(
     if not converged:
         # silent non-convergence would return split components and
         # diverge from the exact transitive-closure oracle
-        labels.unpersist()
         raise RuntimeError(
             "connected components did not converge within the round cap"
         )

@@ -317,6 +317,7 @@ def run_extraction_job(
     sc = spark.sparkContext
     prior_group = sc.getLocalProperty("spark.jobGroup.id")
     prior_desc = sc.getLocalProperty("spark.job.description")
+    prior_interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(run_id, f"extraction run {run_id}", interruptOnCancel=True)
     try:
         pages = spark.read.schema(PAGES_SCHEMA).parquet(pages_path)
@@ -344,9 +345,13 @@ def run_extraction_job(
         return entry
     finally:
         # restore, not clear: a caller running inside its own job group
-        # (e.g. a scheduler wrapping several runs) keeps its tagging
+        # (e.g. a scheduler wrapping several runs) keeps its tagging —
+        # including interruptOnCancel, which defaults to false for a
+        # reason (thread interrupts can wedge HDFS clients) and must
+        # not leak true into the caller's thread
         sc.setLocalProperty("spark.jobGroup.id", prior_group)
         sc.setLocalProperty("spark.job.description", prior_desc)
+        sc.setLocalProperty("spark.job.interruptOnCancel", prior_interrupt)
 
 
 def cancel_run(spark: SparkSession, run_id: str) -> None:

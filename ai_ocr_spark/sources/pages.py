@@ -100,18 +100,25 @@ def pages_from_warc(spark: SparkSession, glob_path: str) -> DataFrame:
                 for off in range(0, len(data), _CHUNK):
                     yield data[off : off + _CHUNK]
 
+        _FLUSH_BYTES = 64 * 1024 * 1024
+        _COLS = ["url", "warc_ts", "html", "text", "lang"]
+
+        def err_row(path: str, reason: str) -> dict:
+            return {
+                "url": f"{WARC_ERROR_URL_PREFIX}{path}#{reason}",
+                "warc_ts": None,
+                "html": b"",
+                "text": None,
+                "lang": None,
+            }
+
         for pdf in batches:
-            rows = []
-
-            def err_row(path: str, reason: str) -> dict:
-                return {
-                    "url": f"{WARC_ERROR_URL_PREFIX}{path}#{reason}",
-                    "warc_ts": None,
-                    "html": b"",
-                    "text": None,
-                    "lang": None,
-                }
-
+            # rows flush every 64 MB of body bytes: per-task memory is
+            # bounded by chunk + largest record + one flush buffer, NOT
+            # the inflated file (a CC segment inflates to several GB —
+            # accumulating the whole file would undo the streaming parse)
+            rows: list[dict] = []
+            pending = 0
             for path, blob in zip(pdf["path"], pdf["content"]):
                 try:
                     for rec in iter_warc_stream(chunks_of(bytes(blob))):
@@ -128,11 +135,13 @@ def pages_from_warc(spark: SparkSession, glob_path: str) -> DataFrame:
                                 "lang": None,
                             }
                         )
+                        pending += len(rec["body"])
+                        if pending >= _FLUSH_BYTES:
+                            yield pd.DataFrame(rows, columns=_COLS)
+                            rows, pending = [], 0
                 except (OSError, EOFError, zlib.error):
                     rows.append(err_row(path, "corrupt gzip transport"))
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+            yield pd.DataFrame(rows, columns=_COLS)
 
     return raw.mapInPandas(explode_records, schema=PAGES_SCHEMA)
 

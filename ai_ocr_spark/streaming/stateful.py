@@ -73,45 +73,33 @@ def stream_stateful_domain_counts(spark, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
 
     from ..pipeline import pages_from_documents
+    from .util import detach, drain_available_now, write_ordered_file
 
     stage = tempfile.mkdtemp(prefix="stateful_oracle_")
     try:
         pages = pages_from_documents(spark, sf_dir)
         os.makedirs(os.path.join(stage, "in"))
         now = 1_700_000_000
-        for k in range(2):
-            tmp = os.path.join(stage, f"t{k}")
-            pages.filter(F.col("url").rlike(f"/doc/\\d*[{'02468' if k == 0 else '13579'}]$")).coalesce(
-                1
-            ).write.mode("overwrite").parquet(tmp)
-            part = next(
-                p for p in os.listdir(tmp)
-                if p.endswith(".parquet") and not p.startswith("_")
+        for k, digits in enumerate(("02468", "13579")):
+            write_ordered_file(
+                pages.filter(F.col("url").rlike(f"/doc/\\d*[{digits}]$")),
+                os.path.join(stage, "in", f"b{k}.parquet"),
+                now + 100 * k,
             )
-            dst = os.path.join(stage, "in", f"b{k}.parquet")
-            shutil.move(os.path.join(tmp, part), dst)
-            shutil.rmtree(tmp)
-            os.utime(dst, (now + 100 * k, now + 100 * k))
         schema = spark.read.parquet(os.path.join(stage, "in")).schema
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(os.path.join(stage, "in"))
         )
-        counts = domain_running_counts(stream)
-        name = f"stateful_{uuid.uuid4().hex[:8]}"
-        q = (
-            counts.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(stage, "ckpt"))
-            .start()
+        name = drain_available_now(
+            domain_running_counts(stream),
+            "update",
+            os.path.join(stage, "ckpt"),
+            prefix="stateful",
         )
-        q.awaitTermination()
         out = (
             spark.table(name)
             .groupBy("domain")
@@ -120,9 +108,7 @@ def stream_stateful_domain_counts(spark, sf_dir: str) -> DataFrame:
                 F.max("n_bytes").alias("n_bytes"),
             )
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
-        spark.catalog.dropTempView(name)
-        return result
+        return detach(spark, out, name)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

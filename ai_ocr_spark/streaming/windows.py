@@ -61,8 +61,6 @@ def stream_events_daily(spark: "SparkSession", sf_dir: str) -> DataFrame:
     the session timezone is pinned UTC). This turns the Structured
     Streaming path (SURVEY §2.10) into a value-hash-checked surface
     instead of pytest-only coverage."""
-    import uuid
-
     from pyspark.sql import SparkSession  # noqa: F401  (typing)
 
     # the NTZ->timestamp cast below reads the session timezone; pin UTC
@@ -95,15 +93,9 @@ def stream_events_daily(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
-        name = f"stream_events_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from .util import detach, drain_available_now
+
+        name = drain_available_now(agg, "complete", prefix="stream_events")
         out = spark.table(name).select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             F.col("w.end").cast("timestamp_ntz").alias("window_end"),
@@ -111,14 +103,8 @@ def stream_events_daily(spark: "SparkSession", sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        # detach the result from the memory-sink temp view so the view
-        # can be dropped — otherwise every invocation leaks a full
-        # aggregate copy in the driver catalog for the session's
-        # lifetime. Must happen inside the UTC pin: the NTZ casts above
-        # evaluate at this collect.
-        result = spark.createDataFrame(out.collect(), out.schema)
-        spark.catalog.dropTempView(name)
-        return result
+        # detach inside the UTC pin: the NTZ casts evaluate at collect
+        return detach(spark, out, name)
     finally:
         if prior_tz is None:
             spark.conf.unset("spark.sql.session.timeZone")
@@ -163,7 +149,8 @@ def stream_events_daily_append(spark: "SparkSession", sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import uuid
+
+    from .util import detach, drain_available_now, write_ordered_file
 
     prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -173,22 +160,15 @@ def stream_events_daily_append(spark: "SparkSession", sf_dir: str) -> DataFrame:
         schema = events.schema
         os.makedirs(os.path.join(stage, "in"))
         now = 1_700_000_000
-        # single-file writes with pinned names + mtimes: the file
-        # stream source orders by modification time, so batch order —
-        # and therefore the watermark sequence — is deterministic
+        # pinned names + mtimes: the file stream source orders by
+        # modification time, so batch order — and therefore the
+        # watermark sequence — is deterministic
         for k in range(3):
-            path = os.path.join(stage, "in", f"batch{k}.parquet")
-            tmp = os.path.join(stage, f"tmp_{k}")
-            events.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = next(
-                p for p in os.listdir(tmp)
-                if p.endswith(".parquet") and not p.startswith("_")
+            write_ordered_file(
+                events.filter(F.col("event_id") % 3 == k),
+                os.path.join(stage, "in", f"batch{k}.parquet"),
+                now + 100 * k,
             )
-            shutil.move(os.path.join(tmp, part), path)
-            shutil.rmtree(tmp)
-            os.utime(path, (now + 100 * k, now + 100 * k))
 
         stream = (
             spark.readStream.schema(schema)
@@ -206,16 +186,9 @@ def stream_events_daily_append(spark: "SparkSession", sf_dir: str) -> DataFrame:
                 .alias("sum_value"),
             )
         )
-        name = f"stream_append_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", os.path.join(stage, "ckpt"))
-            .start()
+        name = drain_available_now(
+            agg, "append", os.path.join(stage, "ckpt"), prefix="stream_append"
         )
-        q.awaitTermination()
         out = spark.table(name).select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             F.col("w.end").cast("timestamp_ntz").alias("window_end"),
@@ -223,9 +196,8 @@ def stream_events_daily_append(spark: "SparkSession", sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        result = spark.createDataFrame(out.collect(), out.schema)
-        spark.catalog.dropTempView(name)
-        return result
+        # detach inside the UTC pin: the NTZ casts evaluate at collect
+        return detach(spark, out, name)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         if prior_tz is None:

@@ -134,6 +134,42 @@ def test_unicode_sheet_and_cells():
     assert wb["sheets"][0]["rows"] == [["名前", "値"], ["あ", "1"]]
 
 
+def test_non_bmp_chars_roundtrip():
+    """BIFF8 cch counts UTF-16 code units, not code points — an emoji
+    (surrogate pair) must not truncate the string tail."""
+    wb = parse_xls(emit_xls([("Sh😀eet", [["emoji 😀 end", 1]])],
+                            title="T 😀 tail"))
+    assert wb["sheets"][0]["name"] == "Sh😀eet"
+    assert wb["sheets"][0]["rows"] == [["emoji 😀 end", "1"]]
+    assert wb["title"] == "T 😀 tail"
+
+
+def test_oversized_emitter_raises_cleanly():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="DIFAT"):
+        _ole_wrap(b"x" * (8 * 1024 * 1024))
+
+
+def test_ole_but_not_spreadsheet_degrades_to_binary():
+    """A .doc/.ppt-style compound file (OLE magic, SummaryInformation,
+    no Workbook stream) must NOT fabricate 'Sheets: 0' workbook
+    metadata — it extracts as opaque binary."""
+    from ai_ocr_spark.kernels.oracle import extract_one
+    from ai_ocr_spark.kernels.xls import _emit_summary_info
+
+    doc_like = _ole_wrap(
+        [
+            ("WordDocument", b"\x00" * 600),
+            ("\x05SummaryInformation",
+             _emit_summary_info("A Word Doc", "author", "")),
+        ]
+    )
+    res = extract_one("https://x.example.com/file.doc", doc_like)
+    assert res["content_kind"] == "binary"
+    assert res["main_text"] == "" and res["fields"] == []
+
+
 def test_extract_one_routes_xls():
     from ai_ocr_spark.kernels.oracle import extract_one
 
