@@ -178,3 +178,45 @@ def test_pdf_emit_extract_preserves_all_text(runs, compress):
         canon = collapse_ws(s)
         if canon:
             assert canon in text
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+                min_size=1,
+                max_size=16,
+            ),
+            st.lists(st.lists(_CELL, max_size=5), max_size=6),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+        max_size=30,
+    ),
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+        max_size=20,
+    ),
+)
+def test_xls_emit_parse_roundtrip(sheets, title, author):
+    """emit_xls -> parse_xls round-trips sheet names, cell values (ints
+    as decimal text) and SummaryInformation props for arbitrary
+    content — a binary format, so unlike the xlsx twin no XML
+    sanitization applies. Only structural lossiness allowed: rows with
+    zero cells at the END of a sheet have no records and are trimmed."""
+    from ai_ocr_spark.kernels.xls import emit_xls, parse_xls
+
+    wb = parse_xls(emit_xls(sheets, title=title, author=author))
+    assert [s["name"] for s in wb["sheets"]] == [name for name, _ in sheets]
+    for parsed, (_name, rows) in zip(wb["sheets"], sheets):
+        want = [[str(c) for c in row] for row in rows]
+        while want and not want[-1]:
+            want.pop()
+        assert parsed["rows"] == want
+    assert wb["title"] == title
+    assert wb["author"] == author
