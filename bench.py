@@ -42,11 +42,16 @@ def main() -> int:
     # --- flagship: fused extraction pipeline (docs/sec) -----------------
     pages = pages_from_documents(spark, sf_dir)
     n_docs = pages.count()
-    # warm the JVM + Python workers once so the measured run is steady-state
+    # warm the JVM + Python workers once so the measured run is
+    # steady-state, then min-of-2 like every other query: shared-host
+    # noise spikes swing single runs 1.5-3x (measured 1.27s vs 4.44s on
+    # identical code minutes apart)
     _materialize(extract_pages(pages, run_id="warmup", num_partitions=cpus * 2))
-    t0 = time.monotonic()
-    _materialize(extract_pages(pages, run_id="bench", num_partitions=cpus * 2))
-    pipe_s = time.monotonic() - t0
+    pipe_s = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        _materialize(extract_pages(pages, run_id="bench", num_partitions=cpus * 2))
+        pipe_s = min(pipe_s, time.monotonic() - t0)
     timings["pipeline_extract"] = round(pipe_s, 3)
     docs_per_sec = n_docs / pipe_s if pipe_s > 0 else 0.0
 
