@@ -32,6 +32,12 @@ def _n_tokens(norm: Column, tok: Column) -> Column:
     return F.when(norm == "", F.lit(0)).otherwise(F.size(tok))
 
 
+# broadcast-head size for the unigram-rarity join split: top-1024
+# tokens cover the overwhelming bulk of a Zipf corpus's occurrences,
+# and 1024 (token, count) rows broadcast for free
+HEAD_K = 1024
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     norm = TX.norm_text(F.col("text"))
@@ -280,19 +286,29 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (hapax-ish) — the usual "is this text weird" signal
 
     Shape: two passes over the token table (build frequencies, join
-    back) — the canonical corpus-statistics plan. The join key is the
-    Zipf-skewed token; at 100 TB the hot head ("the", "and") dominates
-    a plain shuffle join, so AQE skew-join handles stragglers and the
-    frequency table's heavy head could be broadcast-split (top-k
-    tokens joined map-side, tail shuffled) — the same split this repo
-    uses for shingle df stop-listing in dedup_ngram_jaccard."""
+    back) — the canonical corpus-statistics plan. The frequency BUILD
+    is skew-safe for free (partial aggregation collapses hot tokens
+    map-side); the JOIN BACK is not: the key is the Zipf-skewed token,
+    and at 100 TB every occurrence of "the" lands in one reducer. So
+    the join is split: the top-HEAD_K tokens by frequency (a
+    TakeOrderedAndProject, driver-bounded) join as a BROADCAST map —
+    the hot head never touches the shuffle — and only the de-skewed
+    tail rides the shuffled equi-join. Same split as the shingle df
+    stop-list in dedup_ngram_jaccard; plan-pinned in
+    tests/test_plan_shape_r3.py."""
     docs = _docs(spark, sf_dir)
     tok = (
         docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
         .filter(F.col("token") != "")
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    joined = tok.join(freq, "token")
+    head = freq.orderBy(F.col("tf").desc(), "token").limit(HEAD_K)
+    with_head = tok.join(F.broadcast(head), "token", "left")
+    hot = with_head.filter(F.col("tf").isNotNull())
+    # tail rows' tokens are not in head by construction, so joining the
+    # full freq table finds exactly the tail entries
+    cold = with_head.filter(F.col("tf").isNull()).drop("tf").join(freq, "token")
+    joined = hot.unionByName(cold)
     dec = F.col("tf").cast("decimal(28,8)")
     agg = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),

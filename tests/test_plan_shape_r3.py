@@ -1,0 +1,49 @@
+"""Round-3 plan-shape invariants: the new operators keep the physical
+shapes the 100-TB story depends on."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from ai_ocr_spark.plans.audit import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sniff_roundtrip_is_scan_only(spark):
+    """The sniff oracle surface must stay a pure projection: no
+    shuffle, no join — it runs at scan speed on 100 TB."""
+    from ai_ocr_spark.sources.pages import sniff_roundtrip
+
+    plan = formatted_plan(sniff_roundtrip(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_unigram_rarity_head_is_broadcast_and_no_cartesian(spark):
+    """The skew split must survive optimization: the frequency head
+    joins as a broadcast (hot Zipf tokens never ride the shuffle) and
+    nothing degenerates to a cartesian product."""
+    from ai_ocr_spark.operators.textstats import text_unigram_rarity
+
+    plan = formatted_plan(text_unigram_rarity(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the frequency build must keep its map-side partial aggregation
+    # (the skew-safe half of the corpus-statistics plan)
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_xls_roundtrip_single_python_boundary(spark):
+    """The xls pipeline keeps the fused-kernel contract: exactly one
+    Python crossing for the extraction itself (the page-build
+    mapInPandas is a fixture synthesizer, not part of the extract
+    path)."""
+    from ai_ocr_spark.operators.roundtrip_xls import pipeline_xls_roundtrip
+
+    import re
+
+    plan = formatted_plan(pipeline_xls_roundtrip(spark, SF))
+    # formatted output lists every node twice (tree + detail section);
+    # count the numbered detail headers = physical nodes
+    nodes = re.findall(r"\(\d+\) MapInPandas", plan)
+    assert len(nodes) == 2  # synth + ONE extract stage
+    assert "CartesianProduct" not in plan
