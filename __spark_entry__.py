@@ -118,11 +118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-statistics quality proxy (CCNet-ish, exact arithmetic):
         # token-frequency build + skew-aware join back per document
         "text_unigram_rarity": TS.text_unigram_rarity,
+        # C4 line-structural cleaning rules (terminal punctuation, min
+        # words/line, javascript/lorem/brace drops) — scan-speed gate
+        "quality_filter_c4": TS.quality_filter_c4,
+        # crawl re-fetch dedup: canonical-url hash aggregate, keep-first
+        "dedup_url_keep_first": D.dedup_url_keep_first,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
-        "agg_order_totals": R.agg_order_totals,
-        "events_daily_metrics": R.events_daily_metrics,
         # joins (§2.3)
         "join_customer_orders": R.join_customer_orders,
         "join_nation_region_rollup": R.join_nation_region_rollup,
@@ -177,6 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": SIM.ann_ivf_topk,
         "dedup_embedding_lsh": SIM.dedup_embedding_lsh,
         # -- twice-proven (green in r1 AND r2): safe to truncate --
+        "agg_order_totals": R.agg_order_totals,
+        "events_daily_metrics": R.events_daily_metrics,
         "agg_bool_checks": R.agg_bool_checks,
         "join_semi_orders_with_items": R.join_semi_orders_with_items,
         "join_anti_customers_without_orders": R.join_anti_customers_without_orders,
@@ -551,6 +556,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": ORC.dedup_embedding_lsh(),
         "text_token_stats": ORC.text_token_stats(),
         "text_unigram_rarity": ORC.text_unigram_rarity(),
+        "quality_filter_c4": ORC.quality_filter_c4(),
+        "dedup_url_keep_first": ORC.dedup_url_keep_first(),
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),
         "text_fingerprint": ORC.text_fingerprint(),

@@ -480,3 +480,42 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.35)
     )
+
+
+def dedup_url_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl re-fetch dedup: the same page fetched through URL variants
+    (scheme/host case, utm params, fragments, trailing slash) collapses
+    onto its canonical URL; keep the first (min doc_id) fetch per key.
+
+    Deterministic variants are synthesized so every ~3 docs collide on
+    one canonical key (floor(doc_id/3) picks the page, doc_id picks the
+    variant). Shape mirrors dedup_exact: one hash aggregate on the
+    canonical key with map-side partial aggregation — the single
+    cheapest dedup pass a crawl pipeline runs before any content
+    hashing, and at 10^12 fetches it is one shuffle of (key, doc_id)
+    pairs, no payload movement."""
+    from .textstats import canonical_url
+
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    g = F.floor(k / 3).cast("long")
+    raw = F.concat(
+        F.when(k % 2 == 0, F.lit("https://www.")).otherwise(F.lit("HTTPS://WWW.")),
+        F.lit("site"),
+        (g % 50).cast("string"),
+        F.lit(".example.com/page/"),
+        g.cast("string"),
+        F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 2 == 0, F.lit("?utm_source=feed&page=1")).otherwise(
+            F.lit("?page=1")
+        ),
+        F.when(k % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(canonical_url(raw).alias("canon_url"), "doc_id")
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )

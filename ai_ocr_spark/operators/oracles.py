@@ -678,3 +678,102 @@ def text_unigram_rarity() -> str:
                coalesce(a.rare_frac, 0.0) AS rare_frac
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """
+
+
+def quality_filter_c4() -> str:
+    """Twin of textstats.quality_filter_c4: identical seeded multi-line
+    document, line filter, sentence count, page-level drops. Empty
+    kept-list: array_to_string([]) is NULL in DuckDB ('' in Spark) —
+    coalesce before counting sentences."""
+    from .textstats import C4_MIN_SENTENCES, C4_MIN_WORDS_PER_LINE
+
+    seeded = (
+        "substr(coalesce(text,''), 1, 60) || '.'"
+        " || chr(10) || substr(coalesce(text,''), 61, 60)"
+        " || chr(10) || 'click here'"
+        " || chr(10) || substr(coalesce(text,''), 121, 60)"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' javascript required.'"
+        "         ELSE ' it works well.' END"
+        " || chr(10) || CASE WHEN doc_id % 13 = 0"
+        "         THEN 'Lorem ipsum dolor sit amet.'"
+        "         ELSE 'The quick brown fox jumps over it.' END"
+        " || chr(10) || CASE WHEN doc_id % 11 = 0"
+        # single braces: this is a PLAIN string interpolated into the
+        # f-string below, so its braces are already literal data
+        "         THEN 'function() { return 1; }'"
+        "         ELSE 'A final line of prose appears here.' END"
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, {seeded} AS seeded FROM documents
+        ),
+        l AS (
+          SELECT doc_id, seeded,
+                 string_split(seeded, chr(10)) AS lines,
+                 list_filter(string_split(seeded, chr(10)),
+                     ln -> regexp_matches(ln, '[.!?"]$')
+                           AND len(string_split(ln, ' ')) >= {C4_MIN_WORDS_PER_LINE}
+                           AND NOT contains(lower(ln), 'javascript')) AS kept
+          FROM s
+        ),
+        m AS (
+          SELECT doc_id, seeded, lines, kept,
+                 coalesce(array_to_string(kept, chr(10)), '') AS kt
+          FROM l
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept_lines,
+               CAST(length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g'))
+                    AS BIGINT) AS n_sentences,
+               contains(lower(seeded), 'lorem ipsum') AS has_lorem,
+               contains(seeded, '{{') AS has_brace,
+               (length(kt) - length(regexp_replace(kt, '[.!?]', '', 'g'))
+                    >= {C4_MIN_SENTENCES})
+                 AND NOT contains(lower(seeded), 'lorem ipsum')
+                 AND NOT contains(seeded, '{{') AS keep
+        FROM m
+    """
+
+
+def dedup_url_keep_first() -> str:
+    """Twin of dedup.dedup_url_keep_first: same synthesized variants,
+    same canonicalization chain as url_canonicalize, then
+    group-by-canonical keep-min."""
+    return r"""
+        WITH r AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'https://www.'
+                      ELSE 'HTTPS://WWW.' END
+                 || 'site' || (CAST(floor(doc_id / 3) AS BIGINT) % 50)
+                 || '.example.com/page/' || CAST(floor(doc_id / 3) AS BIGINT)
+                 || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                 || CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=feed&page=1' ELSE '?page=1' END
+                 || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS raw_url
+          FROM documents
+        ),
+        c1 AS (SELECT doc_id, regexp_replace(raw_url, '#.*$', '', 'g') AS u FROM r),
+        c2 AS (SELECT doc_id,
+                      lower(regexp_extract(u, '^([A-Za-z]+://[^/]+)', 1))
+                      || regexp_extract(u, '^[A-Za-z]+://[^/]+(.*)$', 1) AS u
+               FROM c1),
+        c3 AS (SELECT doc_id,
+                      regexp_replace(
+                        regexp_replace(u, '([?&])utm_[^&]*&', '\1', 'g'),
+                        '([?&])utm_[^&]*&', '\1', 'g') AS u
+               FROM c2),
+        c4 AS (SELECT doc_id,
+                      regexp_replace(u, '[?&]utm_[^&]*$', '', 'g') AS u
+               FROM c3),
+        canon AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(u, '/\?', '?', 'g'),
+                                '/$', '', 'g') AS canon_url
+          FROM c4
+        )
+        SELECT canon_url,
+               count(*) AS n_fetches,
+               min(doc_id) AS first_doc_id
+        FROM canon GROUP BY canon_url
+    """

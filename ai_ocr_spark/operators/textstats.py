@@ -159,10 +159,18 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("?page=2")),
         F.when(F.col("doc_id") % 5 == 0, F.lit("#section-3")).otherwise(F.lit("")),
     )
-    # 1. strip fragment  2. lowercase scheme://host  3. drop utm_* params
-    # (two passes for adjacent utm params + one for a trailing one —
-    # RE2 in the DuckDB twin has no lookaround, so every pattern here is
-    # plain)  4. collapse '/?' -> '?'  5. strip trailing '/' on paths
+    return docs.select(
+        "doc_id", raw.alias("raw_url"), canonical_url(raw).alias("canon_url")
+    )
+
+
+def canonical_url(raw: Column) -> Column:
+    """The crawl-dedup canonicalization chain, shared by
+    url_canonicalize and dedup_url_keep_first:
+    1. strip fragment  2. lowercase scheme://host  3. drop utm_* params
+    (two passes for adjacent utm params + one for a trailing one —
+    RE2 in the DuckDB twin has no lookaround, so every pattern here is
+    plain)  4. collapse '/?' -> '?'  5. strip trailing '/' on paths."""
     no_frag = F.regexp_replace(raw, "#.*$", "")
     lowered = F.concat(
         F.lower(F.regexp_extract(no_frag, "^([A-Za-z]+://[^/]+)", 1)),
@@ -171,10 +179,7 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     no_utm = F.regexp_replace(lowered, r"([?&])utm_[^&]*&", "$1")
     no_utm = F.regexp_replace(no_utm, r"([?&])utm_[^&]*&", "$1")
     no_utm = F.regexp_replace(no_utm, r"[?&]utm_[^&]*$", "")
-    canon = F.regexp_replace(
-        F.regexp_replace(no_utm, "/\\?", "?"), "/$", ""
-    )
-    return docs.select("doc_id", raw.alias("raw_url"), canon.alias("canon_url"))
+    return F.regexp_replace(F.regexp_replace(no_utm, "/\\?", "?"), "/$", "")
 
 
 # Gopher-style quality-gate thresholds (shared with the oracle SQL)
@@ -325,4 +330,76 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
         F.coalesce(F.col("mean_tf"), F.lit(0.0)).alias("mean_tf"),
         F.coalesce(F.col("rare_frac"), F.lit(0.0)).alias("rare_frac"),
+    )
+
+
+# C4-rule thresholds (Raffel et al. "Colossal Clean Crawled Corpus"
+# cleaning heuristics), shared with the oracle SQL
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 3
+
+
+def _c4_seeded_doc(k: Column, t: Column) -> Column:
+    """Deterministic multi-line document per row so every C4 rule
+    fires on the single-line fixture text: a punctuated slice, an
+    unpunctuated slice, a too-short line, a line that sometimes says
+    'javascript', an occasional 'lorem ipsum' line, and an occasional
+    code-brace line. Assembled IDENTICALLY in the DuckDB twin."""
+    return F.concat_ws(
+        "\n",
+        F.concat(F.substring(t, 1, 60), F.lit(".")),
+        F.substring(t, 61, 60),
+        F.lit("click here"),
+        F.concat(
+            F.substring(t, 121, 60),
+            F.when(k % 7 == 0, F.lit(" javascript required."))
+            .otherwise(F.lit(" it works well.")),
+        ),
+        F.when(k % 13 == 0, F.lit("Lorem ipsum dolor sit amet."))
+        .otherwise(F.lit("The quick brown fox jumps over it.")),
+        F.when(k % 11 == 0, F.lit("function() { return 1; }"))
+        .otherwise(F.lit("A final line of prose appears here.")),
+    )
+
+
+def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules as a pure projection (scan speed, no shuffle):
+
+      line level  keep lines ending in terminal punctuation, with at
+                  least C4_MIN_WORDS_PER_LINE words, not mentioning
+                  'javascript'
+      page level  drop pages with < C4_MIN_SENTENCES sentences in the
+                  kept text, or containing 'lorem ipsum' or '{'
+                  anywhere
+
+    Complements quality_filter_gopher (token/word/symbol statistics)
+    with the line-structural half of the standard web-cleaning stack.
+    All outputs are integers/booleans — exact across engines."""
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    seeded = _c4_seeded_doc(k, t)
+    lines = F.split(seeded, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sent = F.length(kept_text) - F.length(
+        F.regexp_replace(kept_text, "[.!?]", "")
+    )
+    has_lorem = F.contains(F.lower(seeded), F.lit("lorem ipsum"))
+    has_brace = F.contains(seeded, F.lit("{"))
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (n_sent >= C4_MIN_SENTENCES) & ~has_lorem & ~has_brace
+        ).alias("keep"),
     )

@@ -203,3 +203,33 @@ def test_unigram_rarity_scores_rare_text_low_mean_tf(spark):
     assert (out["mean_tf"] >= out["n_tok"].clip(upper=1)).all()  # tf >= 1 per token
     empty = out[out["n_tok"] == 0]
     assert (empty["mean_tf"] == 0).all() and (empty["rare_frac"] == 0).all()
+
+
+def test_c4_gate_rules_fire(spark):
+    from ai_ocr_spark.operators.textstats import quality_filter_c4
+
+    out = quality_filter_c4(spark, "/root/testdata/sf0.001").toPandas()
+    assert (out["n_lines"] == 6).all()
+    assert (out["n_kept_lines"] <= out["n_lines"]).all()
+    # every rule fires somewhere and both keep outcomes occur
+    assert out["has_lorem"].any() and (~out["has_lorem"]).any()
+    assert out["has_brace"].any() and (~out["has_brace"]).any()
+    assert out["keep"].any() and (~out["keep"]).any()
+    # page-level drops override sentence count
+    assert not out[out["has_lorem"] | out["has_brace"]]["keep"].any()
+
+
+def test_url_dedup_groups_variants(spark):
+    from ai_ocr_spark.operators.dedup import dedup_url_keep_first
+
+    out = dedup_url_keep_first(spark, "/root/testdata/sf0.001").toPandas()
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert out["n_fetches"].sum() == docs  # partition of all fetches
+    assert (out["n_fetches"] >= 1).all() and (out["n_fetches"] <= 3).all()
+    assert (out["n_fetches"] == 3).any()  # variants really collide
+    # canonical urls carry no tracking params, fragments, or case noise
+    assert not out["canon_url"].str.contains("utm_|#|WWW").any()
+    # keep-first: the representative is the smallest doc_id of its group
+    assert (out["first_doc_id"] // 3 * 3 <= out["first_doc_id"]).all()
