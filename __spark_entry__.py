@@ -31,6 +31,7 @@ from ai_ocr_spark.operators import sketch as SK  # noqa: E402
 from ai_ocr_spark.operators import temporal as TP  # noqa: E402
 from ai_ocr_spark.operators import textstats as TS  # noqa: E402
 from ai_ocr_spark.sources import pages as PG  # noqa: E402
+from ai_ocr_spark.streaming import ingest as SI  # noqa: E402
 from ai_ocr_spark.streaming import stateful as SS  # noqa: E402
 from ai_ocr_spark.streaming import windows as SW  # noqa: E402
 
@@ -123,6 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_c4": TS.quality_filter_c4,
         # crawl re-fetch dedup: canonical-url hash aggregate, keep-first
         "dedup_url_keep_first": D.dedup_url_keep_first,
+        # streaming at-least-once absorption: cross-batch keyed dedup
+        # state (dropDuplicatesWithinWatermark), first delivery wins
+        "stream_dedup_urls": SI.stream_dedup_urls,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -130,7 +134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_customer_orders": R.join_customer_orders,
         "join_nation_region_rollup": R.join_nation_region_rollup,
         # windows / sessionize (§2.5)
-        "window_running_spend": R.window_running_spend,
         "window_sessionize": R.window_sessionize,
         "agg_keyword_score_argmax": R.agg_keyword_score_argmax,
         "agg_cube_status_priority": R.agg_cube_status_priority,
@@ -180,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": SIM.ann_ivf_topk,
         "dedup_embedding_lsh": SIM.dedup_embedding_lsh,
         # -- twice-proven (green in r1 AND r2): safe to truncate --
+        "window_running_spend": R.window_running_spend,
         "agg_order_totals": R.agg_order_totals,
         "events_daily_metrics": R.events_daily_metrics,
         "agg_bool_checks": R.agg_bool_checks,
@@ -558,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_rarity": ORC.text_unigram_rarity(),
         "quality_filter_c4": ORC.quality_filter_c4(),
         "dedup_url_keep_first": ORC.dedup_url_keep_first(),
+        "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),
         "text_fingerprint": ORC.text_fingerprint(),

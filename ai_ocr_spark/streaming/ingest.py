@@ -79,3 +79,75 @@ def ingest_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle surface for dropDuplicatesWithinWatermark (the
+    at-least-once absorption knob above, rows-only since r1): every
+    url is delivered twice — once per micro-batch, in deterministic
+    mtime order — and the stream must emit exactly the FIRST delivery.
+
+    Determinism by construction: within a batch every url is unique
+    (batch k carries the doc_id%2==k member of each url pair), so the
+    only dedup decisions are cross-batch, where state makes the
+    outcome order-independent: batch 0's member wins. The DuckDB twin
+    is therefore the even-doc_id projection — trivial SQL, but the
+    Spark side exercises the real keyed dedup state across batches and
+    the row count proves the re-deliveries were dropped."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .util import detach, drain_available_now, write_ordered_file
+
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = docs.select(
+            F.concat(
+                F.lit("doc/"), F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+            ).alias("url"),
+            F.timestamp_seconds(F.lit(1740787200) + F.col("doc_id")).alias("warc_ts"),
+            "doc_id",
+        )
+        os.makedirs(os.path.join(stage, "in"))
+        now = 1_700_000_000
+        for k in range(2):
+            write_ordered_file(
+                rows.filter(F.col("doc_id") % 2 == k),
+                os.path.join(stage, "in", f"b{k}.parquet"),
+                now + 100 * k,
+            )
+        schema = spark.read.parquet(os.path.join(stage, "in")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(stage, "in"))
+            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        )
+        # wide watermark: state bounding is the production reason for
+        # the watermark; the dedup SEMANTICS are what this row checks
+        dd = stream.withWatermark("warc_ts", "30 days").dropDuplicatesWithinWatermark(
+            ["url"]
+        )
+        name = drain_available_now(
+            dd.select("url", "doc_id"),
+            "append",
+            os.path.join(stage, "ckpt"),
+            prefix="stream_dedup",
+        )
+        out = spark.table(name).select(
+            "url", F.col("doc_id").alias("kept_doc_id")
+        )
+        return detach(spark, out, name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_DEDUP_URLS_ORACLE = """
+    SELECT 'doc/' || CAST(doc_id // 2 AS VARCHAR) AS url,
+           doc_id AS kept_doc_id
+    FROM documents WHERE doc_id % 2 = 0
+"""
