@@ -127,11 +127,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming at-least-once absorption: cross-batch keyed dedup
         # state (dropDuplicatesWithinWatermark), first delivery wins
         "stream_dedup_urls": SI.stream_dedup_urls,
+        # exact-substring span dedup (Lee et al. ExactSubstr): cross-doc
+        # duplicated windows merged into maximal per-doc spans
+        "dedup_substring_spans": D.dedup_substring_spans,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
         # joins (§2.3)
-        "join_customer_orders": R.join_customer_orders,
         "join_nation_region_rollup": R.join_nation_region_rollup,
         # windows / sessionize (§2.5)
         "window_sessionize": R.window_sessionize,
@@ -184,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": SIM.dedup_embedding_lsh,
         # -- twice-proven (green in r1 AND r2): safe to truncate --
         "window_running_spend": R.window_running_spend,
+        "join_customer_orders": R.join_customer_orders,
         "agg_order_totals": R.agg_order_totals,
         "events_daily_metrics": R.events_daily_metrics,
         "agg_bool_checks": R.agg_bool_checks,
@@ -562,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_rarity": ORC.text_unigram_rarity(),
         "quality_filter_c4": ORC.quality_filter_c4(),
         "dedup_url_keep_first": ORC.dedup_url_keep_first(),
+        "dedup_substring_spans": ORC.dedup_substring_spans(),
         "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),

@@ -519,3 +519,102 @@ def dedup_url_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
     )
+
+
+# Exact-substring span dedup: window width in tokens. Real pipelines use
+# ~50 (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better"); 5 keeps the fixture text exercised at test scale.
+SPAN_W = 5
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, span-level (ExactSubstr a la Lee et al.):
+    find every SPAN_W-token window whose text recurs in ANOTHER
+    document, then merge overlapping/adjacent duplicated windows into
+    maximal per-document spans — the unit a cleaning pipeline would
+    actually cut.
+
+    Differs from text_dup_fraction (which counts distinct duplicated
+    shingles) by keeping POSITIONS and reporting the merged interval
+    union: n_spans, dup_tokens (union length), max_span.
+
+    Shape, scan to sink:
+      1. posexplode of the window array — one (doc_id, pos, h) row per
+         window, md5-hashed so the shuffle key is 32 bytes regardless
+         of W.
+      2. distinct-document frequency per hash: groupBy(h, doc_id) then
+         groupBy(h) — both phases partial-aggregate map-side, so the
+         Zipf-hot boilerplate windows collapse before the shuffle.
+      3. join positions back to the nd>=2 hash set (equi-join on h;
+         AQE skew-join handles the boilerplate head at scale — the
+         duplicated-hash set is corpus-sized, not broadcastable).
+      4. interval union per doc via one window pass ordered by pos:
+         a window starts a new span iff it begins past the running
+         max end + 1 (adjacent windows fuse); span id = running sum
+         of starts. One shuffle on doc_id, then two tiny aggregates.
+    Per doc the output is joined LEFT from documents so clean docs
+    report zeros. All counts are exact integers; the fraction is one
+    bigint/bigint double division (bit-identical across engines)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    wide = _docs_wide(spark, sf_dir)
+    tok = TX.tokens(F.col("text"))
+    win = wide.select(
+        "doc_id",
+        F.posexplode(TX.word_shingles(tok, SPAN_W)).alias("pos", "sh"),
+    ).select("doc_id", "pos", TX.md5_hex(F.col("sh")).alias("h"))
+    dup_hashes = (
+        win.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = win.join(dup_hashes, "h").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(SPAN_W - 1)).alias("e")
+    )
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "brk",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "gid",
+        F.sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = marked.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("max_span"),
+    )
+    n_tok = F.when(TX.norm_text(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(TX.tokens(F.col("text")))
+    )
+    return (
+        docs.select("doc_id", n_tok.cast("long").alias("n_tok"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.coalesce(F.col("max_span"), F.lit(0)).cast("long").alias("max_span"),
+            F.when(
+                F.col("n_tok") > 0,
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tok"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_frac"),
+        )
+    )

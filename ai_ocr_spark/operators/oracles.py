@@ -777,3 +777,57 @@ def dedup_url_keep_first() -> str:
                min(doc_id) AS first_doc_id
         FROM canon GROUP BY canon_url
     """
+
+
+def dedup_substring_spans() -> str:
+    """DuckDB twin of operators.dedup.dedup_substring_spans: same
+    windows (zipped parallel unnest stands in for posexplode), same
+    distinct-doc frequency, same interval-union window pass. Sums are
+    CAST BIGINT (HUGEINT trap); the fraction is the same bigint/bigint
+    double division as the Spark side."""
+    from .dedup import SPAN_W
+
+    w1 = SPAN_W - 1
+    return f"""
+        WITH n AS (SELECT doc_id, string_split({NORM}, ' ') AS tok,
+                          {NORM} AS nt
+                   FROM documents),
+        w AS (SELECT doc_id,
+                     unnest(range(0, len(tok) - {w1})) AS pos,
+                     unnest(list_transform(range(0, len(tok) - {w1}),
+                            i -> md5(array_to_string(
+                                 list_slice(tok, i + 1, i + {SPAN_W}), ' ')))) AS h
+              FROM n WHERE len(tok) >= {SPAN_W}),
+        dh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                              FROM w GROUP BY h) WHERE nd >= 2),
+        dup AS (SELECT doc_id, pos, pos + {w1} AS e FROM w JOIN dh USING (h)),
+        m AS (SELECT doc_id, pos, e,
+                     CASE WHEN pos > coalesce(max(e) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), -2) + 1
+                          THEN 1 ELSE 0 END AS brk
+              FROM dup),
+        g AS (SELECT doc_id, pos, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS gid
+              FROM m),
+        spans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e
+                  FROM g GROUP BY doc_id, gid),
+        per_doc AS (SELECT doc_id,
+                           count(*) AS n_spans,
+                           CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+                           max(e - s + 1) AS max_span
+                    FROM spans GROUP BY doc_id)
+        SELECT n.doc_id,
+               CAST(CASE WHEN n.nt = '' THEN 0 ELSE len(n.tok) END
+                    AS BIGINT) AS n_tok,
+               CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+               CAST(coalesce(p.max_span, 0) AS BIGINT) AS max_span,
+               CASE WHEN n.nt = '' THEN 0.0
+                    ELSE CAST(coalesce(p.dup_tokens, 0) AS BIGINT)
+                         / CAST(len(n.tok) AS BIGINT) END AS dup_token_frac
+        FROM n LEFT JOIN per_doc p USING (doc_id)
+    """

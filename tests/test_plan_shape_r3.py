@@ -47,3 +47,15 @@ def test_xls_roundtrip_single_python_boundary(spark):
     nodes = re.findall(r"\(\d+\) MapInPandas", plan)
     assert len(nodes) == 2  # synth + ONE extract stage
     assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_no_cartesian_and_partial_aggs(spark):
+    """The span-dedup plan must stay bucketed: hash join back on the
+    window hash (never a cartesian product) and the distinct-doc
+    frequency build keeps map-side partial aggregation."""
+    from ai_ocr_spark.operators.dedup import dedup_substring_spans
+
+    plan = formatted_plan(dedup_substring_spans(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan

@@ -233,3 +233,36 @@ def test_url_dedup_groups_variants(spark):
     assert not out["canon_url"].str.contains("utm_|#|WWW").any()
     # keep-first: the representative is the smallest doc_id of its group
     assert (out["first_doc_id"] // 3 * 3 <= out["first_doc_id"]).all()
+
+
+def test_substring_spans_merges_windows_into_maximal_spans(spark, tmp_path):
+    """Hand-built corpus pins the ExactSubstr span semantics:
+    cross-doc windows merge into maximal intervals, within-doc-only
+    repetition does NOT count (distinct-doc >= 2 rule), and clean docs
+    report zeros."""
+    import pandas as pd
+
+    from ai_ocr_spark.operators.dedup import dedup_substring_spans
+
+    texts = {
+        0: "a b c d e f g h i j",          # full copy of doc 3
+        1: "a b c d e f x y z w",          # shares a 6-token prefix
+        2: "q r s t u v",                  # clean
+        3: "a b c d e f g h i j",          # full copy of doc 0
+        4: "a b c d e m m m m m m a b c d e",  # two separated spans;
+        # the m-run repeats only WITHIN the doc -> not duplicated
+    }
+    pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_substring_spans(spark, str(tmp_path)).collect()
+    }
+    assert (out[0]["n_spans"], out[0]["dup_tokens"], out[0]["max_span"]) == (1, 10, 10)
+    assert out[0]["dup_token_frac"] == 1.0
+    assert (out[3]["n_spans"], out[3]["dup_tokens"]) == (1, 10)
+    assert (out[1]["n_spans"], out[1]["dup_tokens"], out[1]["max_span"]) == (1, 6, 6)
+    assert (out[2]["n_spans"], out[2]["dup_tokens"], out[2]["max_span"]) == (0, 0, 0)
+    assert (out[4]["n_spans"], out[4]["dup_tokens"], out[4]["max_span"]) == (2, 10, 5)
+    assert out[4]["n_tok"] == 16 and out[4]["dup_token_frac"] == 10 / 16
