@@ -130,13 +130,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-substring span dedup (Lee et al. ExactSubstr): cross-doc
         # duplicated windows merged into maximal per-doc spans
         "dedup_substring_spans": D.dedup_substring_spans,
+        # per-domain curation rollup: volume, language mix + majority
+        # language, content-diversity dup fraction — all keyed on host
+        "agg_domain_stats": TS.agg_domain_stats,
+        # Gopher repetition rules: dup-line fractions + top-2gram char
+        # fraction with a deterministic argmax tie-break
+        "quality_filter_gopher_rep": TS.quality_filter_gopher_rep,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
-        # joins (§2.3)
-        "join_nation_region_rollup": R.join_nation_region_rollup,
         # windows / sessionize (§2.5)
-        "window_sessionize": R.window_sessionize,
         "agg_keyword_score_argmax": R.agg_keyword_score_argmax,
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -186,6 +189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": SIM.dedup_embedding_lsh,
         # -- twice-proven (green in r1 AND r2): safe to truncate --
         "window_running_spend": R.window_running_spend,
+        "window_sessionize": R.window_sessionize,
+        "join_nation_region_rollup": R.join_nation_region_rollup,
         "join_customer_orders": R.join_customer_orders,
         "agg_order_totals": R.agg_order_totals,
         "events_daily_metrics": R.events_daily_metrics,
@@ -566,6 +571,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_c4": ORC.quality_filter_c4(),
         "dedup_url_keep_first": ORC.dedup_url_keep_first(),
         "dedup_substring_spans": ORC.dedup_substring_spans(),
+        "agg_domain_stats": ORC.agg_domain_stats(),
+        "quality_filter_gopher_rep": ORC.quality_filter_gopher_rep(),
         "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),

@@ -831,3 +831,96 @@ def dedup_substring_spans() -> str:
                          / CAST(len(n.tok) AS BIGINT) END AS dup_token_frac
         FROM n LEFT JOIN per_doc p USING (doc_id)
     """
+
+
+def agg_domain_stats() -> str:
+    """DuckDB twin of textstats.agg_domain_stats: same fingerprints,
+    same _davg decimal-avg, same row_number majority-language
+    tie-break. Distinct counts and sums CAST BIGINT (HUGEINT trap)."""
+    return f"""
+        WITH base AS (SELECT source, lang, n_chars,
+                             md5({NORM}) AS fp
+                      FROM documents),
+        per AS (SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                       round(CAST(sum(CAST(n_chars AS DECIMAL(28,8)))
+                                  AS DOUBLE) / count(n_chars), 4) AS avg_chars,
+                       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                       CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq
+                FROM base GROUP BY source),
+        lc AS (SELECT source, lang, count(*) AS cnt
+               FROM base GROUP BY source, lang),
+        top AS (SELECT source, lang AS top_lang FROM (
+                    SELECT source, lang,
+                           row_number() OVER (PARTITION BY source
+                               ORDER BY cnt DESC, lang) AS rn
+                    FROM lc) WHERE rn = 1)
+        SELECT p.source, n_docs, total_chars, avg_chars, n_langs,
+               top_lang, n_uniq,
+               (n_docs - n_uniq) / n_docs AS dup_frac
+        FROM per p JOIN top USING (source)
+    """
+
+
+def quality_filter_gopher_rep() -> str:
+    """DuckDB twin of textstats.quality_filter_gopher_rep: same seeded
+    document, same 1-based list_filter index (Spark's lambda index is
+    0-based), same explode -> group -> row_number 2-gram argmax with
+    the count-desc-then-gram-asc tie-break. list_sum of an empty list
+    is NULL in DuckDB — coalesce to Spark aggregate's 0 identity."""
+    g2 = _shingle_expr(2)
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 substr(coalesce(text, ''), 1, 50) || chr(10)
+                 || substr(coalesce(text, ''), 51, 50) || chr(10)
+                 || substr(coalesce(text, ''), 1, 50) || chr(10)
+                 || 'boiler ' || (doc_id % 3) || chr(10)
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN substr(coalesce(text, ''), 51, 50)
+                         ELSE 'unique tail ' || (doc_id % 7) END AS seeded
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id,
+                 string_split(seeded, chr(10)) AS lines,
+                 trim(regexp_replace(lower(seeded), '\\s+', ' ', 'g')) AS nrm
+          FROM s
+        ),
+        stats AS (
+          SELECT doc_id, nrm,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(lines,
+                     (x, i) -> list_position(lines, x) != i)) AS BIGINT)
+                     AS n_dup_lines,
+                 coalesce(list_sum(list_transform(list_filter(lines,
+                     (x, i) -> list_position(lines, x) != i),
+                     x -> len(x))), 0) AS rep_chars,
+                 list_sum(list_transform(lines, x -> len(x))) AS line_chars
+          FROM l
+        ),
+        e AS (
+          SELECT doc_id, u.g
+          FROM (SELECT doc_id, string_split(nrm, ' ') AS tok FROM l) t,
+               unnest({g2}) u(g)
+        ),
+        gc AS (SELECT doc_id, g, count(*) AS cnt FROM e GROUP BY doc_id, g),
+        top AS (
+          SELECT doc_id, g AS top_2gram, CAST(cnt AS BIGINT) AS top_2gram_count
+          FROM (SELECT doc_id, g, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY cnt DESC, g) AS rn
+                FROM gc) WHERE rn = 1
+        )
+        SELECT s.doc_id, s.n_lines, s.n_dup_lines,
+               s.n_dup_lines / s.n_lines AS dup_line_frac,
+               s.rep_chars / s.line_chars AS dup_line_char_frac,
+               t.top_2gram, t.top_2gram_count,
+               t.top_2gram_count * len(t.top_2gram) / len(s.nrm)
+                   AS top_2gram_char_frac,
+               (s.n_dup_lines / s.n_lines <= 0.30) AND
+               (t.top_2gram_count * len(t.top_2gram) / len(s.nrm) <= 0.20)
+                   AS keep
+        FROM stats s JOIN top t USING (doc_id)
+    """

@@ -403,3 +403,172 @@ def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_sent >= C4_MIN_SENTENCES) & ~has_lorem & ~has_brace
         ).alias("keep"),
     )
+
+
+def agg_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-curation rollup (the FineWeb/CCNet unit of
+    keep/drop decisions is the HOST, not the page): for each source —
+
+      n_docs, total_chars, avg_chars   volume/size profile
+      n_langs, top_lang                language mix + majority language
+                                       (deterministic tie-break: count
+                                       desc, then lang asc — row_number
+                                       in BOTH engines, never arg_max,
+                                       whose ties are engine-dependent)
+      n_uniq, dup_frac                 content diversity: distinct
+                                       norm-text fingerprints and the
+                                       duplicate fraction a curator
+                                       gates on
+
+    Shape: one hash aggregate on source (two distinct-agg expands,
+    partial map-side), plus a (source, lang) count with a per-source
+    row_number for the majority language — all shuffles are on the
+    domain key, the natural partitioning every downstream per-domain
+    decision reuses. avg_chars uses the _davg exact-decimal pattern;
+    dup_frac is one bigint/bigint double division."""
+    from pyspark.sql import Window
+
+    from .relational import _davg
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.md5(TX.norm_text(F.col("text")).cast("binary")).alias("fp"),
+    )
+    per = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nc").cast("long").alias("total_chars"),
+        _davg(F.col("nc")).alias("avg_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("fp").cast("long").alias("n_uniq"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "lang")
+    top = (
+        lc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return per.join(top, "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        "n_langs",
+        "top_lang",
+        "n_uniq",
+        ((F.col("n_docs") - F.col("n_uniq")) / F.col("n_docs")).alias("dup_frac"),
+    )
+
+
+# Gopher repetition-rule thresholds (Rae et al. Table A1 family),
+# shared with the oracle SQL
+REP_DUP_LINE_MAX = 0.30
+REP_TOP2_CHAR_MAX = 0.20
+
+
+def quality_filter_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repetition half of the Gopher quality rules (the statistics
+    half is quality_filter_gopher): per document —
+
+      dup_line_frac       non-first occurrences of a line / lines
+      dup_line_char_frac  chars inside those repeated occurrences /
+                          chars in all lines
+      top_2gram,
+      top_2gram_count,
+      top_2gram_char_frac most frequent word-2-gram; its occurrences'
+                          chars (count * len(gram)) / normalized chars.
+                          Tie-break: count desc, then gram asc — the
+                          deterministic rule both engines implement as
+                          min over the argmax set
+      keep                dup_line_frac <= REP_DUP_LINE_MAX and
+                          top_2gram_char_frac <= REP_TOP2_CHAR_MAX
+
+    A deterministic multi-line document is seeded per row (the fixture
+    text is single-line) with real duplicate lines: slice 1 repeats
+    verbatim, slice 2 repeats on every 4th doc. Assembled IDENTICALLY
+    in the DuckDB twin.
+
+    Shape: line stats are per-row array HOFs (scan speed); the 2-gram
+    argmax is explode -> (doc_id, gram) hash aggregate -> per-doc
+    row_number — ONE shuffle keyed on doc_id, the same shape as the
+    minhash shingle table. A per-row nested-HOF argmax was measured
+    first and rejected: HOF lambdas re-evaluate their argument
+    expression per element (no CSE inside higher-order functions), so
+    the O(distinct x total) compare loop re-built the gram array each
+    probe — 286s for 500 rows vs ~1s for this shape. All fractions are
+    exact-int divisions."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    seeded = F.concat_ws(
+        "\n",
+        F.substring(t, 1, 50),
+        F.substring(t, 51, 50),
+        F.substring(t, 1, 50),
+        F.concat(F.lit("boiler "), (F.col("doc_id") % 3).cast("string")),
+        F.when(F.col("doc_id") % 4 == 0, F.substring(t, 51, 50)).otherwise(
+            F.concat(F.lit("unique tail "), (F.col("doc_id") % 7).cast("string"))
+        ),
+    )
+    lines = F.split(seeded, "\n")
+    rep = F.filter(lines, lambda x, i: F.array_position(lines, x) != i + 1)
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    rep_chars = F.aggregate(rep, F.lit(0), lambda acc, x: acc + F.length(x))
+    norm = TX.norm_text(seeded)
+    dup_line_frac = F.size(rep) / F.size(lines)
+    stats = docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(rep).cast("long").alias("n_dup_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        (rep_chars / line_chars).alias("dup_line_char_frac"),
+        F.length(norm).alias("n_norm_chars"),
+        seeded.alias("seeded"),
+    )
+    # 2-gram argmax: the seeded doc always has >= 2 tokens ("boiler k"
+    # at minimum), so every doc_id has a top gram — the join is total
+    grams = stats.select(
+        "doc_id",
+        F.explode(
+            TX.word_shingles(F.split(TX.norm_text(F.col("seeded")), " "), 2)
+        ).alias("g"),
+    )
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "g")
+    top = (
+        gc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_2gram"),
+            F.col("cnt").cast("long").alias("top_2gram_count"),
+        )
+    )
+    top_frac = (
+        F.col("top_2gram_count")
+        * F.length(F.col("top_2gram"))
+        / F.col("n_norm_chars")
+    )
+    return (
+        stats.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_dup_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top_2gram",
+            "top_2gram_count",
+            top_frac.alias("top_2gram_char_frac"),
+            (
+                (F.col("dup_line_frac") <= REP_DUP_LINE_MAX)
+                & (top_frac <= REP_TOP2_CHAR_MAX)
+            ).alias("keep"),
+        )
+    )

@@ -59,3 +59,18 @@ def test_substring_spans_no_cartesian_and_partial_aggs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_gopher_rep_argmax_is_aggregate_not_nested_hof(spark):
+    """The 2-gram argmax must stay the explode->aggregate->row_number
+    shape: a per-row nested-HOF argmax re-evaluates the gram
+    construction per probe (no CSE inside HOF lambdas; measured 286s
+    vs ~1s on 500 rows). Pin the aggregate + window and the absence of
+    any join degenerating to nested-loop."""
+    from ai_ocr_spark.operators.textstats import quality_filter_gopher_rep
+
+    plan = formatted_plan(quality_filter_gopher_rep(spark, SF))
+    assert "HashAggregate" in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -266,3 +266,45 @@ def test_substring_spans_merges_windows_into_maximal_spans(spark, tmp_path):
     assert (out[2]["n_spans"], out[2]["dup_tokens"], out[2]["max_span"]) == (0, 0, 0)
     assert (out[4]["n_spans"], out[4]["dup_tokens"], out[4]["max_span"]) == (2, 10, 5)
     assert out[4]["n_tok"] == 16 and out[4]["dup_token_frac"] == 10 / 16
+
+
+def test_domain_stats_invariants(spark):
+    """Per-domain rollup sanity: one row per source, counts consistent,
+    dup fraction bounded, majority language actually present."""
+    from ai_ocr_spark.operators.textstats import agg_domain_stats
+
+    out = agg_domain_stats(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    assert len(out) == docs["source"].nunique()
+    assert out["n_docs"].sum() == len(docs)
+    assert ((out["n_uniq"] >= 1) & (out["n_uniq"] <= out["n_docs"])).all()
+    assert ((out["dup_frac"] >= 0) & (out["dup_frac"] < 1)).all()
+    langs_by_src = docs.groupby("source")["lang"].agg(set)
+    for _, r in out.iterrows():
+        assert r["top_lang"] in langs_by_src[r["source"]]
+
+
+def test_gopher_rep_signals(spark):
+    """Repetition-rule sanity: seeded line duplicates show up in the
+    fractions, the top 2-gram really occurs its reported number of
+    times, and the keep gate matches its published thresholds."""
+    from ai_ocr_spark.operators.textstats import (
+        REP_DUP_LINE_MAX,
+        REP_TOP2_CHAR_MAX,
+        quality_filter_gopher_rep,
+    )
+
+    out = quality_filter_gopher_rep(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == docs
+    # slice 1 always repeats -> at least one duplicated line everywhere
+    assert (out["n_dup_lines"] >= 1).all()
+    # every 4th doc repeats slice 2 as well
+    assert (out.loc[out["doc_id"] % 4 == 0, "n_dup_lines"] >= 2).all()
+    assert ((out["dup_line_frac"] > 0) & (out["dup_line_frac"] < 1)).all()
+    assert (out["top_2gram_count"] >= 1).all()
+    assert (out["top_2gram"].str.count(" ") == 1).all()
+    expect_keep = (out["dup_line_frac"] <= REP_DUP_LINE_MAX) & (
+        out["top_2gram_char_frac"] <= REP_TOP2_CHAR_MAX
+    )
+    assert (out["keep"] == expect_keep).all()
