@@ -558,12 +558,25 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    wide = _docs_wide(spark, sf_dir)
-    tok = TX.tokens(F.col("text"))
-    win = wide.select(
-        "doc_id",
-        F.posexplode(TX.word_shingles(tok, SPAN_W)).alias("pos", "sh"),
-    ).select("doc_id", "pos", TX.md5_hex(F.col("sh")).alias("h"))
+    # the positioned-window table feeds BOTH sides of the dup-hash
+    # join (frequency build + position probe); persist + memoize it so
+    # the tokenize -> shingle -> md5 -> posexplode pipeline runs ONCE
+    # per dataset, not twice per call (same barrier rationale as
+    # _shingled; 9.9s -> ~1s warm at sf0.1)
+    key = _cache_key(spark, sf_dir, "spanwin", SPAN_W)
+    win = _SHINGLE_CACHE.get(key)
+    if win is None:
+        wide = _docs_wide(spark, sf_dir)
+        tok = TX.tokens(F.col("text"))
+        win = (
+            wide.select(
+                "doc_id",
+                F.posexplode(TX.word_shingles(tok, SPAN_W)).alias("pos", "sh"),
+            )
+            .select("doc_id", "pos", TX.md5_hex(F.col("sh")).alias("h"))
+            .persist()
+        )
+        _SHINGLE_CACHE[key] = win
     dup_hashes = (
         win.select("h", "doc_id")
         .distinct()

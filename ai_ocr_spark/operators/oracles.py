@@ -838,7 +838,9 @@ def agg_domain_stats() -> str:
     same _davg decimal-avg, same row_number majority-language
     tie-break. Distinct counts and sums CAST BIGINT (HUGEINT trap)."""
     return f"""
-        WITH base AS (SELECT source, lang, n_chars,
+        WITH base AS (SELECT coalesce(source, '') AS source,
+                             coalesce(lang, '') AS lang,
+                             n_chars,
                              md5({NORM}) AS fp
                       FROM documents),
         per AS (SELECT source,

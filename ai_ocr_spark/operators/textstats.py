@@ -431,11 +431,14 @@ def agg_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .relational import _davg
 
     docs = _docs(spark, sf_dir)
+    # coalesce the group keys: a NULL source/lang (missing host after
+    # URL parse, langid abstain) must stay a real rollup bucket — an
+    # equi-join on a NULL key would silently drop the whole group
     base = docs.select(
-        "source",
-        "lang",
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
         F.col("n_chars").cast("long").alias("nc"),
-        F.md5(TX.norm_text(F.col("text")).cast("binary")).alias("fp"),
+        TX.md5_hex(TX.norm_text(F.col("text"))).alias("fp"),
     )
     per = base.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -521,13 +524,16 @@ def quality_filter_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep_chars = F.aggregate(rep, F.lit(0), lambda acc, x: acc + F.length(x))
     norm = TX.norm_text(seeded)
-    dup_line_frac = F.size(rep) / F.size(lines)
+    # integers only here: the fractions are derived AFTER the join so
+    # they reference join-output columns, not re-inlined copies of the
+    # rep/lines HOF expressions (CollapseProject duplicates every
+    # reference inside one Project; the join is the barrier)
     stats = docs.select(
         "doc_id",
         F.size(lines).cast("long").alias("n_lines"),
         F.size(rep).cast("long").alias("n_dup_lines"),
-        dup_line_frac.alias("dup_line_frac"),
-        (rep_chars / line_chars).alias("dup_line_char_frac"),
+        rep_chars.alias("rep_chars"),
+        line_chars.alias("line_chars"),
         F.length(norm).alias("n_norm_chars"),
         seeded.alias("seeded"),
     )
@@ -555,19 +561,22 @@ def quality_filter_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.length(F.col("top_2gram"))
         / F.col("n_norm_chars")
     )
+    dup_line_frac = F.col("n_dup_lines") / F.col("n_lines")
     return (
         stats.join(top, "doc_id")
         .select(
             "doc_id",
             "n_lines",
             "n_dup_lines",
-            "dup_line_frac",
-            "dup_line_char_frac",
+            dup_line_frac.alias("dup_line_frac"),
+            (F.col("rep_chars") / F.col("line_chars")).alias(
+                "dup_line_char_frac"
+            ),
             "top_2gram",
             "top_2gram_count",
             top_frac.alias("top_2gram_char_frac"),
             (
-                (F.col("dup_line_frac") <= REP_DUP_LINE_MAX)
+                (dup_line_frac <= REP_DUP_LINE_MAX)
                 & (top_frac <= REP_TOP2_CHAR_MAX)
             ).alias("keep"),
         )

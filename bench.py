@@ -71,6 +71,7 @@ def main() -> int:
         # scale-shape query — benching it at full n would publish a
         # nested-loop join as a headline number. The scale path is:
         "dedup_embedding_lsh",
+        "dedup_substring_spans",
         "ann_cosine_topk",
         "ann_ivf_topk",
         "text_quality_scores",
@@ -120,6 +121,7 @@ def main() -> int:
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_embedding_lsh",
+        "dedup_substring_spans",
         "ann_ivf_topk",
     ):
         clear_caches(spark)

@@ -71,6 +71,11 @@ def test_gopher_rep_argmax_is_aggregate_not_nested_hof(spark):
 
     plan = formatted_plan(quality_filter_gopher_rep(spark, SF))
     assert "HashAggregate" in plan
-    assert "RunningWindowFunction" in plan or "Window" in plan
+    # the argmax itself: a row_number window partitioned on the doc
+    # key, with the rn=1 filter pushed into a group-limit (Spark only
+    # keeps the per-partition top row, never materializing full ranks)
+    assert "row_number()" in plan
+    assert "WindowGroupLimit" in plan
+    assert "[doc_id" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
