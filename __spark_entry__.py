@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ai_ocr_spark.operators import curation as CU  # noqa: E402
 from ai_ocr_spark.operators import dedup as D  # noqa: E402
 from ai_ocr_spark.operators import multimodal as MM  # noqa: E402
 from ai_ocr_spark.operators import oracles as ORC  # noqa: E402
@@ -136,6 +137,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher repetition rules: dup-line fractions + top-2gram char
         # fraction with a deterministic argmax tie-break
         "quality_filter_gopher_rep": TS.quality_filter_gopher_rep,
+        # benchmark decontamination: n-gram overlap vs a held-out
+        # hash-stable benchmark slice, broadcast benchmark n-gram set
+        "decontam_ngram_overlap": CU.decontam_ngram_overlap,
+        # corpus balancing: per-domain cap, longest-first deterministic
+        "sample_domain_cap": CU.sample_domain_cap,
+        # the end-to-end near-dup verdict: LSH pairs -> components ->
+        # per-cluster canonical keep/drop for every document
+        "dedup_minhash_keep_canonical": CU.dedup_minhash_keep_canonical,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -573,6 +582,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": ORC.dedup_substring_spans(),
         "agg_domain_stats": ORC.agg_domain_stats(),
         "quality_filter_gopher_rep": ORC.quality_filter_gopher_rep(),
+        "decontam_ngram_overlap": ORC.decontam_ngram_overlap(),
+        "sample_domain_cap": ORC.sample_domain_cap(),
+        "dedup_minhash_keep_canonical": ORC.dedup_minhash_keep_canonical(),
         "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),

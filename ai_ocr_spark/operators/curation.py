@@ -1,0 +1,146 @@
+"""Corpus-curation operators a training-data pipeline runs AFTER
+per-document cleaning: benchmark decontamination, per-domain sampling
+caps, and the end-to-end near-dup keep/drop decision.
+
+  decontam_ngram_overlap      flag corpus documents sharing any
+                              SPAN_W-token window with a held-out
+                              benchmark slice (the eval-set-leakage
+                              check every LLM data pipeline runs before
+                              training; cf. GPT-3 App. C / PaLM's
+                              13-gram decontamination).
+  sample_domain_cap           keep at most CAP documents per domain,
+                              longest first with a deterministic
+                              tie-break — the C4/Gopher-style corpus
+                              balancing pass that stops one crawl-heavy
+                              host from dominating the mixture.
+  dedup_minhash_keep_canonical
+                              the composition users actually run:
+                              minhash-LSH pairs -> connected components
+                              -> per-cluster canonical representative,
+                              emitting a keep/drop verdict for EVERY
+                              document (singletons keep themselves).
+
+All three are pure DataFrame plans over the shared dedup machinery —
+no Python rows, no collect. Scale notes per operator docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from .dedup import _docs, _span_windows, dedup_connected_components
+
+# Benchmark slice: hash15(doc_id) below 5% of the 60-bit hash space.
+# Same stable-hash membership primitive as sketch.sample_hash_stable —
+# deterministic across engines, runs, and partitionings.
+DECON_BENCH_THRESHOLD = (1 << 60) // 20
+
+# Per-domain document cap for the balancing sample.
+DOMAIN_CAP = 15
+
+
+def _is_bench(doc_id: Column) -> Column:
+    return TX.hash15(doc_id.cast("string")) < F.lit(DECON_BENCH_THRESHOLD)
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every NON-benchmark document,
+    count distinct SPAN_W-token windows that also occur anywhere in the
+    benchmark slice; `contaminated` marks any overlap.
+
+    Benchmark membership is a scan-side predicate on hash15(doc_id) —
+    no join materializes the split, both sides prune off the same
+    cached window table (dedup._span_windows).
+
+    Scale shape: the benchmark n-gram set is bounded by the BENCHMARK's
+    token count, not the corpus (real decontamination runs against
+    fixed eval sets — MMLU/GSM8K-sized, ~10^6 windows), so it is
+    broadcast: the corpus side never shuffles. Per-doc counts are one
+    partial-aggregated groupBy on doc_id; clean/short docs re-enter via
+    a left join from the corpus slice so the verdict covers every row.
+    """
+    win = _span_windows(spark, sf_dir)
+    bench_hashes = (
+        win.filter(_is_bench(F.col("doc_id"))).select("h").distinct()
+    )
+    corpus_win = (
+        win.filter(~_is_bench(F.col("doc_id")))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    per_doc = (
+        corpus_win.join(
+            F.broadcast(bench_hashes.withColumn("hit", F.lit(1))), "h", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_win"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    corpus = _docs(spark, sf_dir).filter(~_is_bench(F.col("doc_id")))
+    return (
+        corpus.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_win"), F.lit(0)).cast("long").alias("n_win"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.when(F.coalesce(F.col("n_win"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+                / F.coalesce(F.col("n_win"), F.lit(0)).cast("long")
+            )
+            .alias("hit_frac"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced sample: at most DOMAIN_CAP documents per source,
+    preferring the longest (n_chars DESC) with doc_id ASC as the
+    deterministic tie-break. NULL sources coalesce to '' so they form a
+    real capped bucket instead of one row-per-NULL.
+
+    Shape: ONE shuffle on the domain key; the rn <= CAP predicate
+    compiles to WindowGroupLimit, so each partition keeps a CAP-sized
+    heap instead of fully sorting its domain's rows — the property that
+    makes the pass survive a crawl-skewed host with 10^9 pages."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            F.coalesce(F.col("source"), F.lit("")).alias("source"),
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+    )
+
+
+def dedup_minhash_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup verdict: minhash-LSH pairs -> connected
+    components -> keep the cluster-minimum doc_id, drop the rest.
+    Every document gets a row (singletons are their own canonical).
+
+    This is the composition a cleaning pipeline actually materializes —
+    the pairwise and clustering operators exist so THIS keep column can
+    be computed. Reuses the memoized component labels
+    (dedup.dedup_connected_components — already localCheckpoint-ed);
+    cluster_size rides one component_id shuffle as a count window, and
+    `keep` is a pure projection, so the verdict costs one exchange over
+    the labels table."""
+    labels = dedup_connected_components(spark, sf_dir)
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )

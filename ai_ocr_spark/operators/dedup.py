@@ -527,6 +527,31 @@ def dedup_url_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_W = 5
 
 
+def _span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positioned SPAN_W-token windows: one (doc_id, pos, h) row per
+    window, md5-hashed so downstream shuffle/join keys are 32 bytes
+    regardless of W. Persisted + memoized per (session, sf_dir): the
+    table feeds both sides of dedup_substring_spans' dup-hash join AND
+    curation.decontam_ngram_overlap, so the tokenize -> shingle -> md5
+    -> posexplode pipeline runs once per dataset (9.9s -> ~1s warm at
+    sf0.1)."""
+    key = _cache_key(spark, sf_dir, "spanwin", SPAN_W)
+    win = _SHINGLE_CACHE.get(key)
+    if win is None:
+        wide = _docs_wide(spark, sf_dir)
+        tok = TX.tokens(F.col("text"))
+        win = (
+            wide.select(
+                "doc_id",
+                F.posexplode(TX.word_shingles(tok, SPAN_W)).alias("pos", "sh"),
+            )
+            .select("doc_id", "pos", TX.md5_hex(F.col("sh")).alias("h"))
+            .persist()
+        )
+        _SHINGLE_CACHE[key] = win
+    return win
+
+
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup, span-level (ExactSubstr a la Lee et al.):
     find every SPAN_W-token window whose text recurs in ANOTHER
@@ -558,25 +583,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    # the positioned-window table feeds BOTH sides of the dup-hash
-    # join (frequency build + position probe); persist + memoize it so
-    # the tokenize -> shingle -> md5 -> posexplode pipeline runs ONCE
-    # per dataset, not twice per call (same barrier rationale as
-    # _shingled; 9.9s -> ~1s warm at sf0.1)
-    key = _cache_key(spark, sf_dir, "spanwin", SPAN_W)
-    win = _SHINGLE_CACHE.get(key)
-    if win is None:
-        wide = _docs_wide(spark, sf_dir)
-        tok = TX.tokens(F.col("text"))
-        win = (
-            wide.select(
-                "doc_id",
-                F.posexplode(TX.word_shingles(tok, SPAN_W)).alias("pos", "sh"),
-            )
-            .select("doc_id", "pos", TX.md5_hex(F.col("sh")).alias("h"))
-            .persist()
-        )
-        _SHINGLE_CACHE[key] = win
+    win = _span_windows(spark, sf_dir)
     dup_hashes = (
         win.select("h", "doc_id")
         .distinct()

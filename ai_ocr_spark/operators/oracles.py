@@ -926,3 +926,77 @@ def quality_filter_gopher_rep() -> str:
                    AS keep
         FROM stats s JOIN top t USING (doc_id)
     """
+
+def decontam_ngram_overlap() -> str:
+    """Twin of curation.decontam_ngram_overlap: same SPAN_W windows as
+    dedup_substring_spans, same hash15 benchmark membership as
+    sketch.sample_hash_stable, distinct-window left join, coalesced
+    zeros for windowless docs. Counts CAST BIGINT (HUGEINT trap); the
+    fraction is the same bigint/bigint double division."""
+    from .curation import DECON_BENCH_THRESHOLD
+    from .dedup import SPAN_W
+
+    w1 = SPAN_W - 1
+    bench = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) < {DECON_BENCH_THRESHOLD}"
+    )
+    return f"""
+        WITH n AS (SELECT doc_id, string_split({NORM}, ' ') AS tok
+                   FROM documents),
+        w AS (SELECT doc_id,
+                     unnest(list_transform(range(0, len(tok) - {w1}),
+                            i -> md5(array_to_string(
+                                 list_slice(tok, i + 1, i + {SPAN_W}), ' ')))) AS h
+              FROM n WHERE len(tok) >= {SPAN_W}),
+        bh AS (SELECT DISTINCT h FROM w WHERE {bench}),
+        cw AS (SELECT DISTINCT doc_id, h FROM w WHERE NOT ({bench})),
+        per AS (SELECT cw.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_win,
+                       CAST(sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hit
+                FROM cw LEFT JOIN bh USING (h) GROUP BY cw.doc_id),
+        corpus AS (SELECT doc_id FROM documents WHERE NOT ({bench}))
+        SELECT corpus.doc_id,
+               CAST(coalesce(p.n_win, 0) AS BIGINT) AS n_win,
+               CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+               CASE WHEN coalesce(p.n_win, 0) = 0 THEN 0.0
+                    ELSE CAST(coalesce(p.n_hit, 0) AS BIGINT)
+                         / CAST(p.n_win AS BIGINT) END AS hit_frac,
+               coalesce(p.n_hit, 0) > 0 AS contaminated
+        FROM corpus LEFT JOIN per p USING (doc_id)
+    """
+
+
+def sample_domain_cap() -> str:
+    """Twin of curation.sample_domain_cap: same coalesced domain key,
+    same (n_chars DESC, doc_id ASC) deterministic order, same cap."""
+    from .curation import DOMAIN_CAP
+
+    return f"""
+        SELECT source, doc_id, n_chars, rn FROM (
+            SELECT coalesce(source, '') AS source,
+                   doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   row_number() OVER (PARTITION BY coalesce(source, '')
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn <= {DOMAIN_CAP}
+    """
+
+
+def dedup_minhash_keep_canonical() -> str:
+    """Twin of curation.dedup_minhash_keep_canonical: the exact
+    transitive-closure labels (verbatim dedup_connected_components
+    twin) extended with a per-component count window and the
+    keep-the-minimum verdict."""
+    cc_sql = dedup_connected_components()
+    return f"""
+        WITH cc AS ({cc_sql})
+        SELECT doc_id,
+               component_id,
+               CAST(count(*) OVER (PARTITION BY component_id)
+                    AS BIGINT) AS cluster_size,
+               doc_id = component_id AS keep
+        FROM cc
+    """

@@ -72,6 +72,8 @@ def main() -> int:
         # nested-loop join as a headline number. The scale path is:
         "dedup_embedding_lsh",
         "dedup_substring_spans",
+        "decontam_ngram_overlap",
+        "sample_domain_cap",
         "ann_cosine_topk",
         "ann_ivf_topk",
         "text_quality_scores",

@@ -1,0 +1,89 @@
+"""Corpus-curation operators: behavior + the plan shapes the 100-TB
+story depends on (broadcast benchmark set, WindowGroupLimit domain
+cap, no cartesian products anywhere)."""
+
+from pyspark.sql import functions as F
+
+from ai_ocr_spark.operators.curation import (
+    DECON_BENCH_THRESHOLD,
+    DOMAIN_CAP,
+    decontam_ngram_overlap,
+    dedup_minhash_keep_canonical,
+    sample_domain_cap,
+)
+from ai_ocr_spark.plans.audit import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_decontam_covers_corpus_and_flags_consistently(spark):
+    from ai_ocr_spark.functions import text as TX
+
+    rows = decontam_ngram_overlap(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_corpus = docs.filter(
+        TX.hash15(F.col("doc_id").cast("string"))
+        >= F.lit(DECON_BENCH_THRESHOLD)
+    ).count()
+    # every non-benchmark doc gets a verdict row, benchmark docs none
+    assert len(rows) == n_corpus
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_win
+        assert r.contaminated == (r.n_hit > 0)
+        if r.n_win:
+            assert abs(r.hit_frac - r.n_hit / r.n_win) < 1e-12
+        else:
+            assert r.hit_frac == 0.0
+
+
+def test_decontam_plan_broadcasts_benchmark_side(spark):
+    """The benchmark n-gram set is eval-set-sized, never corpus-sized:
+    the overlap join must be a broadcast so the corpus side does not
+    shuffle on the window hash."""
+    plan = formatted_plan(decontam_ngram_overlap(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_domain_cap_keeps_longest_per_domain(spark):
+    out = sample_domain_cap(spark, SF)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source or "", []).append(d)
+    for src, kept in per.items():
+        assert len(kept) <= DOMAIN_CAP
+        # the kept set IS the top-CAP by (n_chars desc, doc_id asc)
+        want = sorted(by_src[src], key=lambda d: (-d.n_chars, d.doc_id))
+        want_ids = [d.doc_id for d in want[:DOMAIN_CAP]]
+        got_ids = [r.doc_id for r in sorted(kept, key=lambda r: r.rn)]
+        assert got_ids == want_ids
+
+
+def test_sample_domain_cap_plan_uses_group_limit(spark):
+    """rn <= CAP must compile to WindowGroupLimit: each partition keeps
+    a CAP-sized heap instead of fully sorting a crawl-skewed host."""
+    plan = formatted_plan(sample_domain_cap(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "row_number()" in plan
+
+
+def test_keep_canonical_one_keeper_per_cluster(spark):
+    rows = dedup_minhash_keep_canonical(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs  # every document gets a verdict
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.component_id, []).append(r)
+    for cid, members in clusters.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        assert keepers[0].doc_id == min(r.doc_id for r in members) == cid
+        assert all(r.cluster_size == len(members) for r in members)
+    # the near-dup fixtures guarantee at least one multi-doc cluster
+    assert any(len(m) > 1 for m in clusters.values())
