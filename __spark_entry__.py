@@ -145,6 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the end-to-end near-dup verdict: LSH pairs -> components ->
         # per-cluster canonical keep/drop for every document
         "dedup_minhash_keep_canonical": CU.dedup_minhash_keep_canonical,
+        # corpus-level C4 line dedup: first (doc_id,pos) occurrence
+        # wins globally; broadcast-head de-skew on the line hash
+        "dedup_lines_global": CU.dedup_lines_global,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -585,6 +588,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_ngram_overlap": ORC.decontam_ngram_overlap(),
         "sample_domain_cap": ORC.sample_domain_cap(),
         "dedup_minhash_keep_canonical": ORC.dedup_minhash_keep_canonical(),
+        "dedup_lines_global": ORC.dedup_lines_global(),
         "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),

@@ -40,6 +40,13 @@ DECON_BENCH_THRESHOLD = (1 << 60) // 20
 # Per-domain document cap for the balancing sample.
 DOMAIN_CAP = 15
 
+# Global line dedup: lines shorter than this many tokens are never
+# deduplicated (C4 dedups content spans, not connective scraps), and
+# the top-K hottest line hashes join as a broadcast map (boilerplate
+# head de-skew, same split as textstats.text_unigram_rarity).
+MIN_LINE_TOKENS = 4
+LINE_HEAD_K = 1024
+
 
 def _is_bench(doc_id: Column) -> Column:
     return TX.hash15(doc_id.cast("string")) < F.lit(DECON_BENCH_THRESHOLD)
@@ -143,4 +150,115 @@ def dedup_minhash_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id",
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )
+
+
+def _seeded_lines_doc(k: Column, t: Column) -> Column:
+    """Deterministic multi-line document per row (the fixture text is
+    single-line): two prose slices, a site-boilerplate footer shared by
+    half the corpus each, and a tail slice. Assembled IDENTICALLY in
+    the DuckDB twin so the cross-doc dedup provably fires on real
+    repeated content (the footer is exactly the boilerplate a global
+    line dedup exists to kill)."""
+    return F.concat_ws(
+        "\n",
+        F.substring(t, 1, 50),
+        F.substring(t, 51, 50),
+        F.when(
+            k % 2 == 0, F.lit("all rights reserved by the site operator")
+        ).otherwise(F.lit("subscribe to our newsletter for updates today")),
+        F.substring(t, 101, 50),
+    )
+
+
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-level line dedup (the actual C4 rule — text_line_dedup is
+    the within-document variant): every line occurring more than once
+    anywhere in the corpus survives only at its lexicographically first
+    (doc_id, pos) site; all later occurrences are cut. Lines under
+    MIN_LINE_TOKENS tokens are exempt (C4 dedups content, not 'click
+    here'). Emits per doc: line counts, removed count/fraction, and the
+    reconstructed cleaned text.
+
+    Shape, scan to sink:
+      1. posexplode lines; key = md5 of the whitespace-canonical line.
+      2. first-occurrence table: groupBy(h) -> min(struct(doc_id, pos))
+         + occurrence count — partial-aggregated map-side, so the
+         boilerplate head collapses before the shuffle.
+      3. join the verdict back. The line key is Zipf-skewed (one footer
+         line can occur 10^9 times at 100 TB), so the join is split
+         like text_unigram_rarity: the LINE_HEAD_K hottest hashes
+         (TakeOrderedAndProject, driver-bounded) join as a BROADCAST —
+         the hot head never rides the shuffle — and only the de-skewed
+         tail takes the shuffled equi-join.
+      4. reconstruct: collect kept (pos, line) structs per doc,
+         array_sort (struct order = pos order), join with newline. One
+         doc_id shuffle.
+    """
+    docs = _docs(spark, sf_dir)
+    seeded = _seeded_lines_doc(
+        F.col("doc_id"), F.coalesce(F.col("text"), F.lit(""))
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(seeded, "\n")).alias("pos", "line")
+    )
+    nl = TX.norm_text(F.col("line"))
+    guard = (nl != "") & (F.size(F.split(nl, " ")) >= MIN_LINE_TOKENS)
+    lines = lines.select(
+        "doc_id", "pos", "line", guard.alias("dedupable"),
+        F.when(guard, TX.md5_hex(nl)).alias("h"),
+    )
+    dedupable = lines.filter(F.col("dedupable"))
+    firsts = dedupable.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    head = firsts.orderBy(F.col("n_occ").desc(), "h").limit(LINE_HEAD_K)
+    with_head = dedupable.join(
+        F.broadcast(head.select("h", F.col("first").alias("first_h"))),
+        "h",
+        "left",
+    )
+    hot = with_head.filter(F.col("first_h").isNotNull()).select(
+        "doc_id", "pos", "line", F.col("first_h").alias("first")
+    )
+    # tail rows' hashes are not in head by construction, so joining the
+    # full firsts table finds exactly the tail entries
+    cold = (
+        with_head.filter(F.col("first_h").isNull())
+        .drop("first_h")
+        .join(firsts.select("h", "first"), "h")
+        .select("doc_id", "pos", "line", "first")
+    )
+    verdict = hot.unionByName(cold).select(
+        "doc_id", "pos", "line",
+        (F.struct("doc_id", "pos") == F.col("first")).alias("kept"),
+    )
+    exempt = lines.filter(~F.col("dedupable")).select(
+        "doc_id", "pos", "line", F.lit(True).alias("kept")
+    )
+    allv = verdict.unionByName(exempt)
+    per_doc = allv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        (F.col("n_removed") / F.col("n_lines")).alias("removed_frac"),
+        "cleaned_text",
     )

@@ -1000,3 +1000,54 @@ def dedup_minhash_keep_canonical() -> str:
                doc_id = component_id AS keep
         FROM cc
     """
+
+def dedup_lines_global() -> str:
+    """Twin of curation.dedup_lines_global: same seeded multi-line doc,
+    same canonical line key, first-(doc_id,pos)-wins via row_number
+    (identical semantics to the Spark side's min-struct aggregate),
+    same exemption guard, ordered string_agg reconstruction."""
+    from .curation import MIN_LINE_TOKENS
+
+    nlx = r"trim(regexp_replace(lower(coalesce(line, '')), '\s+', ' ', 'g'))"
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 substr(coalesce(text, ''), 1, 50) || chr(10)
+                 || substr(coalesce(text, ''), 51, 50) || chr(10)
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN 'all rights reserved by the site operator'
+                         ELSE 'subscribe to our newsletter for updates today'
+                    END || chr(10)
+                 || substr(coalesce(text, ''), 101, 50) AS seeded
+          FROM documents
+        ),
+        l AS (SELECT doc_id, string_split(seeded, chr(10)) AS ls FROM s),
+        x AS (SELECT doc_id,
+                     unnest(range(0, len(ls))) AS pos,
+                     unnest(ls) AS line
+              FROM l),
+        v AS (SELECT doc_id, pos, line,
+                     {nlx} <> ''
+                       AND len(string_split({nlx}, ' ')) >= {MIN_LINE_TOKENS}
+                       AS dedupable,
+                     md5({nlx}) AS h
+              FROM x),
+        verdict AS (
+          SELECT doc_id, pos, line, rn = 1 AS kept FROM (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY h
+                       ORDER BY doc_id, pos) AS rn
+            FROM v WHERE dedupable)
+          UNION ALL
+          SELECT doc_id, pos, line, TRUE AS kept FROM v WHERE NOT dedupable
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS BIGINT) AS removed_frac,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE kept), '') AS cleaned_text
+        FROM verdict GROUP BY doc_id
+    """

@@ -74,6 +74,7 @@ def main() -> int:
         "dedup_substring_spans",
         "decontam_ngram_overlap",
         "sample_domain_cap",
+        "dedup_lines_global",
         "ann_cosine_topk",
         "ann_ivf_topk",
         "text_quality_scores",

@@ -87,3 +87,41 @@ def test_keep_canonical_one_keeper_per_cluster(spark):
         assert all(r.cluster_size == len(members) for r in members)
     # the near-dup fixtures guarantee at least one multi-doc cluster
     assert any(len(m) > 1 for m in clusters.values())
+
+
+def test_dedup_lines_global_first_occurrence_wins(spark):
+    from ai_ocr_spark.operators.curation import dedup_lines_global
+
+    rows = sorted(
+        dedup_lines_global(spark, SF).collect(), key=lambda r: r.doc_id
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs
+    # the two shared footers survive in exactly one document each:
+    # total kept copies of each footer line across the corpus == 1
+    footers = (
+        "all rights reserved by the site operator",
+        "subscribe to our newsletter for updates today",
+    )
+    for f in footers:
+        keepers = [r for r in rows if f in r.cleaned_text]
+        assert len(keepers) == 1
+    for r in rows:
+        assert r.n_lines == 4
+        assert 0 <= r.n_removed <= r.n_lines
+        assert abs(r.removed_frac - r.n_removed / r.n_lines) < 1e-12
+        # reconstruction consistency: kept-line count matches the text
+        kept_lines = r.cleaned_text.split("\n") if r.cleaned_text else []
+        assert len(kept_lines) == r.n_lines - r.n_removed
+
+
+def test_dedup_lines_global_plan_broadcasts_hot_head(spark):
+    """The Zipf-hot line hashes (site boilerplate) must join as a
+    broadcast; only the de-skewed tail rides the shuffled equi-join."""
+    from ai_ocr_spark.operators.curation import dedup_lines_global
+
+    plan = formatted_plan(dedup_lines_global(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # driver-bounded head
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
