@@ -147,31 +147,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) pair space; shingle arrays are re-joined only for the verified
     candidate set. Signature + band hashes are pure codegen expressions.
 
-    The shingle+digest table is persisted: it is consumed three times
-    (bands + both sides of the verify join), and the cache barrier also
-    stops CollapseProject from inlining the md5 digest expression into
-    all 12 signature slices (which would recompute every digest 4x and
-    bloat the generated code). With digest slicing (functions/text.py
-    minhash_digests) the signature costs 3 md5 calls per shingle, not
-    12. At 10^12 rows the equivalent is a checkpoint of this table to
-    storage.
+    Cache layout (re-measured in r3): persist the NARROW post-explode
+    band table (doc_id, band_idx, band_hash — ~32 bytes/row) and reuse
+    the shared _shingled(3) cache for the verify sides, instead of one
+    wide (shd + dig) table read three times. The wide cache was
+    measurably SLOWER warm than a full recompute (3.4-5s vs 1.3s at
+    sf0.1): every consumer paid columnar deserialization of fat string
+    arrays, while the collapsed single-projection build (tokenize ->
+    shingle -> 3 md5 digests -> 12 signature slices -> 4 band hashes)
+    stays inside one WholeStageCodegen span where subexpression
+    elimination computes each digest once per row. With digest slicing
+    (functions/text.py minhash_digests) the signature costs 3 md5 calls
+    per shingle, not 12. At 10^12 rows the band table is the thing to
+    checkpoint to storage — it is the join input and orders of
+    magnitude smaller than the shingle sets.
     """
-    key = _cache_key(spark, sf_dir, "minhash3")
-    sh = _SHINGLE_CACHE.get(key)
-    if sh is None:
-        sh = (
+    key = _cache_key(spark, sf_dir, "minhash_bands")
+    banded = _SHINGLE_CACHE.get(key)
+    if banded is None:
+        dig = TX.minhash_digests(F.col("shd"))
+        sigs = [TX.minhash_component(dig, i) for i in range(TX.MINHASH_K)]
+        bands = F.array(
+            *[TX.lsh_band_hash(sigs, b) for b in range(TX.LSH_BANDS)]
+        )
+        banded = (
             _shingle_table(spark, sf_dir, 3)
-            .select("doc_id", "shd", TX.minhash_digests(F.col("shd")).alias("dig"))
+            .select(
+                "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+            )
+            .filter(F.col("band_hash").isNotNull())
             .persist()
         )
-        _SHINGLE_CACHE[key] = sh
-    sigs = [TX.minhash_component(F.col("dig"), i) for i in range(TX.MINHASH_K)]
-    bands = F.array(
-        *[TX.lsh_band_hash(sigs, b) for b in range(TX.LSH_BANDS)]
-    )
-    banded = sh.select(
-        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
-    ).filter(F.col("band_hash").isNotNull())
+        _SHINGLE_CACHE[key] = banded
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -185,6 +192,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    sh = _shingled(spark, sf_dir, 3)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
