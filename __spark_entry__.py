@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-level C4 line dedup: first (doc_id,pos) occurrence
         # wins globally; broadcast-head de-skew on the line hash
         "dedup_lines_global": CU.dedup_lines_global,
+        # mixture fill: best-quality-first per-domain token budget
+        "sample_token_budget": CU.sample_token_budget,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -589,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_domain_cap": ORC.sample_domain_cap(),
         "dedup_minhash_keep_canonical": ORC.dedup_minhash_keep_canonical(),
         "dedup_lines_global": ORC.dedup_lines_global(),
+        "sample_token_budget": ORC.sample_token_budget(),
         "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),

@@ -262,3 +262,45 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_removed") / F.col("n_lines")).alias("removed_frac"),
         "cleaned_text",
     )
+
+
+# Per-domain token budget for the mixture-fill sample (the fixture
+# domains carry ~1.5k tokens each, so this provably trims).
+TOKEN_BUDGET = 800
+
+
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture fill: per domain, take documents in QUALITY
+    order (best first, doc_id tie-break) until the cumulative token
+    count exceeds TOKEN_BUDGET — the pass that turns 'we want N tokens
+    per domain' into a concrete keep set. Uses the exact
+    textstats.quality_expr double (bit-identical in the DuckDB twin),
+    so the order — and therefore the running sum and the cut point —
+    is deterministic cross-engine.
+
+    Shape: ONE shuffle on the domain key, then a per-domain sort +
+    running sum window. Unlike the cap sample this genuinely needs the
+    per-domain quality sort (a budget is order-dependent); at 10^12
+    rows the sort is bounded per domain, and a crawl-skewed host is
+    handled upstream by sample_domain_cap or a pre-filter on quality
+    — note, not silently absorbed."""
+    from .textstats import _n_tokens, quality_expr
+
+    docs = _docs(spark, sf_dir)
+    norm = TX.norm_text(F.col("text"))
+    tok = F.split(norm, " ")
+    base = docs.select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        "doc_id",
+        _n_tokens(norm, tok).cast("long").alias("n_tok"),
+        quality_expr(norm, tok).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .filter(F.col("cum_tok") <= TOKEN_BUDGET)
+    )

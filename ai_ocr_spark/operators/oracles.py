@@ -1051,3 +1051,44 @@ def dedup_lines_global() -> str:
                             FILTER (WHERE kept), '') AS cleaned_text
         FROM verdict GROUP BY doc_id
     """
+
+def sample_token_budget() -> str:
+    """Twin of curation.sample_token_budget: identical quality
+    arithmetic (same as text_quality_scores' proven-bit-exact oracle),
+    same (quality DESC, doc_id) order, same explicit ROWS frame for the
+    running token sum, same inclusive budget cut."""
+    from .curation import TOKEN_BUDGET
+
+    stop = _sql_list(STOPWORDS_EN)
+    return f"""
+        WITH n AS (
+          SELECT coalesce(source, '') AS source, doc_id,
+                 {NORM} AS norm, string_split({NORM}, ' ') AS tok
+          FROM documents
+        ),
+        m AS (
+          SELECT source, doc_id,
+                 CASE WHEN norm = '' THEN 0 ELSE len(tok) END AS n_tok,
+                 length(norm) AS n_chars,
+                 length(norm) - length(regexp_replace(norm, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+                 len(list_filter(tok, t -> list_contains({stop}, t))) AS n_stop
+          FROM n
+        ),
+        q AS (
+          SELECT source, doc_id,
+                 CAST(n_tok AS BIGINT) AS n_tok,
+                 least(1.0, n_tok / 50.0) * 0.4
+                   + (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 0.3
+                   + least(1.0, CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END * 5.0) * 0.3
+                   AS quality
+          FROM m
+        )
+        SELECT source, doc_id, n_tok, quality, cum_tok FROM (
+          SELECT source, doc_id, n_tok, quality,
+                 CAST(sum(n_tok) OVER (PARTITION BY source
+                     ORDER BY quality DESC, doc_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_tok
+          FROM q
+        ) WHERE cum_tok <= {TOKEN_BUDGET}
+    """

@@ -51,6 +51,25 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_expr(norm: Column, tok: Column) -> Column:
+    """The composite quality double — factored out so every consumer
+    (text_quality_scores, curation.sample_token_budget) computes the
+    EXACT same expression; the DuckDB twins write the identical
+    arithmetic so the doubles match bit-for-bit."""
+    n_tok = _n_tokens(norm, tok)
+    n_chars = F.length(norm)
+    n_punct = n_chars - F.length(F.regexp_replace(norm, "[^a-z0-9 ]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in TX.STOPWORDS_EN])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    return (
+        F.least(F.lit(1.0), n_tok / F.lit(50.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.3
+    )
+
+
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score; the formula is written identically in the
     DuckDB oracle so the doubles match bit-for-bit."""
@@ -64,11 +83,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(w) for w in TX.STOPWORDS_EN])
     n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop_arr, t)))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    quality = (
-        F.least(F.lit(1.0), n_tok / F.lit(50.0)) * 0.4
-        + (F.lit(1.0) - punct_ratio) * 0.3
-        + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.3
-    )
+    quality = quality_expr(norm, tok)
     return docs.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),

@@ -125,3 +125,33 @@ def test_dedup_lines_global_plan_broadcasts_hot_head(spark):
     assert "TakeOrderedAndProject" in plan  # driver-bounded head
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_token_budget_prefix_property(spark):
+    """The kept set per domain is exactly the maximal quality-ordered
+    prefix whose running token sum stays within budget."""
+    from ai_ocr_spark.operators.curation import TOKEN_BUDGET, sample_token_budget
+    from ai_ocr_spark.operators.textstats import text_quality_scores
+
+    kept = sample_token_budget(spark, SF).collect()
+    q = {r.doc_id: r for r in text_quality_scores(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source or "", []).append(d)
+    got = {}
+    for r in kept:
+        got.setdefault(r.source, []).append(r)
+        assert r.cum_tok <= TOKEN_BUDGET
+        assert abs(r.quality - q[r.doc_id].quality) < 1e-15
+    for src, members in by_src.items():
+        order = sorted(
+            members, key=lambda d: (-q[d.doc_id].quality, d.doc_id)
+        )
+        cum, want = 0, []
+        for d in order:
+            cum += q[d.doc_id].n_tokens
+            if cum > TOKEN_BUDGET:
+                break
+            want.append(d.doc_id)
+        assert sorted(r.doc_id for r in got.get(src, [])) == sorted(want)
