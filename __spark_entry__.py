@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_global": CU.dedup_lines_global,
         # mixture fill: best-quality-first per-domain token budget
         "sample_token_budget": CU.sample_token_budget,
+        # SemDeDup-shaped embedding verdict: SRP-LSH pairs ->
+        # components -> per-cluster canonical keep/drop
+        "dedup_embedding_keep_canonical": CU.dedup_embedding_keep_canonical,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -592,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_keep_canonical": ORC.dedup_minhash_keep_canonical(),
         "dedup_lines_global": ORC.dedup_lines_global(),
         "sample_token_budget": ORC.sample_token_budget(),
+        "dedup_embedding_keep_canonical": ORC.dedup_embedding_keep_canonical(),
         "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),

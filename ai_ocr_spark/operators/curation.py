@@ -304,3 +304,27 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
         .filter(F.col("cum_tok") <= TOKEN_BUDGET)
     )
+
+
+def dedup_embedding_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-path twin of dedup_minhash_keep_canonical
+    (SemDeDup-shaped): SRP-LSH cosine pairs -> connected components ->
+    keep the cluster-minimum vec_id. Every vector gets a verdict row.
+    Reuses connected_components_labels verbatim (pointer-doubling,
+    localCheckpoint per round); cluster_size + keep ride one
+    component_id exchange."""
+    from .similarity import _emb, dedup_embedding_lsh
+    from .dedup import connected_components_labels
+
+    pairs = dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    labels = connected_components_labels(nodes, pairs)
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "component_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )

@@ -116,8 +116,8 @@ def dedup_connected_components() -> str:
     can never drift from the Spark side's input."""
     pairs_sql = dedup_minhash_lsh()
     return f"""
-        WITH RECURSIVE pairs AS ({pairs_sql}),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+        edges AS MATERIALIZED (
             SELECT doc_a AS a, doc_b AS b FROM pairs
             UNION ALL
             SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -630,8 +630,8 @@ def dedup_embedding_lsh() -> str:
     sig_case = " ".join(f"WHEN {t} THEN sig{t}" for t in range(LSH_TABLES))
     return f"""
         WITH {_E2},
-        s AS (SELECT vec_id, v, nrm, {sig_cols} FROM e2),
-        banded AS (
+        s AS MATERIALIZED (SELECT vec_id, v, nrm, {sig_cols} FROM e2),
+        banded AS MATERIALIZED (
           SELECT vec_id, g.tbl, CASE g.tbl {sig_case} END AS sig
           FROM s, generate_series(0, {LSH_TABLES - 1}) g(tbl)
         ),
@@ -1091,4 +1091,32 @@ def sample_token_budget() -> str:
                      AS BIGINT) AS cum_tok
           FROM q
         ) WHERE cum_tok <= {TOKEN_BUDGET}
+    """
+
+def dedup_embedding_keep_canonical() -> str:
+    """Twin of curation.dedup_embedding_keep_canonical: exact
+    transitive closure of the SRP-LSH pair graph (verbatim
+    dedup_embedding_lsh twin) over all embeddings, then the
+    count-window + keep-the-minimum verdict."""
+    pairs_sql = dedup_embedding_lsh()
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+        edges AS MATERIALIZED (
+            SELECT vec_a AS a, vec_b AS b FROM pairs
+            UNION ALL
+            SELECT vec_b AS a, vec_a AS b FROM pairs
+        ),
+        reach(src, node) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        cc AS (SELECT src AS vec_id, min(node) AS component_id
+               FROM reach GROUP BY src)
+        SELECT vec_id,
+               component_id,
+               CAST(count(*) OVER (PARTITION BY component_id)
+                    AS BIGINT) AS cluster_size,
+               vec_id = component_id AS keep
+        FROM cc
     """

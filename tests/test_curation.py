@@ -155,3 +155,18 @@ def test_sample_token_budget_prefix_property(spark):
                 break
             want.append(d.doc_id)
         assert sorted(r.doc_id for r in got.get(src, [])) == sorted(want)
+
+
+def test_embedding_keep_canonical_one_keeper_per_cluster(spark):
+    from ai_ocr_spark.operators.curation import dedup_embedding_keep_canonical
+
+    rows = dedup_embedding_keep_canonical(spark, SF).collect()
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert len(rows) == n_vec
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.component_id, []).append(r)
+    for cid, members in clusters.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        assert keepers[0].vec_id == min(r.vec_id for r in members) == cid
