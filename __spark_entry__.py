@@ -156,6 +156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the curation REPORT: per-domain progressive funnel through
         # gopher -> c4 -> dedup -> decontamination (gate composition)
         "curation_funnel": CU.curation_funnel,
+        # Bloom-filter URL blocklist gate: broadcast set-bit table,
+        # shuffle-free probe; possibly/truly/false-positive delta is
+        # value-checked (new in r3)
+        "filter_bloom_blocklist": CU.filter_bloom_blocklist,
         # -- core coverage --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -193,13 +197,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Structured Streaming: AvailableNow drain of a watermarked
         # windowed aggregation == the batch aggregation (oracle-checked)
         "stream_events_daily": _stream_events_daily,
-        # training-data ops: deduplication
-        "dedup_exact": D.dedup_exact,
+        # training-data ops: deduplication. Window policy: minhash_lsh
+        # (band-table persist changed this round) and
+        # connected_components (REWRITTEN this round: pointer-doubling
+        # large-star/small-star) close out the driver's first-50
+        # window; the unchanged, already-proven dedup_exact/simhash
+        # entries are the ones that slide past the truncation line.
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
-        "dedup_simhash": D.dedup_simhash,
-        # pairs -> clusters: iterative min-label propagation over the
-        # minhash pair graph (recursive-CTE twin in DuckDB)
         "dedup_connected_components": D.dedup_connected_components,
+        "dedup_exact": D.dedup_exact,
+        "dedup_simhash": D.dedup_simhash,
         "text_dup_fraction": D.text_dup_fraction,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
@@ -600,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_token_budget": ORC.sample_token_budget(),
         "dedup_embedding_keep_canonical": ORC.dedup_embedding_keep_canonical(),
         "curation_funnel": ORC.curation_funnel(),
+        "filter_bloom_blocklist": ORC.filter_bloom_blocklist(),
         "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
         "text_langid": ORC.text_langid(),

@@ -1148,3 +1148,48 @@ def curation_funnel() -> str:
         LEFT JOIN x USING (doc_id)
         GROUP BY 1
     """
+
+
+def filter_bloom_blocklist() -> str:
+    """Twin of curation.filter_bloom_blocklist: same url construction
+    as pipeline_main_text (coalesced source), same salted hash15 bit
+    positions mod BLOOM_M, same K left joins against the DISTINCT
+    set-bit table, same exact-predicate delta columns."""
+    from .curation import BLOOM_BLOCK_MOD, BLOOM_K, BLOOM_M
+
+    def h15(expr: str) -> str:
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+    pos = [h15(f"'{j}:' || url") + f" % {BLOOM_M}" for j in range(BLOOM_K)]
+    qs = ",\n                 ".join(
+        f"{p} AS q{j}" for j, p in enumerate(pos)
+    )
+    joins = "\n        ".join(
+        f"LEFT JOIN bits b{j} ON p.q{j} = b{j}.pos" for j in range(BLOOM_K)
+    )
+    hit = " AND ".join(f"b{j}.pos IS NOT NULL" for j in range(BLOOM_K))
+    blocked = f"{h15('url')} % {BLOOM_BLOCK_MOD} = 0"
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 'https://' || coalesce(source, '') || '.example.com/doc/'
+                     || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        ),
+        bits AS (
+          SELECT DISTINCT unnest([{", ".join(pos)}]) AS pos
+          FROM d WHERE {blocked}
+        ),
+        probe AS (
+          SELECT doc_id, url,
+                 {qs},
+                 {blocked} AS truly
+          FROM d
+        )
+        SELECT p.doc_id, p.url,
+               ({hit}) AS possibly_blocked,
+               p.truly AS truly_blocked,
+               ({hit}) AND NOT p.truly AS false_positive
+        FROM probe p
+        {joins}
+    """

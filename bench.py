@@ -75,6 +75,7 @@ def main() -> int:
         "decontam_ngram_overlap",
         "sample_domain_cap",
         "dedup_lines_global",
+        "filter_bloom_blocklist",
         "ann_cosine_topk",
         "ann_ivf_topk",
         "text_quality_scores",
@@ -126,6 +127,7 @@ def main() -> int:
         "dedup_embedding_lsh",
         "dedup_substring_spans",
         "ann_ivf_topk",
+        "filter_bloom_blocklist",
     ):
         clear_caches(spark)
         t0 = time.monotonic()

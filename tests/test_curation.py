@@ -190,3 +190,49 @@ def test_curation_funnel_is_monotone_and_consistent(spark):
         )
     # the pipeline must actually cut something corpus-wide
     assert sum(r.n_final for r in rows) < sum(r.n_docs for r in rows)
+
+
+def test_bloom_blocklist_no_false_negatives(spark):
+    """The Bloom guarantee: every truly-blocked url is possibly-blocked
+    (completeness), false_positive is exactly the delta, and the
+    deliberately small BLOOM_M actually produces false positives at
+    test scale — otherwise the delta columns are vacuously untested."""
+    from ai_ocr_spark.operators.curation import filter_bloom_blocklist
+
+    rows = filter_bloom_blocklist(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == docs
+    for r in rows:
+        if r.truly_blocked:
+            assert r.possibly_blocked  # no false negatives, ever
+        assert r.false_positive == (r.possibly_blocked and not r.truly_blocked)
+    assert any(r.truly_blocked for r in rows)
+    assert any(r.false_positive for r in rows)  # BLOOM_M=256 is small enough
+    assert any(not r.possibly_blocked for r in rows)
+
+
+def test_bloom_blocklist_probe_is_broadcast_only(spark):
+    """The probe side must take K broadcast hash joins and NEVER
+    shuffle: at 10^12 rows the whole point of the Bloom gate is that
+    membership screening is scan-side work. The only exchange allowed
+    in the plan is building the tiny DISTINCT set-bit table."""
+    from ai_ocr_spark.operators.curation import (
+        BLOOM_K,
+        filter_bloom_blocklist,
+    )
+
+    plan = formatted_plan(filter_bloom_blocklist(spark, SF))
+    # formatted mode prints each node twice (tree + detail section)
+    assert plan.count("BroadcastHashJoin LeftOuter") == BLOOM_K
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # exchanges exist only under the set-bit build (hashpartitioning on
+    # pos for the DISTINCT) — never keyed on the probe's doc_id/url
+    shuffles = [
+        ln for ln in plan.splitlines() if "hashpartitioning(" in ln
+    ]
+    assert shuffles, "expected the DISTINCT set-bit build exchange"
+    for ln in shuffles:
+        assert "pos" in ln and "doc_id" not in ln and "url" not in ln
