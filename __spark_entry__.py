@@ -160,9 +160,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle-free probe; possibly/truly/false-positive delta is
         # value-checked (new in r3)
         "filter_bloom_blocklist": CU.filter_bloom_blocklist,
+        # exact nearest-rank length percentiles per language: the
+        # corpus-quality report as distributed order statistics
+        # (new in r3)
+        "agg_length_percentiles": SK.agg_length_percentiles,
         # -- core coverage --
-        # aggregations (SURVEY §2.4)
-        "q1_pricing_summary": R.q1_pricing_summary,
         # windows / sessionize (§2.5)
         "agg_keyword_score_argmax": R.agg_keyword_score_argmax,
         "agg_cube_status_priority": R.agg_cube_status_priority,
@@ -215,6 +217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": SIM.ann_ivf_topk,
         "dedup_embedding_lsh": SIM.dedup_embedding_lsh,
         # -- twice-proven (green in r1 AND r2): safe to truncate --
+        # aggregations (SURVEY §2.4)
+        "q1_pricing_summary": R.q1_pricing_summary,
         "window_running_spend": R.window_running_spend,
         "window_sessionize": R.window_sessionize,
         "join_nation_region_rollup": R.join_nation_region_rollup,
@@ -481,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_event_pairs": TP.RANGE_ORACLE_SQL,
         "sketch_distinct_kmv": SK.KMV_ORACLE_SQL,
         "sample_hash_stable": SK.SAMPLE_ORACLE_SQL,
+        "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

@@ -1,4 +1,4 @@
-"""Deterministic sketches + stable sampling for training-data pipelines.
+"""Deterministic sketches, stable sampling and exact order statistics.
 
   sketch_distinct_kmv  K-minimum-values distinct-count sketch: per
                        group, the K smallest 60-bit content hashes; the
@@ -12,8 +12,16 @@
                        every run, engine, and shard layout — unlike
                        rand()-based sampling). Keep iff
                        hash60(doc_id) < p * 2^60.
+  agg_length_percentiles
+                       Exact nearest-rank length percentiles per
+                       language — the standard corpus-quality report.
+                       Nearest-rank (value at ceil(p/100 * n)) rather
+                       than interpolated quantiles: interpolation
+                       formulas differ across engines (and across
+                       float summation orders), order statistics are
+                       engine-independent integers.
 
-Both ride the scan + one shuffle at most; hashes are md5-derived
+All ride the scan + one shuffle at most; hashes are md5-derived
 (functions/text.py hash15) so cross-engine reproducible.
 """
 
@@ -117,4 +125,85 @@ SAMPLE_ORACLE_SQL = f"""
     FROM documents
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
           AS BIGINT) < {SAMPLE_THRESHOLD}
+"""
+
+PERCENTILE_PS = (25, 50, 75, 90, 99)
+
+
+def agg_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles via cumulative counts.
+
+    Scale shape: groupBy (lang, len) FIRST — the map-side partial
+    combine collapses 10^12 rows to at most |langs| x |distinct
+    lengths| rows BEFORE the shuffle — then one small window over the
+    distinct lengths computes the cumulative distribution, and the
+    percentile is the first length whose cumulative count reaches the
+    nearest-rank target ceil(p*n/100). This avoids the naive
+    row_number-over-every-document sort (which puts the full corpus
+    through one per-language sort partition) while staying EXACT,
+    unlike approx_percentile. Rank arithmetic is integer-only
+    ((p*n + 99) DIV 100), so no float divergence between engines.
+
+    Reference parity: the reference profiles numeric columns with
+    pandas describe() quantiles (src/processor/app/parsers/
+    csv_parser.py analyze dtype/stats path); this is that statistic
+    computed distributively and exactly.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("len"),
+    )
+    counts = d.groupBy("lang", "len").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = counts.select(
+        "lang",
+        "len",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    # ceil(p*n/100) == (p*n + 99) DIV 100 for positive ints; integer
+    # DIV keeps both engines in integer math (no float quotient).
+    pct_cols = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(f"CAST(({p} * n + 99) DIV 100 AS BIGINT)"),
+                F.col("len"),
+            )
+        ).alias(f"p{p}")
+        for p in PERCENTILE_PS
+    ]
+    return cum.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"), *pct_cols
+    )
+
+
+PERCENTILE_ORACLE_SQL = f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS len
+        FROM documents
+    ),
+    c AS (SELECT lang, len, count(*) AS cnt FROM d GROUP BY lang, len),
+    cum AS (
+        SELECT lang, len,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY len
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS n
+        FROM c
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           {", ".join(
+               f"CAST(min(CASE WHEN cum >= ({p} * n + 99) // 100 "
+               f"THEN len END) AS BIGINT) AS p{p}"
+               for p in PERCENTILE_PS
+           )}
+    FROM cum GROUP BY lang
 """

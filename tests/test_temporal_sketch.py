@@ -135,3 +135,32 @@ def test_gzip_transport_and_bomb_guard():
     # end-to-end row shape unaffected
     res = extract_one("https://x.example.com/gz/1", gzip.compress(html))
     assert res["content_kind"] == "html" and res["valid"] is True
+
+
+def test_length_percentiles_nearest_rank(spark):
+    """Percentiles equal the brute-force nearest-rank order statistic
+    (value at index ceil(p/100*n) in the sorted lengths)."""
+    import math
+
+    from ai_ocr_spark.operators.sketch import (
+        PERCENTILE_PS,
+        agg_length_percentiles,
+    )
+
+    out = agg_length_percentiles(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    docs["len"] = docs["text"].fillna("").str.len()
+    assert len(out) > 0
+    for _, row in out.iterrows():
+        lens = sorted(
+            docs[docs["lang"].eq(row["lang"]) if row["lang"] is not None
+                 else docs["lang"].isna()]["len"]
+        )
+        assert row["n_docs"] == len(lens)
+        for p in PERCENTILE_PS:
+            rank = math.ceil(p / 100 * len(lens))
+            assert row[f"p{p}"] == lens[rank - 1], (row["lang"], p)
+    # monotone by construction
+    for _, row in out.iterrows():
+        vals = [row[f"p{p}"] for p in PERCENTILE_PS]
+        assert vals == sorted(vals)
