@@ -27,6 +27,7 @@ from ai_ocr_spark.operators import roundtrip_fields as RF  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_pdf as RP  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_xls as RXL  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_xlsx as RX  # noqa: E402
+from ai_ocr_spark.operators import search as SRCH  # noqa: E402
 from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
 from ai_ocr_spark.operators import sketch as SK  # noqa: E402
 from ai_ocr_spark.operators import temporal as TP  # noqa: E402
@@ -164,9 +165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-quality report as distributed order statistics
         # (new in r3)
         "agg_length_percentiles": SK.agg_length_percentiles,
+        # inverted-index keyword retrieval: broadcast query terms,
+        # posting-list df, integer tf-idf, per-query top-K (new in r3)
+        "search_keyword_topk": SRCH.search_keyword_topk,
         # -- core coverage --
-        # windows / sessionize (§2.5)
-        "agg_keyword_score_argmax": R.agg_keyword_score_argmax,
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
         # bucketed range join)
@@ -219,6 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- twice-proven (green in r1 AND r2): safe to truncate --
         # aggregations (SURVEY §2.4)
         "q1_pricing_summary": R.q1_pricing_summary,
+        # keyword scoring / argmax (§2.4)
+        "agg_keyword_score_argmax": R.agg_keyword_score_argmax,
         "window_running_spend": R.window_running_spend,
         "window_sessionize": R.window_sessionize,
         "join_nation_region_rollup": R.join_nation_region_rollup,
@@ -486,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct_kmv": SK.KMV_ORACLE_SQL,
         "sample_hash_stable": SK.SAMPLE_ORACLE_SQL,
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
+        "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

@@ -164,3 +164,43 @@ def test_length_percentiles_nearest_rank(spark):
     for _, row in out.iterrows():
         vals = [row[f"p{p}"] for p in PERCENTILE_PS]
         assert vals == sorted(vals)
+
+
+def test_search_keyword_topk_matches_bruteforce(spark):
+    """Retrieval ranks match a pandas brute-force tf-idf recount."""
+    from collections import Counter
+
+    from ai_ocr_spark.operators.search import (
+        IDF_SCALE,
+        SEARCH_QUERIES,
+        SEARCH_TOP_K,
+        search_keyword_topk,
+    )
+
+    out = search_keyword_topk(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    import re
+
+    toks = {
+        r["doc_id"]: Counter(
+            t
+            for t in re.sub(r"\s+", " ", (r["text"] or "").lower()).strip().split(" ")
+            if t
+        )
+        for _, r in docs.iterrows()
+    }
+    n_docs = len(docs)
+    for qid, terms in SEARCH_QUERIES.items():
+        scores = {}
+        for term in terms:
+            df = sum(1 for c in toks.values() if term in c)
+            if df == 0:
+                continue
+            w = (IDF_SCALE * n_docs) // df
+            for d, c in toks.items():
+                if term in c:
+                    scores[d] = scores.get(d, 0) + c[term] * w
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:SEARCH_TOP_K]
+        got = out[out["query_id"] == qid].sort_values("rnk")
+        assert list(got["doc_id"]) == [d for d, _ in expect]
+        assert list(got["score"]) == [s for _, s in expect]
