@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ai_ocr_spark.operators import curation as CU  # noqa: E402
 from ai_ocr_spark.operators import dedup as D  # noqa: E402
+from ai_ocr_spark.operators import graph as G  # noqa: E402
 from ai_ocr_spark.operators import multimodal as MM  # noqa: E402
 from ai_ocr_spark.operators import oracles as ORC  # noqa: E402
 from ai_ocr_spark.operators import relational as R  # noqa: E402
@@ -168,6 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted-index keyword retrieval: broadcast query terms,
         # posting-list df, integer tf-idf, per-query top-K (new in r3)
         "search_keyword_topk": SRCH.search_keyword_topk,
+        # integer-scaled PageRank over a deterministic link graph:
+        # weighted centrality next to the components op (new in r3)
+        "pagerank_link_graph": G.pagerank_link_graph,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -177,8 +181,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic sketch + stable sampling
         "sketch_distinct_kmv": SK.sketch_distinct_kmv,
         "sample_hash_stable": SK.sample_hash_stable,
-        # the pipeline itself (§2.8) — oracle reconstructs the invariant
-        "pipeline_main_text": _pipeline_main_text,
         # full kernel path: HTML built from lineitem -> DOM parse ->
         # table recorder -> header split -> rows, vs direct SQL rebuild
         "pipeline_table_roundtrip": RT.pipeline_table_roundtrip,
@@ -223,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         # keyword scoring / argmax (§2.4)
         "agg_keyword_score_argmax": R.agg_keyword_score_argmax,
+        # the pipeline itself (§2.8) — oracle reconstructs the invariant
+        "pipeline_main_text": _pipeline_main_text,
         "window_running_spend": R.window_running_spend,
         "window_sessionize": R.window_sessionize,
         "join_nation_region_rollup": R.join_nation_region_rollup,
@@ -491,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_stable": SK.SAMPLE_ORACLE_SQL,
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
+        "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

@@ -1,0 +1,157 @@
+"""Link-graph centrality (PageRank) for crawl-frontier prioritization.
+
+The second graph primitive next to dedup_connected_components: given a
+directed link graph over the corpus, compute a fixed number of
+PageRank power iterations and return per-document rank mass. Crawl
+pipelines use exactly this to prioritize fetch frontiers and to
+down-weight link-farm spam before training-data selection.
+
+Determinism policy: rank mass is INTEGER-SCALED (PR_UNIT = 10^12 per
+node at t=0) and each update is pure integer arithmetic —
+
+    contrib(u->v) = (rank_u * 85) DIV (100 * outdeg_u)
+    rank'_v       = (15 * PR_UNIT) DIV 100  +  SUM contrib(u->v)
+
+so sums are order-independent and the DuckDB twin (the same five
+iterations unrolled as chained CTEs) matches bit-for-bit; float
+PageRank would diverge across engines on summation order alone.
+Dangling mass (nodes whose fan-out collapses to self-loops only) is
+dropped, identically on both sides.
+
+The synthetic edge set is derived arithmetically from doc_id
+(dst = (src^2 + 31j + 7) % N for j=1..FANOUT, self-loops removed —
+quadratic, NOT affine: an affine rule with gcd(a, N)=1 is a
+permutation per j, the in-degree comes out uniform, and PageRank
+degenerates to a constant; the quadratic residues give a skewed
+in-degree with genuine hubs, like a real web graph), so the
+oracle can rebuild it without external data; swap in a real
+(src, dst) edge table and nothing else changes.
+
+Scale shape: edges are built once and persisted; each iteration is
+one equi-join (ranks against the edge list, shuffled on src) + one
+partial-combine aggregate on dst. Ranks are localCheckpoint-ed per
+round — .persist() alone leaves the logical plan nesting k-fold per
+iteration (analyzer hang; see dedup_connected_components and the
+CLAUDE.md iterative-loop rule). At 10^12 edges you'd co-partition the
+edge cache and rank vector on the same hash (Pregel-style) so only
+the small rank table moves per round; the join/agg shape is already
+that plan minus the pinned partitioner.
+
+Reference parity: the reference has no graph stage (single-document
+microservice); this extends SURVEY §2's dedup-graph family (pairs ->
+components) with weighted centrality over the same edge machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PR_ITERS = 5
+PR_UNIT = 10**12
+PR_BASE = (15 * PR_UNIT) // 100
+PR_FANOUT = 3
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n_row = docs.agg(F.count(F.lit(1)).alias("n"))
+    fan = F.explode(F.array(*[F.lit(j) for j in range(1, PR_FANOUT + 1)])).alias("j")
+    edges = (
+        docs.crossJoin(F.broadcast(n_row))
+        .select("doc_id", "n", fan)
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                (F.col("doc_id") * F.col("doc_id") + F.col("j") * 31 + 7)
+                % F.col("n")
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return edges.join(outdeg, "src")
+
+
+def pagerank_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    e = _edges(spark, sf_dir).persist()
+    ranks = docs.select("doc_id", F.lit(PR_UNIT).cast("long").alias("rnk"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(
+                ranks.select(F.col("doc_id").alias("src"), "rnk"), "src"
+            )
+            .select(
+                "dst",
+                F.expr("CAST((rnk * 85) DIV (100 * outdeg) AS BIGINT)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            docs.join(contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(PR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("long")
+                .alias("rnk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = ranks.join(
+        e.select("src", "outdeg").distinct().withColumnRenamed("src", "doc_id"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "rnk",
+        F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
+    )
+    e.unpersist()
+    return out
+
+
+def _pagerank_oracle() -> str:
+    fanout_values = ", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))
+    parts = [
+        f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    nodes AS (SELECT doc_id FROM documents),
+    edges0 AS (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * doc_id + j * 31 + 7) % n.n AS dst
+        FROM documents CROSS JOIN n
+        CROSS JOIN (VALUES {fanout_values}) AS t(j)
+        WHERE (doc_id * doc_id + j * 31 + 7) % n.n <> doc_id
+    ),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src),
+    e AS (SELECT src, dst, outdeg FROM edges0 JOIN outdeg USING (src)),
+    r0 AS (SELECT doc_id, CAST({PR_UNIT} AS BIGINT) AS rnk FROM nodes)"""
+    ]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+    c{k} AS (
+        SELECT e.dst AS doc_id,
+               CAST(sum((r.rnk * 85) // (100 * e.outdeg)) AS BIGINT) AS c
+        FROM e JOIN r{k - 1} r ON r.doc_id = e.src
+        GROUP BY e.dst
+    ),
+    r{k} AS (
+        SELECT nodes.doc_id,
+               CAST({PR_BASE} + coalesce(c.c, 0) AS BIGINT) AS rnk
+        FROM nodes LEFT JOIN c{k} c USING (doc_id)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT r.doc_id, r.rnk,
+           CAST(coalesce(o.outdeg, 0) AS BIGINT) AS outdeg
+    FROM r{PR_ITERS} r LEFT JOIN outdeg o ON o.src = r.doc_id"""
+    )
+    return "".join(parts)
+
+
+PAGERANK_ORACLE_SQL = _pagerank_oracle()
