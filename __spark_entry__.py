@@ -172,6 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-scaled PageRank over a deterministic link graph:
         # weighted centrality next to the components op (new in r3)
         "pagerank_link_graph": G.pagerank_link_graph,
+        # deterministic stratified train/val/test split with exact
+        # per-stratum proportions (new in r3)
+        "sample_stratified_split": SK.sample_stratified_split,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -181,9 +184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic sketch + stable sampling
         "sketch_distinct_kmv": SK.sketch_distinct_kmv,
         "sample_hash_stable": SK.sample_hash_stable,
-        # full kernel path: HTML built from lineitem -> DOM parse ->
-        # table recorder -> header split -> rows, vs direct SQL rebuild
-        "pipeline_table_roundtrip": RT.pipeline_table_roundtrip,
         # fields/validation/confidence + byte spans through the full
         # kernel path, vs pure-SQL reconstruction (incl. span offsets)
         "pipeline_invoice_roundtrip": RF.pipeline_invoice_roundtrip,
@@ -227,6 +227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_keyword_score_argmax": R.agg_keyword_score_argmax,
         # the pipeline itself (§2.8) — oracle reconstructs the invariant
         "pipeline_main_text": _pipeline_main_text,
+        # full kernel path: HTML built from lineitem -> DOM parse ->
+        # table recorder -> header split -> rows, vs direct SQL rebuild
+        "pipeline_table_roundtrip": RT.pipeline_table_roundtrip,
         "window_running_spend": R.window_running_spend,
         "window_sessionize": R.window_sessionize,
         "join_nation_region_rollup": R.join_nation_region_rollup,
@@ -496,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
+        "sample_stratified_split": SK.SPLIT_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
         "pipeline_main_text": """

@@ -127,6 +127,73 @@ SAMPLE_ORACLE_SQL = f"""
           AS BIGINT) < {SAMPLE_THRESHOLD}
 """
 
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test gets the remainder
+
+
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split with EXACT
+    per-stratum proportions: within each source, documents are ranked
+    by content-independent hash60(doc_id) (stable across runs, engines
+    and shard layouts) and the first floor(80%·n) go to train, the
+    next slice to val, the rest to test — so every stratum hits its
+    quota exactly, not just in expectation like a pure hash-threshold
+    split (sample_hash_stable). Integer threshold arithmetic
+    ((pct·n) DIV 100) keeps both engines identical.
+
+    Scale: one shuffle on the stratum key + a per-stratum sort of
+    (hash, doc_id) pairs — 16 bytes a row, so a 10^12-doc stratum
+    sorts ~16 TB spread over its partitions; when a single stratum is
+    too hot for that, degrade to the O(1) scan-side hash-threshold
+    split and accept binomial jitter in the proportions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = TX.hash15(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    w_all = Window.partitionBy("source")
+    ranked = docs.select("doc_id", "source", h.alias("h")).select(
+        "doc_id",
+        "source",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    split = (
+        F.when(
+            F.col("rn") <= F.expr(f"({SPLIT_TRAIN_PCT} * n) DIV 100"), "train"
+        )
+        .when(
+            F.col("rn")
+            <= F.expr(f"(({SPLIT_TRAIN_PCT} + {SPLIT_VAL_PCT}) * n) DIV 100"),
+            "val",
+        )
+        .otherwise("test")
+    )
+    return ranked.select(
+        "doc_id", "source", split.alias("split"), F.col("rn").cast("long").alias("rn")
+    )
+
+
+SPLIT_ORACLE_SQL = f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h,
+               row_number() OVER (PARTITION BY source ORDER BY
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT), doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN rn <= ({SPLIT_TRAIN_PCT} * n) // 100 THEN 'train'
+                WHEN rn <= (({SPLIT_TRAIN_PCT} + {SPLIT_VAL_PCT}) * n) // 100
+                     THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked
+"""
+
+
 PERCENTILE_PS = (25, 50, 75, 90, 99)
 
 

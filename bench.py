@@ -86,6 +86,9 @@ def main() -> int:
         "join_asof_orders",
         "range_join_event_pairs",
         "sketch_distinct_kmv",
+        "agg_length_percentiles",
+        "search_keyword_topk",
+        "pagerank_link_graph",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

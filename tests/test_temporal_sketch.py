@@ -204,3 +204,25 @@ def test_search_keyword_topk_matches_bruteforce(spark):
         got = out[out["query_id"] == qid].sort_values("rnk")
         assert list(got["doc_id"]) == [d for d, _ in expect]
         assert list(got["score"]) == [s for _, s in expect]
+
+
+def test_stratified_split_exact_proportions(spark):
+    from ai_ocr_spark.operators.sketch import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        sample_stratified_split,
+    )
+
+    out = sample_stratified_split(spark, SF).toPandas()
+    for src, g in out.groupby("source"):
+        n = len(g)
+        n_train = (SPLIT_TRAIN_PCT * n) // 100
+        n_val = ((SPLIT_TRAIN_PCT + SPLIT_VAL_PCT) * n) // 100 - n_train
+        counts = g["split"].value_counts()
+        assert counts.get("train", 0) == n_train, src
+        assert counts.get("val", 0) == n_val, src
+        assert counts.get("test", 0) == n - n_train - n_val, src
+    # deterministic: same assignment on a second run
+    out2 = sample_stratified_split(spark, SF).toPandas()
+    m = out.merge(out2, on="doc_id", suffixes=("", "_2"))
+    assert (m["split"] == m["split_2"]).all()
