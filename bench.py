@@ -89,6 +89,7 @@ def main() -> int:
         "agg_length_percentiles",
         "search_keyword_topk",
         "pagerank_link_graph",
+        "sample_stratified_split",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

@@ -79,3 +79,44 @@ def test_gopher_rep_argmax_is_aggregate_not_nested_hof(spark):
     assert "[doc_id" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_length_percentiles_partial_agg_before_window(spark):
+    """The percentile plan must collapse (lang, len) map-side BEFORE
+    any exchange — the corpus never reaches the cumulative window raw.
+    No join anywhere; two hash aggregates (partial + final) feed one
+    small window."""
+    from ai_ocr_spark.operators.sketch import agg_length_percentiles
+
+    plan = formatted_plan(agg_length_percentiles(spark, SF))
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert "Window" in plan
+
+
+def test_search_topk_query_side_broadcasts(spark):
+    """Retrieval keeps the inverted-index shape: query terms and idf
+    weights reach the corpus as broadcasts (the only corpus-side
+    shuffle is the tf partial-combine), and nothing degenerates to a
+    cartesian or nested-loop join against the corpus."""
+    from ai_ocr_spark.operators.search import search_keyword_topk
+
+    plan = formatted_plan(search_keyword_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_stratified_split_single_stratum_shuffle(spark):
+    """The split is one shuffle on the stratum key: both window
+    functions (rank + stratum count) share the same partitioning, so
+    exactly one exchange appears and it keys on source."""
+    import re
+
+    from ai_ocr_spark.operators.sketch import sample_stratified_split
+
+    plan = formatted_plan(sample_stratified_split(spark, SF))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1
+    assert "hashpartitioning(source" in plan
