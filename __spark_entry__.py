@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic stratified train/val/test split with exact
         # per-stratum proportions (new in r3)
         "sample_stratified_split": SK.sample_stratified_split,
+        # HyperLogLog with contract-stable registers: integer-scaled
+        # harmonic mean + precomputed ln table, so the estimate is
+        # bit-identical on both engines (new in r3)
+        "sketch_distinct_hll": SK.sketch_distinct_hll,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -497,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct_kmv": SK.KMV_ORACLE_SQL,
         "sample_hash_stable": SK.SAMPLE_ORACLE_SQL,
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
+        "sketch_distinct_hll": SK.HLL_ORACLE_SQL,
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

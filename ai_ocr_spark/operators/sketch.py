@@ -20,6 +20,15 @@
                        formulas differ across engines (and across
                        float summation orders), order statistics are
                        engine-independent integers.
+  sketch_distinct_hll  HyperLogLog with the register layout made part
+                       of the contract: md5-derived 60-bit hash, top 6
+                       bits pick one of 64 registers, rho = leading
+                       zeros of the 54-bit remainder + 1. The harmonic
+                       mean is integer-scaled (sum of 2^(55-M_j) as
+                       BIGINT — exact, order-independent) and the
+                       small-range linear-counting branch indexes a
+                       precomputed ln table instead of calling ln(), so
+                       both engines produce the identical estimate.
 
 All ride the scan + one shuffle at most; hashes are md5-derived
 (functions/text.py hash15) so cross-engine reproducible.
@@ -273,4 +282,133 @@ PERCENTILE_ORACLE_SQL = f"""
                for p in PERCENTILE_PS
            )}
     FROM cum GROUP BY lang
+"""
+
+
+# --- HyperLogLog with a contract-stable register layout -----------------
+
+HLL_M = 64  # registers (p = 6 index bits of the 60-bit hash)
+HLL_REM_BITS = 54  # remainder bits scanned for the leading-1 position
+# alpha_64 * m^2 * 2^55 precomputed in Python and embedded verbatim in
+# both engines' query text — one float literal, one division, no
+# engine-side constant folding to diverge.
+HLL_NUM = 0.709 * HLL_M * HLL_M * float(1 << (HLL_REM_BITS + 1))
+# Linear-counting branch: m * ln(m / V) for V = 1..64, precomputed so
+# neither engine calls ln() (libm implementations are only
+# faithfully-rounded — the one sub-ulp divergence source in HLL).
+HLL_LN_TABLE = [HLL_M * __import__("math").log(HLL_M / v) for v in range(1, HLL_M + 1)]
+
+
+def sketch_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct estimate with cross-engine-exact
+    registers — the mergeable counterpart to sketch_distinct_kmv.
+
+    Register layout is part of the contract: reg = top 6 bits of the
+    60-bit md5 hash, rho = leading zeros of the 54-bit remainder + 1
+    (computed as 55 - length(bin(rem)), pure integer/string ops both
+    engines have). The harmonic mean sums 2^(55-M_j) as BIGINT (each
+    term a power of two, total <= 64*2^55 < 2^63 — exact and
+    order-independent, unlike a float sum of 2^-M_j whose 55-bit spread
+    rounds order-dependently), and the small-range correction indexes
+    HLL_LN_TABLE instead of calling ln().
+
+    Scale shape: two map-side-combinable aggregations — (group, reg)
+    max then a 64-rows-per-group rollup. Register state is constant
+    size per group, so shards merge by pairwise max: the reason HLL
+    (not exact countDistinct, which shuffles every distinct value) is
+    the 10^12-row cardinality operator. The exact count is joined in
+    here only as the accuracy witness at test scale.
+
+    Reference parity: the reference's dataset profiling counts uniques
+    with pandas nunique (src/processor/app/parsers/csv_parser.py
+    column-stats path); this is that statistic as a mergeable sketch.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = TX.hash15(TX.norm_text(F.col("text")))
+    hashed = docs.select("source", h.alias("h"))
+    base = hashed.select(
+        "source",
+        F.shiftright(F.col("h"), HLL_REM_BITS).alias("reg"),
+        F.col("h").bitwiseAND(F.lit((1 << HLL_REM_BITS) - 1)).alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(HLL_REM_BITS + 1)).otherwise(
+        F.lit(HLL_REM_BITS + 1) - F.length(F.bin(F.col("rem")))
+    )
+    regs = (
+        base.select("source", "reg", rho.alias("rho"))
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # 2^(55 - m_j) via pow(2.0, k): exact for k <= 54 and immune to the
+    # shiftleft Python-int-position slot (CLAUDE.md footgun).
+    term = F.pow(
+        F.lit(2.0), (F.lit(HLL_REM_BITS + 1) - F.col("m_j")).cast("double")
+    ).cast("long")
+    agg = regs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(term).alias("s_present"),
+        F.sum((F.col("reg") + 1) * F.col("m_j")).cast("long").alias("reg_checksum"),
+    )
+    v = F.lit(HLL_M) - F.col("n_regs")
+    s = (
+        F.col("s_present") + v * F.lit(1 << (HLL_REM_BITS + 1))
+    ).cast("double")
+    raw = F.lit(HLL_NUM) / s
+    ln_arr = F.array(*[F.lit(x) for x in HLL_LN_TABLE])
+    est = F.when(
+        (v > 0) & (raw <= F.lit(2.5 * HLL_M)),
+        F.try_element_at(ln_arr, v.cast("int")),
+    ).otherwise(raw)
+    exact = hashed.groupBy("source").agg(F.countDistinct("h").alias("n_exact"))
+    return agg.join(exact, "source").select(
+        "source",
+        "n_regs",
+        v.cast("long").alias("v_zero"),
+        "reg_checksum",
+        F.round(est, 4).alias("estimate"),
+        "n_exact",
+    )
+
+
+HLL_ORACLE_SQL = f"""
+    WITH h AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g'))), 1, 15))
+                   AS BIGINT) AS h
+        FROM documents
+    ),
+    b AS (
+        SELECT source, h >> {HLL_REM_BITS} AS reg,
+               h & ((1::BIGINT << {HLL_REM_BITS}) - 1) AS rem
+        FROM h
+    ),
+    r AS (
+        SELECT source, reg,
+               max(CASE WHEN rem = 0 THEN {HLL_REM_BITS + 1}
+                   ELSE {HLL_REM_BITS + 1} - length(bin(rem)) END) AS m_j
+        FROM b GROUP BY source, reg
+    ),
+    a AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_regs,
+               CAST(sum(1::BIGINT << ({HLL_REM_BITS + 1} - m_j)) AS BIGINT)
+                   AS s_present,
+               CAST(sum((reg + 1) * m_j) AS BIGINT) AS reg_checksum
+        FROM r GROUP BY source
+    ),
+    e AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY source),
+    est AS (
+        SELECT source, n_regs, {HLL_M} - n_regs AS v_zero, reg_checksum,
+               {HLL_NUM!r} / CAST(s_present
+                   + ({HLL_M} - n_regs) * (1::BIGINT << {HLL_REM_BITS + 1})
+                   AS DOUBLE) AS raw
+        FROM a
+    )
+    SELECT est.source, n_regs, CAST(v_zero AS BIGINT) AS v_zero, reg_checksum,
+           round(CASE WHEN v_zero > 0 AND raw <= {2.5 * HLL_M!r}
+                 THEN ([{", ".join(repr(x) for x in HLL_LN_TABLE)}])[CAST(v_zero AS INT)]
+                 ELSE raw END, 4) AS estimate,
+           n_exact
+    FROM est JOIN e USING (source)
 """

@@ -226,3 +226,32 @@ def test_stratified_split_exact_proportions(spark):
     out2 = sample_stratified_split(spark, SF).toPandas()
     m = out.merge(out2, on="doc_id", suffixes=("", "_2"))
     assert (m["split"] == m["split_2"]).all()
+
+
+def test_hll_registers_and_estimate(spark):
+    import math
+
+    from ai_ocr_spark.operators.sketch import (
+        HLL_M,
+        HLL_REM_BITS,
+        sketch_distinct_hll,
+    )
+
+    out = sketch_distinct_hll(spark, SF).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        # register bookkeeping invariants
+        assert 1 <= r["n_regs"] <= HLL_M
+        assert r["v_zero"] == HLL_M - r["n_regs"]
+        # checksum bounded by all-64 registers at max rho
+        assert 0 < r["reg_checksum"] <= HLL_M * (HLL_M + 1) * (HLL_REM_BITS + 1)
+        # m=64 HLL standard error ~1.04/sqrt(64) = 13%; allow 4 sigma
+        assert abs(r["estimate"] - r["n_exact"]) / r["n_exact"] < 0.52
+    # linear-counting branch: a tiny distinct set must return the
+    # ln-table value exactly (registers mostly empty)
+    tiny = out[out["n_exact"] <= 16]
+    for _, r in tiny.iterrows():
+        v = int(r["v_zero"])
+        assert v > 0
+        expect = round(HLL_M * math.log(HLL_M / v), 4)
+        assert r["estimate"] == expect
