@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harmonic mean + precomputed ln table, so the estimate is
         # bit-identical on both engines (new in r3)
         "sketch_distinct_hll": SK.sketch_distinct_hll,
+        # temperature-smoothed (alpha=0.5) domain mixture with exact
+        # integer quotas and hash-rank selection (new in r3)
+        "sample_temperature_mix": CU.sample_temperature_mix,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -502,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_stable": SK.SAMPLE_ORACLE_SQL,
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
         "sketch_distinct_hll": SK.HLL_ORACLE_SQL,
+        "sample_temperature_mix": CU.TEMPERATURE_MIX_ORACLE_SQL,
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -496,3 +496,112 @@ def filter_bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_blocked.alias("truly_blocked"),
         (possibly & ~is_blocked).alias("false_positive"),
     )
+
+
+# --- temperature-smoothed domain mixture ---------------------------------
+
+MIX_ALPHA_SQRT_SCALE = 10_000  # r_s = floor(sqrt(n_s * SCALE)) ~ sqrt integerized
+MIX_BUDGET_PCT = 50  # resample to half the corpus size
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed domain mixture (alpha = 0.5): resample the
+    corpus to MIX_BUDGET_PCT of its size with per-source quotas
+    proportional to sqrt(n_s) instead of n_s — the standard
+    low-resource up-/head-domain-down-weighting (cf. multilingual BERT
+    / XLM-R sampling, alpha-smoothed mixtures in Gopher §A3.1).
+
+    Exactness: quotas are pure integer arithmetic. r_s =
+    floor(sqrt(n_s * SCALE)) is deterministic because IEEE-754 sqrt is
+    correctly rounded in both engines and n_s*SCALE < 2^52 keeps the
+    double exact; the mixture denominator sum(r_s) is an integer sum
+    (a FLOAT sum over sources would be summation-order-dependent);
+    quota k_s = (budget * r_s) DIV sum(r). Selection within a source is
+    the same hash60-rank cut as sample_stratified_split, so every
+    source hits its quota exactly and the kept set is stable across
+    runs, engines and shard layouts.
+
+    Scale shape: one tiny per-source count aggregate (map-side
+    combine), broadcast-joined back (20 rows at test scale, |domains|
+    at 10^12 — still dimension-sized), then one shuffle on source for
+    the rank window. At 10^12 docs the budget*r_s product moves to
+    DECIMAL(38,0) to stay overflow-safe; the DIV semantics are
+    unchanged.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id", "source", TX.hash15(F.col("doc_id").cast("string")).alias("h")
+    )
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    sqrt_s = counts.select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt((F.col("n_s") * MIX_ALPHA_SQRT_SCALE).cast("double")))
+        .cast("long")
+        .alias("r_s"),
+    )
+    totals = sqrt_s.agg(
+        F.sum("n_s").alias("n_total"), F.sum("r_s").alias("r_total")
+    )
+    quota = (
+        sqrt_s.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_s",
+            F.least(
+                F.col("n_s"),
+                F.expr(
+                    f"(((n_total * {MIX_BUDGET_PCT}) DIV 100) * r_s) DIV r_total"
+                ),
+            ).alias("k_s"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("rn").cast("long").alias("rn"),
+            F.col("k_s").cast("long").alias("k_quota"),
+            (F.col("rn") <= F.col("k_s")).alias("kept"),
+        )
+    )
+
+
+TEMPERATURE_MIX_ORACLE_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_s,
+               CAST(floor(sqrt(CAST(count(*) * {MIX_ALPHA_SQRT_SCALE}
+                   AS DOUBLE))) AS BIGINT) AS r_s
+        FROM base GROUP BY source
+    ),
+    totals AS (
+        SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+               CAST(sum(r_s) AS BIGINT) AS r_total
+        FROM counts
+    ),
+    quota AS (
+        SELECT source, n_s,
+               least(n_s, (((n_total * {MIX_BUDGET_PCT}) // 100) * r_s)
+                   // r_total) AS k_s
+        FROM counts, totals
+    ),
+    ranked AS (
+        SELECT doc_id, source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        FROM base
+    )
+    SELECT doc_id, ranked.source,
+           CAST(rn AS BIGINT) AS rn,
+           CAST(k_s AS BIGINT) AS k_quota,
+           rn <= k_s AS kept
+    FROM ranked JOIN quota ON ranked.source = quota.source
+"""

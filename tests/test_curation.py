@@ -236,3 +236,34 @@ def test_bloom_blocklist_probe_is_broadcast_only(spark):
     assert shuffles, "expected the DISTINCT set-bit build exchange"
     for ln in shuffles:
         assert "pos" in ln and "doc_id" not in ln and "url" not in ln
+
+
+def test_temperature_mix_quotas(spark):
+    from ai_ocr_spark.operators.curation import (
+        MIX_BUDGET_PCT,
+        sample_temperature_mix,
+    )
+
+    out = sample_temperature_mix(spark, SF).toPandas()
+    n_total = len(out)
+    assert n_total > 0
+    g = out.groupby("source").agg(
+        n=("doc_id", "count"),
+        quota=("k_quota", "first"),
+        kept=("kept", "sum"),
+    )
+    # every source fills its quota exactly (quota <= n by construction)
+    assert (g["quota"] <= g["n"]).all()
+    assert (g["kept"] == g["quota"]).all()
+    # total kept is near the budget (DIV floors each quota)
+    budget = (n_total * MIX_BUDGET_PCT) // 100
+    assert budget - len(g) <= g["kept"].sum() <= budget
+    # temperature smoothing flattens the mixture: the kept share of the
+    # largest source must shrink, the smallest source's must grow
+    g["share_before"] = g["n"] / g["n"].sum()
+    g["share_after"] = g["kept"] / g["kept"].sum()
+    big = g["n"].idxmax()
+    small = g["n"].idxmin()
+    if g.loc[big, "n"] > g.loc[small, "n"]:
+        assert g.loc[big, "share_after"] <= g.loc[big, "share_before"] + 1e-9
+        assert g.loc[small, "share_after"] >= g.loc[small, "share_before"] - 1e-9
