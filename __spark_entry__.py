@@ -182,6 +182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-smoothed (alpha=0.5) domain mixture with exact
         # integer quotas and hash-rank selection (new in r3)
         "sample_temperature_mix": CU.sample_temperature_mix,
+        # crawl-refresh incremental dedup: the increment's bands probe
+        # the persisted corpus band index; indexed-vs-indexed pairs
+        # never form (new in r3)
+        "dedup_incremental_lsh": D.dedup_incremental_lsh,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -613,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
         # training-data ops — DuckDB twins generated from shared constants
         "dedup_exact": ORC.dedup_exact(),
         "dedup_minhash_lsh": ORC.dedup_minhash_lsh(),
+        "dedup_incremental_lsh": ORC.dedup_incremental_lsh(),
         "dedup_simhash": ORC.dedup_simhash(),
         "dedup_connected_components": ORC.dedup_connected_components(),
         "text_dup_fraction": ORC.text_dup_fraction(),

@@ -139,6 +139,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- MinHash + LSH ----------------------------------------------------------
 
 
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted+memoized narrow band table (doc_id, band_idx,
+    band_hash) — the LSH index shared by dedup_minhash_lsh and the
+    incremental variant (see dedup_minhash_lsh's docstring for why the
+    NARROW table is the one worth caching/checkpointing)."""
+    key = _cache_key(spark, sf_dir, "minhash_bands")
+    banded = _SHINGLE_CACHE.get(key)
+    if banded is None:
+        dig = TX.minhash_digests(F.col("shd"))
+        sigs = [TX.minhash_component(dig, i) for i in range(TX.MINHASH_K)]
+        bands = F.array(
+            *[TX.lsh_band_hash(sigs, b) for b in range(TX.LSH_BANDS)]
+        )
+        banded = (
+            _shingle_table(spark, sf_dir, 3)
+            .select(
+                "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+            )
+            .filter(F.col("band_hash").isNotNull())
+            .persist()
+        )
+        _SHINGLE_CACHE[key] = banded
+    return banded
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(K=12) -> 4 bands x 3 rows LSH -> bucket self-join ->
     exact-Jaccard verify (>= 0.5) on candidates only.
@@ -162,24 +187,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint to storage — it is the join input and orders of
     magnitude smaller than the shingle sets.
     """
-    key = _cache_key(spark, sf_dir, "minhash_bands")
-    banded = _SHINGLE_CACHE.get(key)
-    if banded is None:
-        dig = TX.minhash_digests(F.col("shd"))
-        sigs = [TX.minhash_component(dig, i) for i in range(TX.MINHASH_K)]
-        bands = F.array(
-            *[TX.lsh_band_hash(sigs, b) for b in range(TX.LSH_BANDS)]
-        )
-        banded = (
-            _shingle_table(spark, sf_dir, 3)
-            .select(
-                "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
-            )
-            .filter(F.col("band_hash").isNotNull())
-            .persist()
-        )
-        _SHINGLE_CACHE[key] = banded
-
+    banded = _minhash_bands(spark, sf_dir)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -644,5 +652,84 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .otherwise(F.lit(0.0))
             .alias("dup_token_frac"),
+        )
+    )
+
+
+# --- incremental (crawl-refresh) minhash dedup -------------------------------
+
+INCR_NEW_MOD = 5  # hash60(doc_id) % 5 == 0 -> the "new crawl increment" (~20%)
+
+
+def _is_new_doc(doc_id: F.Column) -> F.Column:
+    return TX.hash15(doc_id.cast("string")) % INCR_NEW_MOD == 0
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-refresh dedup: verdict for every document of the NEW
+    increment against the already-indexed corpus, without re-deduping
+    the corpus against itself.
+
+    The increment is carved deterministically (hash60(doc_id) %
+    INCR_NEW_MOD == 0, ~20%) so the oracle can replay it. Probe shape:
+    only the increment's band rows sit on the LEFT of the bucket join
+    — the candidate space is O(|new| x bucket width), not O(|corpus|^2),
+    which is the entire point of keeping the band table as a persistent
+    index (at 10^12 docs: the checkpointed band table is the corpus
+    index; a refresh job appends the new bands and probes with them).
+    Indexed-vs-indexed pairs never form. Verdict per new doc:
+    drop if it duplicates an indexed doc (any) or a SMALLER-id new doc
+    (keep-first within the increment); match = smallest eligible
+    duplicate partner, with its exact verify Jaccard.
+    """
+    banded = _minhash_bands(spark, sf_dir)
+    nb = banded.filter(_is_new_doc(F.col("doc_id")))
+    a, b = nb.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_other"),
+        )
+        .filter(
+            (~_is_new_doc(F.col("doc_other")))
+            | (F.col("doc_other") < F.col("doc_new"))
+        )
+        .distinct()
+    )
+    sh = _shingled(spark, sf_dir, 3)
+    sa = sh.select(F.col("doc_id").alias("doc_new"), F.col("shd").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_other"), F.col("shd").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        cand.join(sa, "doc_new")
+        .join(sb, "doc_other")
+        .select("doc_new", "doc_other", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    matches = verified.groupBy("doc_new").agg(
+        F.min("doc_other").alias("match_doc_id"),
+        F.expr("min_by(jaccard, doc_other)").alias("match_jaccard"),
+    )
+    new_docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .filter(_is_new_doc(F.col("doc_id")))
+    )
+    return (
+        new_docs.join(
+            matches, new_docs["doc_id"] == matches["doc_new"], "left"
+        )
+        .select(
+            "doc_id",
+            F.col("match_doc_id").isNotNull().alias("is_dup"),
+            "match_doc_id",
+            "match_jaccard",
         )
     )

@@ -60,7 +60,10 @@ def dedup_exact() -> str:
     """
 
 
-def dedup_minhash_lsh() -> str:
+def _minhash_band_ctes() -> str:
+    """The shared CTE chain tok -> shingles -> digests -> signatures ->
+    band table, reused verbatim by the self-join and incremental LSH
+    twins so the band construction can never drift between them."""
     from ..functions.text import MINHASH_SALTS
 
     digest = " || ".join(f"md5('{j}:' || s)" for j in range(MINHASH_SALTS))
@@ -90,7 +93,12 @@ def dedup_minhash_lsh() -> str:
           SELECT doc_id, g.band AS band_idx,
                  CASE g.band {band_cases} END AS band_hash
           FROM sig, generate_series(0, {LSH_BANDS - 1}) g(band)
-        ),
+        )"""
+
+
+def dedup_minhash_lsh() -> str:
+    return f"""
+        {_minhash_band_ctes()},
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -1192,4 +1200,52 @@ def filter_bloom_blocklist() -> str:
                ({hit}) AND NOT p.truly AS false_positive
         FROM probe p
         {joins}
+    """
+
+
+def dedup_incremental_lsh() -> str:
+    """Twin of operators/dedup.dedup_incremental_lsh: same band CTEs,
+    increment carved by hash60(doc_id) % INCR_NEW_MOD == 0, verdict per
+    new doc with arg_min-selected smallest eligible duplicate partner."""
+    from .dedup import INCR_NEW_MOD
+
+    is_new = (
+        "CAST(('0x' || substr(md5(CAST({d} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {INCR_NEW_MOD} = 0"
+    )
+    return f"""
+        {_minhash_band_ctes()},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_other
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id <> b.doc_id
+          WHERE ({is_new.format(d='a.doc_id')})
+            AND (NOT ({is_new.format(d='b.doc_id')})
+                 OR b.doc_id < a.doc_id)
+        ),
+        ver AS (
+          SELECT doc_new, doc_other, jaccard FROM (
+            SELECT cand.doc_new, cand.doc_other,
+                   len(list_intersect(sa.shd, sb.shd))
+                     / (len(sa.shd) + len(sb.shd)
+                        - len(list_intersect(sa.shd, sb.shd))) AS jaccard
+            FROM cand
+            JOIN s sa ON sa.doc_id = cand.doc_new
+            JOIN s sb ON sb.doc_id = cand.doc_other
+          ) WHERE jaccard >= 0.5
+        ),
+        m AS (
+          SELECT doc_new,
+                 min(doc_other) AS match_doc_id,
+                 arg_min(jaccard, doc_other) AS match_jaccard
+          FROM ver GROUP BY doc_new
+        )
+        SELECT d.doc_id,
+               m.match_doc_id IS NOT NULL AS is_dup,
+               m.match_doc_id,
+               m.match_jaccard
+        FROM (SELECT doc_id FROM documents
+              WHERE {is_new.format(d='doc_id')}) d
+        LEFT JOIN m ON m.doc_new = d.doc_id
     """

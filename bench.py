@@ -86,6 +86,9 @@ def main() -> int:
         "join_asof_orders",
         "range_join_event_pairs",
         "sketch_distinct_kmv",
+        "sketch_distinct_hll",
+        "sample_temperature_mix",
+        "dedup_incremental_lsh",
         "agg_length_percentiles",
         "search_keyword_topk",
         "pagerank_link_graph",
@@ -126,6 +129,7 @@ def main() -> int:
     cold = {}
     for name in (
         "dedup_minhash_lsh",
+        "dedup_incremental_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_embedding_lsh",

@@ -308,3 +308,42 @@ def test_gopher_rep_signals(spark):
         out["top_2gram_char_frac"] <= REP_TOP2_CHAR_MAX
     )
     assert (out["keep"] == expect_keep).all()
+
+
+def test_incremental_lsh_agrees_with_full_pair_set(spark):
+    from ai_ocr_spark.functions.text import hash15
+    from ai_ocr_spark.operators.dedup import (
+        INCR_NEW_MOD,
+        dedup_incremental_lsh,
+        dedup_minhash_lsh,
+    )
+    from pyspark.sql import functions as F
+
+    inc = dedup_incremental_lsh(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    new_ids = set(
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id",
+            (hash15(F.col("doc_id").cast("string")) % INCR_NEW_MOD).alias("m"),
+        )
+        .filter(F.col("m") == 0)
+        .collect()
+    )
+    # exactly one verdict row per increment doc
+    assert set(inc["doc_id"]) == new_ids
+    assert not inc["doc_id"].duplicated().any()
+    # verdict must agree with the full (corpus-wide) pair set under the
+    # keep-first-eligibility rule: d is a dup iff some partner o with
+    # jaccard >= 0.5 is indexed, or is a new doc with o < d
+    pairs = dedup_minhash_lsh(spark, SF).toPandas()
+    partners: dict[int, set[int]] = {}
+    for _, p in pairs.iterrows():
+        partners.setdefault(p["doc_a"], set()).add(p["doc_b"])
+        partners.setdefault(p["doc_b"], set()).add(p["doc_a"])
+    for _, r in inc.iterrows():
+        d = r["doc_id"]
+        elig = {o for o in partners.get(d, set()) if o not in new_ids or o < d}
+        assert bool(r["is_dup"]) == bool(elig), d
+        if elig:
+            assert r["match_doc_id"] == min(elig)
