@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the persisted corpus band index; indexed-vs-indexed pairs
         # never form (new in r3)
         "dedup_incremental_lsh": D.dedup_incremental_lsh,
+        # count-min-sketch heavy hitters: D*W integer cells, estimate
+        # always >= exact, top-N tokens value-checked (new in r3)
+        "sketch_heavy_hitters_cms": SK.sketch_heavy_hitters_cms,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -510,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
         "sketch_distinct_hll": SK.HLL_ORACLE_SQL,
         "sample_temperature_mix": CU.TEMPERATURE_MIX_ORACLE_SQL,
+        "sketch_heavy_hitters_cms": SK.CMS_ORACLE_SQL,
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -412,3 +412,109 @@ HLL_ORACLE_SQL = f"""
            n_exact
     FROM est JOIN e USING (source)
 """
+
+
+# --- count-min sketch heavy hitters --------------------------------------
+
+CMS_W = 512  # counters per row
+CMS_D = 3  # salted rows
+CMS_TOP_N = 20  # heavy hitters reported
+
+
+def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch estimates for the corpus's top-N tokens, next
+    to their exact counts — heavy-hitter detection (boilerplate token /
+    hot-key discovery), the third classic sketch beside KMV and HLL.
+
+    All-integer and deterministic: cell (d, w) sums the counts of every
+    token with hash60(d || ':' || token) % W == w; the estimate is the
+    min over the D rows, always >= the exact count (the CMS guarantee,
+    asserted in tests). Built FROM the aggregated (token, count) table,
+    which is update-order-independent — the reason the twin is exact.
+
+    Scale shape: one map-side-combinable token count shuffle (the only
+    corpus-sized exchange), a D*W-cell rollup (constant size — the
+    whole point of CMS state), TakeOrderedAndProject for the top-N, and
+    a broadcast probe of N*D rows against the tiny cell table. At
+    10^12 rows the exact join-back disappears and the sketch alone
+    answers point queries; here the exact count is the test witness.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (
+        docs.select(
+            F.explode(TX.tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pos = lambda d: TX.hash15(F.concat(F.lit(f"{d}:"), F.col("token"))) % CMS_W
+    lanes = None
+    for d in range(CMS_D):
+        lane = counts.select(
+            F.lit(d).alias("d"), pos(d).alias("w"), F.col("cnt")
+        )
+        lanes = lane if lanes is None else lanes.unionAll(lane)
+    cells = lanes.groupBy("d", "w").agg(F.sum("cnt").alias("cell"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(CMS_TOP_N)
+    probes = None
+    for d in range(CMS_D):
+        p = top.select("token", "cnt", F.lit(d).alias("d"), pos(d).alias("w"))
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(F.broadcast(cells), ["d", "w"])
+        .groupBy("token")
+        .agg(
+            F.max("cnt").cast("long").alias("exact_count"),
+            F.min("cell").cast("long").alias("cms_estimate"),
+        )
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+    )
+
+
+def _cms_pos_sql(d: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{d}:' || token), 1, 15)) AS BIGINT)"
+        f" % {CMS_W}"
+    )
+
+
+CMS_ORACLE_SQL = f"""
+    WITH tok AS (
+        SELECT u.token
+        FROM (SELECT string_split(trim(regexp_replace(lower(coalesce(text,
+                 '')), '\\s+', ' ', 'g')), ' ') AS ts FROM documents),
+             unnest(ts) u(token)
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    lanes AS (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_pos_sql(d)} AS w, cnt FROM counts"
+            for d in range(CMS_D)
+        )}
+    ),
+    cells AS (
+        SELECT d, w, CAST(sum(cnt) AS BIGINT) AS cell
+        FROM lanes GROUP BY d, w
+    ),
+    top AS (
+        SELECT token, cnt FROM counts
+        ORDER BY cnt DESC, token ASC LIMIT {CMS_TOP_N}
+    ),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT token, cnt, {d} AS d, {_cms_pos_sql(d)} AS w FROM top"
+            for d in range(CMS_D)
+        )}
+    )
+    SELECT token,
+           CAST(max(cnt) AS BIGINT) AS exact_count,
+           CAST(min(cell) AS BIGINT) AS cms_estimate,
+           CAST(min(cell) - max(cnt) AS BIGINT) AS overestimate
+    FROM probes JOIN cells USING (d, w)
+    GROUP BY token
+"""

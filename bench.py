@@ -87,6 +87,7 @@ def main() -> int:
         "range_join_event_pairs",
         "sketch_distinct_kmv",
         "sketch_distinct_hll",
+        "sketch_heavy_hitters_cms",
         "sample_temperature_mix",
         "dedup_incremental_lsh",
         "agg_length_percentiles",

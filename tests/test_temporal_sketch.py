@@ -255,3 +255,16 @@ def test_hll_registers_and_estimate(spark):
         assert v > 0
         expect = round(HLL_M * math.log(HLL_M / v), 4)
         assert r["estimate"] == expect
+
+
+def test_cms_never_underestimates(spark):
+    from ai_ocr_spark.operators.sketch import CMS_TOP_N, sketch_heavy_hitters_cms
+
+    out = sketch_heavy_hitters_cms(spark, SF).toPandas()
+    assert len(out) == CMS_TOP_N
+    # the count-min guarantee: estimate >= exact, and the min over D
+    # rows keeps heavy hitters tight (collisions add small counts only)
+    assert (out["cms_estimate"] >= out["exact_count"]).all()
+    assert (out["overestimate"] == out["cms_estimate"] - out["exact_count"]).all()
+    heaviest = out.sort_values("exact_count", ascending=False).iloc[0]
+    assert heaviest["cms_estimate"] <= heaviest["exact_count"] * 1.5
