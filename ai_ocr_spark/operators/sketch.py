@@ -433,33 +433,44 @@ def sketch_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is update-order-independent — the reason the twin is exact.
 
     Scale shape: one map-side-combinable token count shuffle (the only
-    corpus-sized exchange), a D*W-cell rollup (constant size — the
-    whole point of CMS state), TakeOrderedAndProject for the top-N, and
-    a broadcast probe of N*D rows against the tiny cell table. At
-    10^12 rows the exact join-back disappears and the sketch alone
-    answers point queries; here the exact count is the test witness.
+    corpus-sized exchange), persisted+memoized like the dedup band
+    index so the cells branch and the top-N branch both read ONE
+    materialization (without the barrier the plan recomputes the
+    corpus aggregate per consumer — 6 scans measured); lanes fan out
+    D-wide via a single struct explode, the D*W-cell rollup is
+    constant size (the whole point of CMS state), TakeOrderedAndProject
+    picks the top-N, and N*D probe rows broadcast-join the tiny cell
+    table. At 10^12 rows the exact join-back disappears and the sketch
+    alone answers point queries; here the exact count is the witness.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    counts = (
-        docs.select(
-            F.explode(TX.tokens(F.col("text"))).alias("token")
-        )
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    from .dedup import _SHINGLE_CACHE, _cache_key, _docs_wide
+
     pos = lambda d: TX.hash15(F.concat(F.lit(f"{d}:"), F.col("token"))) % CMS_W
-    lanes = None
-    for d in range(CMS_D):
-        lane = counts.select(
-            F.lit(d).alias("d"), pos(d).alias("w"), F.col("cnt")
+    key = _cache_key(spark, sf_dir, "cms_counts")
+    counts = _SHINGLE_CACHE.get(key)
+    if counts is None:
+        counts = (
+            _docs_wide(spark, sf_dir)
+            .select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
         )
-        lanes = lane if lanes is None else lanes.unionAll(lane)
+        _SHINGLE_CACHE[key] = counts
+    lane_arr = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), pos(d).alias("w"))
+            for d in range(CMS_D)
+        ]
+    )
+    lanes = counts.select(F.explode(lane_arr).alias("dw"), "cnt").select(
+        "dw.d", "dw.w", "cnt"
+    )
     cells = lanes.groupBy("d", "w").agg(F.sum("cnt").alias("cell"))
     top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(CMS_TOP_N)
-    probes = None
-    for d in range(CMS_D):
-        p = top.select("token", "cnt", F.lit(d).alias("d"), pos(d).alias("w"))
-        probes = p if probes is None else probes.unionAll(p)
+    probes = top.select(
+        "token", "cnt", F.explode(lane_arr).alias("dw")
+    ).select("token", "cnt", "dw.d", "dw.w")
     return (
         probes.join(F.broadcast(cells), ["d", "w"])
         .groupBy("token")
