@@ -189,6 +189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-min-sketch heavy hitters: D*W integer cells, estimate
         # always >= exact, top-N tokens value-checked (new in r3)
         "sketch_heavy_hitters_cms": SK.sketch_heavy_hitters_cms,
+        # per-domain extraction health report over the FULL kernel
+        # path: volume, non-empty rate, text mass, language mix, all
+        # reconstructed by the DuckDB twin from the pipeline's oracle
+        # invariants (new in r3)
+        "pipeline_domain_report": RT.pipeline_domain_report,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -514,6 +519,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct_hll": SK.HLL_ORACLE_SQL,
         "sample_temperature_mix": CU.TEMPERATURE_MIX_ORACLE_SQL,
         "sketch_heavy_hitters_cms": SK.CMS_ORACLE_SQL,
+        "pipeline_domain_report": RT.DOMAIN_REPORT_ORACLE_SQL,
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -260,3 +260,57 @@ ORACLE_SQL = f"""
            li.l_returnflag AS flag
     FROM lineitem li JOIN keys USING (l_orderkey)
 """
+
+
+def pipeline_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain extraction health rollup over the FULL kernel path —
+    the report a crawl operator reads after a run: page volume,
+    non-empty extraction rate, text mass, and language mix, keyed on
+    the url's host. The DuckDB twin reconstructs every number straight
+    from documents via the pipeline's oracle invariant (main_text ==
+    nbsp-aware whitespace collapse; lang == JA-codepoint probe of the
+    first 2000 chars, kernels/fields.py language_of), so the rollup
+    value-checks the kernel composition end to end.
+
+    Scale shape: scan -> one salted/size-bucketed exchange -> ONE
+    MapInPandas -> partial+final hash aggregate on the domain key. The
+    aggregate input is already the narrow projection (binary column
+    pruned before the kernel's output leaves the stage).
+    """
+    from ..pipeline import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    ex = extract_pages(pages, run_id="domain-report", num_partitions=8)
+    domain = F.regexp_extract(F.col("url"), r"https://([^.]+)\.", 1)
+    nonempty = F.when(F.col("main_text") != "", 1).otherwise(0)
+    is_ja = F.when(F.col("lang") == "ja", 1).otherwise(0)
+    return (
+        ex.select(domain.alias("domain"), "main_text", "lang")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum(nonempty).cast("long").alias("n_nonempty"),
+            F.sum(F.length("main_text")).cast("long").alias("sum_chars"),
+            F.max(F.length("main_text")).cast("long").alias("max_chars"),
+            F.sum(is_ja).cast("long").alias("n_ja"),
+        )
+    )
+
+
+DOMAIN_REPORT_ORACLE_SQL = """
+    WITH m AS (
+        SELECT source AS domain,
+               trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '),
+                    '\\s+', ' ', 'g')) AS mt
+        FROM documents
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(CASE WHEN mt <> '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonempty,
+           CAST(sum(length(mt)) AS BIGINT) AS sum_chars,
+           CAST(max(length(mt)) AS BIGINT) AS max_chars,
+           CAST(sum(CASE WHEN regexp_matches(substr(mt, 1, 2000),
+                '[぀-ヿ一-鿿]') THEN 1 ELSE 0 END) AS BIGINT) AS n_ja
+    FROM m GROUP BY domain
+"""

@@ -137,6 +137,7 @@ def main() -> int:
         "dedup_substring_spans",
         "ann_ivf_topk",
         "filter_bloom_blocklist",
+        "sketch_heavy_hitters_cms",
     ):
         clear_caches(spark)
         t0 = time.monotonic()
