@@ -194,6 +194,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reconstructed by the DuckDB twin from the pipeline's oracle
         # invariants (new in r3)
         "pipeline_domain_report": RT.pipeline_domain_report,
+        # GPT-style concat-and-chunk sequence packing: distributed
+        # prefix sum lays out the corpus, per-doc chunk span reported
+        # (new in r3)
+        "sample_pack_sequences": CU.sample_pack_sequences,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -520,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_temperature_mix": CU.TEMPERATURE_MIX_ORACLE_SQL,
         "sketch_heavy_hitters_cms": SK.CMS_ORACLE_SQL,
         "pipeline_domain_report": RT.DOMAIN_REPORT_ORACLE_SQL,
+        "sample_pack_sequences": ORC.sample_pack_sequences(),
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

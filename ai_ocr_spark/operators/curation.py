@@ -20,7 +20,12 @@ caps, and the end-to-end near-dup keep/drop decision.
                               emitting a keep/drop verdict for EVERY
                               document (singletons keep themselves).
 
-All three are pure DataFrame plans over the shared dedup machinery —
+  sample_pack_sequences       GPT-style concat-and-chunk sequence
+                              packing: deterministic global layout via
+                              a distributed prefix sum, per-document
+                              chunk span + boundary-crossing stats.
+
+All are pure DataFrame plans over the shared dedup machinery —
 no Python rows, no collect. Scale notes per operator docstring.
 """
 
@@ -605,3 +610,92 @@ TEMPERATURE_MIX_ORACLE_SQL = f"""
            rn <= k_s AS kept
     FROM ranked JOIN quota ON ranked.source = quota.source
 """
+
+
+# GPT-style concat-and-chunk packing: training sequences are SEQ_LEN
+# tokens; documents are laid out in a deterministic global order and
+# chunk boundaries fall wherever the running token offset says.
+# PACK_SEQ_LEN is small at test scale so boundary crossings actually
+# occur; PACK_SHARDS would be ~the partition count on a real cluster.
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 32
+
+
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk a la GPT pretraining): lay
+    every non-empty document out in a deterministic global order and
+    cut fixed PACK_SEQ_LEN-token training sequences; report, per
+    document, its global token offset and which sequences it lands in
+    (seq_first..seq_last, position within its first sequence, whether
+    it straddles a boundary). This is the pass that turns a curated
+    corpus into the actual training-sequence layout — and the
+    boundary-crossing stats are what you tune SEQ_LEN against.
+
+    Global order is (shard, hash60(doc_id), doc_id): hash order is the
+    standard document shuffle (content-independent, stable across
+    runs/engines/shard layouts), and making shard = h % PACK_SHARDS the
+    major key lets the global prefix sum distribute.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, no corpus-sized
+    single-partition window: one shuffle on shard for the per-shard
+    running sums; the shard totals (PACK_SHARDS rows) take their
+    exclusive prefix on one tiny partition and broadcast back; the
+    global offset is shard_base + within-shard cumsum - n_tok. At
+    10^12 docs every stage is bounded per shard; the offsets are
+    BIGINT (corpus token counts ~10^15 fit comfortably).
+
+    Mirrors the reference's batch assembly step (documents to
+    fixed-size processing units, /root/reference/src/processor/app/
+    main.py batching loop) recast as a layout computation.
+    """
+    from .textstats import _n_tokens
+
+    docs = _docs(spark, sf_dir)
+    norm = TX.norm_text(F.col("text"))
+    tok = F.split(norm, " ")
+    base = (
+        docs.select(
+            "doc_id",
+            _n_tokens(norm, tok).cast("long").alias("n_tok"),
+            TX.hash15(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .filter(F.col("n_tok") > 0)
+        .withColumn("shard", (F.col("h") % PACK_SHARDS).cast("long"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum", F.sum("n_tok").over(w).cast("long"))
+    tot = base.groupBy("shard").agg(F.sum("n_tok").cast("long").alias("shard_tok"))
+    # exclusive prefix over PACK_SHARDS rows — dimension-sized, the one
+    # deliberate single-partition window in this plan
+    wb = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = tot.select(
+        "shard",
+        F.coalesce(F.sum("shard_tok").over(wb), F.lit(0)).cast("long").alias("shard_base"),
+    )
+    return (
+        cum.join(F.broadcast(bases), "shard")
+        .withColumn(
+            "tok_offset",
+            (F.col("shard_base") + F.col("cum") - F.col("n_tok")).cast("long"),
+        )
+        .withColumn("seq_first", F.expr(f"tok_offset DIV {PACK_SEQ_LEN}").cast("long"))
+        .withColumn(
+            "seq_last",
+            F.expr(f"(tok_offset + n_tok - 1) DIV {PACK_SEQ_LEN}").cast("long"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tok",
+            "tok_offset",
+            "seq_first",
+            "seq_last",
+            (F.col("seq_last") - F.col("seq_first") + F.lit(1)).cast("long").alias("n_seqs"),
+            (F.col("tok_offset") % PACK_SEQ_LEN).cast("long").alias("pos_in_seq"),
+            (F.col("seq_last") > F.col("seq_first")).alias("crosses_seq"),
+        )
+    )

@@ -1249,3 +1249,63 @@ def dedup_incremental_lsh() -> str:
               WHERE {is_new.format(d='doc_id')}) d
         LEFT JOIN m ON m.doc_new = d.doc_id
     """
+
+
+def sample_pack_sequences() -> str:
+    """Twin of curation.sample_pack_sequences: identical token count
+    ({NORM} whitespace split), identical hash60 shard + order keys,
+    the same two-level prefix sum (per-shard running BIGINT sum +
+    exclusive shard-base prefix), and integer // for the chunk ids
+    (Spark DIV). Every sum CAST BIGINT (HUGEINT trap)."""
+    from .curation import PACK_SEQ_LEN, PACK_SHARDS
+
+    return f"""
+
+    WITH n AS (
+        SELECT doc_id, {NORM} AS norm FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               CAST(CASE WHEN norm = '' THEN 0
+                    ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tok,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) AS h
+        FROM n
+    ),
+    s AS (
+        SELECT doc_id, n_tok, h, CAST(h % {PACK_SHARDS} AS BIGINT) AS shard
+        FROM t WHERE n_tok > 0
+    ),
+    c AS (
+        SELECT doc_id, n_tok, shard, h,
+               CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM s
+    ),
+    tot AS (
+        SELECT shard, CAST(sum(n_tok) AS BIGINT) AS shard_tok
+        FROM s GROUP BY shard
+    ),
+    b AS (
+        SELECT shard,
+               CAST(coalesce(sum(shard_tok) OVER (ORDER BY shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS shard_base
+        FROM tot
+    ),
+    o AS (
+        SELECT c.doc_id, c.shard, c.n_tok,
+               CAST(b.shard_base + c.cum - c.n_tok AS BIGINT) AS tok_offset
+        FROM c JOIN b USING (shard)
+    )
+    SELECT doc_id, shard, n_tok, tok_offset,
+           CAST(tok_offset // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+           CAST((tok_offset + n_tok - 1) // {PACK_SEQ_LEN} AS BIGINT) AS seq_last,
+           CAST((tok_offset + n_tok - 1) // {PACK_SEQ_LEN}
+                - tok_offset // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs,
+           CAST(tok_offset % {PACK_SEQ_LEN} AS BIGINT) AS pos_in_seq,
+           ((tok_offset + n_tok - 1) // {PACK_SEQ_LEN})
+               > (tok_offset // {PACK_SEQ_LEN}) AS crosses_seq
+    FROM o
+    """

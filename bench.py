@@ -94,6 +94,7 @@ def main() -> int:
         "search_keyword_topk",
         "pagerank_link_graph",
         "sample_stratified_split",
+        "sample_pack_sequences",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

@@ -267,3 +267,55 @@ def test_temperature_mix_quotas(spark):
     if g.loc[big, "n"] > g.loc[small, "n"]:
         assert g.loc[big, "share_after"] <= g.loc[big, "share_before"] + 1e-9
         assert g.loc[small, "share_after"] >= g.loc[small, "share_before"] - 1e-9
+
+
+def test_pack_sequences_layout_is_contiguous(spark):
+    """The packing layout is a gap-free concatenation: sorted by
+    tok_offset, every document starts exactly where the previous one
+    ended, and the chunk-span arithmetic is consistent."""
+    from ai_ocr_spark.operators.curation import (
+        PACK_SEQ_LEN,
+        sample_pack_sequences,
+    )
+
+    out = (
+        sample_pack_sequences(spark, SF)
+        .toPandas()
+        .sort_values("tok_offset")
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0 and (out["n_tok"] > 0).all()
+    # contiguity: offsets tile the token axis with no gaps or overlaps
+    assert out.loc[0, "tok_offset"] == 0
+    ends = out["tok_offset"] + out["n_tok"]
+    assert (out["tok_offset"].iloc[1:].values == ends.iloc[:-1].values).all()
+    assert ends.iloc[-1] == out["n_tok"].sum()
+    # chunk-span arithmetic
+    assert (out["seq_first"] == out["tok_offset"] // PACK_SEQ_LEN).all()
+    assert (
+        out["seq_last"] == (out["tok_offset"] + out["n_tok"] - 1) // PACK_SEQ_LEN
+    ).all()
+    assert (out["n_seqs"] == out["seq_last"] - out["seq_first"] + 1).all()
+    assert (out["crosses_seq"] == (out["n_seqs"] > 1)).all()
+    # SEQ_LEN is small enough at test scale that crossings occur AND
+    # some docs still fit inside one sequence — both branches exercised
+    assert out["crosses_seq"].any() and (~out["crosses_seq"]).any()
+
+
+def test_pack_sequences_plan_partitions_the_big_window(spark):
+    """The corpus-sized running sum must be partitioned by shard; the
+    only unpartitioned window is the PACK_SHARDS-row shard-base prefix,
+    and the shard-base join must broadcast (no corpus shuffle for it)."""
+    from ai_ocr_spark.operators.curation import sample_pack_sequences
+
+    plan = formatted_plan(sample_pack_sequences(spark, SF))
+    low = plan.lower().replace(" ", "")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the per-shard cumsum window carries the shard partition spec and
+    # shuffles on shard
+    assert "windowspecdefinition(shard" in low
+    assert "hashpartitioning(shard" in low
+    # exactly ONE single-partition exchange: the PACK_SHARDS-row
+    # shard-base prefix (a corpus-sized one would be a regression)
+    assert low.count("singlepartition") == 1
