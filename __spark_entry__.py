@@ -198,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix sum lays out the corpus, per-doc chunk span reported
         # (new in r3)
         "sample_pack_sequences": CU.sample_pack_sequences,
+        # SemDeDup-style per-cluster outlier rank: integer-exact
+        # centroid, strict-left-fold cosine, bottom-K flag (new in r3)
+        "embedding_label_outliers": SIM.embedding_label_outliers,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -525,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_heavy_hitters_cms": SK.CMS_ORACLE_SQL,
         "pipeline_domain_report": RT.DOMAIN_REPORT_ORACLE_SQL,
         "sample_pack_sequences": ORC.sample_pack_sequences(),
+        "embedding_label_outliers": ORC.embedding_label_outliers(),
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -1309,3 +1309,57 @@ def sample_pack_sequences() -> str:
                > (tok_offset // {PACK_SEQ_LEN}) AS crosses_seq
     FROM o
     """
+
+
+def embedding_label_outliers() -> str:
+    """Twin of similarity.embedding_label_outliers: identical
+    floor(x*EMB_SCALE) BIGINT centroid (order-free integer sum, CAST
+    BIGINT against the HUGEINT trap), list(s ORDER BY pos) rebuild,
+    and the shared strict-left-fold double dot (_dot after the 0.0
+    identity on the Spark side — IEEE-identical)."""
+    from .similarity import EMB_SCALE, OUTLIER_BOTTOM_K
+
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label,
+                   embedding::DOUBLE[] AS v
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, label, v,
+                   list_transform(v, x -> CAST(floor(x * {EMB_SCALE})
+                       AS BIGINT)) AS qv
+            FROM e
+        ),
+        ex AS (
+            SELECT label,
+                   unnest(range(1, len(qv) + 1)) AS pos,
+                   unnest(qv) AS comp
+            FROM q
+        ),
+        cent AS (
+            SELECT label, pos, CAST(sum(comp) AS BIGINT) AS s
+            FROM ex GROUP BY label, pos
+        ),
+        carr AS (
+            SELECT label,
+                   list_transform(list(s ORDER BY pos),
+                                  x -> CAST(x AS DOUBLE)) AS c
+            FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT q.vec_id, q.label,
+                   {_dot('q.v', 'carr.c')}
+                       / (sqrt({_dot('q.v', 'q.v')})
+                          * sqrt({_dot('carr.c', 'carr.c')})) AS cos_centroid
+            FROM q JOIN carr USING (label)
+        )
+        SELECT vec_id, label, cos_centroid,
+               CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n_label,
+               CAST(row_number() OVER (PARTITION BY label
+                   ORDER BY cos_centroid, vec_id) AS BIGINT) AS rn,
+               row_number() OVER (PARTITION BY label
+                   ORDER BY cos_centroid, vec_id) <= {OUTLIER_BOTTOM_K}
+                   AS is_outlier
+        FROM scored
+    """

@@ -243,3 +243,66 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= LSH_COS_THRESHOLD)
     )
+
+
+# SemDeDup-style per-cluster outlier scoring: centroid components are
+# integerized (floor(x * EMB_SCALE), exact BIGINT sums) so the centroid
+# is row-order-independent — a raw double sum across rows would be
+# summation-order-dependent and break cross-engine exactness.
+EMB_SCALE = 1_000_000
+OUTLIER_BOTTOM_K = 10
+
+
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + cosine-to-centroid outlier rank:
+    the embedding-space quality signal (SemDeDup / semantic-outlier
+    pruning) — vectors far from their cluster centroid are mislabeled,
+    noisy, or off-distribution, and the bottom-K per label are flagged.
+
+    Exactness: the centroid is an INTEGER sum — each component is
+    floor(x * EMB_SCALE) (exact on both engines: float32 widens to the
+    same double, floor is total), summed as BIGINT (order-free). The
+    cosine against it is the shared strict-left-fold double dot
+    (functions.vectors), so scores hash identically cross-engine.
+
+    Scale shape: one (label, pos)-key shuffle of n*dim integerized
+    components with map-side combine; the centroid table is
+    |labels| rows and BROADCASTS back — the corpus side is scored in
+    a single scan pass; then one label-key window for the rank. At
+    10^12 rows with hot labels, s_j sums move to DECIMAL(38,0)
+    (BIGINT holds ~10^12 vectors per label at EMB_SCALE=1e6 before
+    overflow); the bottom-K window is WindowGroupLimit-friendly.
+
+    Mirrors the reference's confidence-based review flagging
+    (/root/reference/src/processor/app/services/confidence.py) lifted
+    to embedding space.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        V.as_double(F.col("embedding")).alias("v"),
+    )
+    q = F.transform(F.col("v"), lambda x: F.floor(x * EMB_SCALE).cast("long"))
+    ex = emb.select("label", F.posexplode(q).alias("pos", "comp"))
+    cent = ex.groupBy("label", "pos").agg(F.sum("comp").cast("long").alias("s"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))),
+            lambda t: t["s"].cast("double"),
+        ).alias("c")
+    )
+    scored = emb.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        (V.dot(F.col("v"), F.col("c")) / (V.norm(F.col("v")) * V.norm(F.col("c"))))
+        .alias("cos_centroid"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_centroid"), F.asc("vec_id"))
+    cw = Window.partitionBy("label")
+    return scored.select(
+        "vec_id",
+        "label",
+        "cos_centroid",
+        F.count(F.lit(1)).over(cw).cast("long").alias("n_label"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    ).withColumn("is_outlier", F.col("rn") <= OUTLIER_BOTTOM_K)

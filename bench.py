@@ -95,6 +95,7 @@ def main() -> int:
         "pagerank_link_graph",
         "sample_stratified_split",
         "sample_pack_sequences",
+        "embedding_label_outliers",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

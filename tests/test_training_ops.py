@@ -347,3 +347,41 @@ def test_incremental_lsh_agrees_with_full_pair_set(spark):
         assert bool(r["is_dup"]) == bool(elig), d
         if elig:
             assert r["match_doc_id"] == min(elig)
+
+
+def test_embedding_label_outliers_flags_bottom_k(spark):
+    """Every vector gets a verdict; ranks are a per-label permutation;
+    exactly min(K, n_label) vectors per label are outliers, and they
+    are the label's lowest cosines."""
+    from ai_ocr_spark.operators.similarity import (
+        OUTLIER_BOTTOM_K,
+        embedding_label_outliers,
+    )
+
+    out = embedding_label_outliers(spark, SF).toPandas()
+    emb_n = 500
+    assert len(out) == emb_n
+    assert out["cos_centroid"].between(-1.0 + -1e-12, 1.0 + 1e-12).all()
+    for label, g in out.groupby("label"):
+        assert (g["n_label"] == len(g)).all()
+        assert sorted(g["rn"]) == list(range(1, len(g) + 1))
+        k = min(OUTLIER_BOTTOM_K, len(g))
+        flagged = g[g["is_outlier"]]
+        assert len(flagged) == k
+        # flagged = the k smallest cosines (rank ties broken by vec_id)
+        assert flagged["cos_centroid"].max() <= g[~g["is_outlier"]][
+            "cos_centroid"
+        ].min() + 1e-15
+
+
+def test_embedding_label_outliers_plan_broadcasts_centroids(spark):
+    """The |labels|-row centroid table must broadcast back — the corpus
+    side is scored in one scan pass; the rank window is label-keyed."""
+    from ai_ocr_spark.operators.similarity import embedding_label_outliers
+    from ai_ocr_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(embedding_label_outliers(spark, SF))
+    low = plan.lower().replace(" ", "")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(label" in low
