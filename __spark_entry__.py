@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SemDeDup-style per-cluster outlier rank: integer-exact
         # centroid, strict-left-fold cosine, bottom-K flag (new in r3)
         "embedding_label_outliers": SIM.embedding_label_outliers,
+        # overlapping token-window chunker (RAG/embedding units):
+        # scan-side explode, zero shuffle (new in r3)
+        "text_chunk_windows": TS.text_chunk_windows,
         # -- core coverage --
         "agg_cube_status_priority": R.agg_cube_status_priority,
         # temporal joins Spark lacks natively (union+running-last asof,
@@ -529,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_domain_report": RT.DOMAIN_REPORT_ORACLE_SQL,
         "sample_pack_sequences": ORC.sample_pack_sequences(),
         "embedding_label_outliers": ORC.embedding_label_outliers(),
+        "text_chunk_windows": ORC.text_chunk_windows(),
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -1363,3 +1363,40 @@ def embedding_label_outliers() -> str:
                    AS is_outlier
         FROM scored
     """
+
+
+def text_chunk_windows() -> str:
+    """Twin of textstats.text_chunk_windows: same norm-split tokens,
+    same closed-form chunk count (integer //), DuckDB list_slice with
+    its INCLUSIVE end index vs Spark slice's length arg — both yield
+    tokens [k*S+1 .. min(k*S+W, n_tok)]. Chunks are never empty, so
+    array_to_string never sees [] (the NULL-vs-'' trap)."""
+    from .textstats import CHUNK_S, CHUNK_W
+
+    W, S = CHUNK_W, CHUNK_S
+    return f"""
+        WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+        b AS (
+            SELECT doc_id, string_split(norm, ' ') AS tok,
+                   CAST(CASE WHEN norm = '' THEN 0
+                        ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tok
+            FROM n
+        ),
+        c AS (
+            SELECT doc_id, tok, n_tok,
+                   CASE WHEN n_tok <= {W} THEN 1
+                        ELSE 1 + (n_tok - {W} + {S} - 1) // {S} END AS n_chunks
+            FROM b WHERE n_tok > 0
+        ),
+        ex AS (
+            SELECT doc_id, tok, n_tok, unnest(range(0, n_chunks)) AS k FROM c
+        )
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_id,
+               CAST(k * {S} AS BIGINT) AS tok_start,
+               CAST(least(k * {S} + {W}, n_tok) AS BIGINT) AS tok_end,
+               CAST(least(k * {S} + {W}, n_tok) - k * {S} AS BIGINT) AS n_tok_chunk,
+               array_to_string(list_slice(tok, k * {S} + 1,
+                   least(k * {S} + {W}, n_tok)), ' ') AS chunk_text
+        FROM ex
+    """

@@ -596,3 +596,62 @@ def quality_filter_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# Overlapping token-window chunking (the RAG / context-window chunker):
+# CHUNK_W-token windows every CHUNK_S tokens, so consecutive chunks
+# overlap by CHUNK_W - CHUNK_S tokens. Small at test scale so multi-
+# chunk docs and the short tail chunk both occur.
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every non-empty document into overlapping CHUNK_W-token
+    windows with stride CHUNK_S — the pass that turns documents into
+    retrieval/embedding units (RAG indexing, context-window packing
+    with overlap so no sentence is split without a copy).
+
+    Chunk count is closed-form integer arithmetic — 1 chunk when
+    n_tok <= W, else 1 + ceil((n_tok - W)/S) — so the explode is a
+    bounded F.sequence, and the chunk text is a token slice re-joined
+    with single spaces (exact on both engines: the tokens come from
+    the shared norm-split, and every chunk is non-empty so the DuckDB
+    array_to_string-of-empty NULL trap never fires).
+
+    Scale shape: a pure scan-side projection + explode — NO shuffle,
+    no window, no join; output size is corpus tokens x (W/S) overlap
+    factor, streamed partition-local. The chunker the reference runs
+    per page before LLM calls (/root/reference/src/processor/app/
+    services/extraction.py chunked prompting) as one declarative plan.
+    """
+    from .curation import _docs  # same documents reader
+
+    docs = _docs(spark, sf_dir)
+    norm = TX.norm_text(F.col("text"))
+    tok = F.split(norm, " ")
+    base = docs.select(
+        "doc_id", tok.alias("tok"), _n_tokens(norm, tok).cast("long").alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    n_chunks = F.when(F.col("n_tok") <= CHUNK_W, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.expr(f"CAST((n_tok - {CHUNK_W} + {CHUNK_S} - 1) DIV {CHUNK_S} AS LONG)")
+    )
+    ex = base.withColumn("n_chunks", n_chunks).select(
+        "doc_id",
+        "tok",
+        "n_tok",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("k", "_k2"),
+    )
+    start = (F.col("k").cast("long") * CHUNK_S).alias("tok_start")
+    end = F.least(F.col("k") * CHUNK_S + CHUNK_W, F.col("n_tok")).cast("long")
+    return ex.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        start,
+        end.alias("tok_end"),
+        (end - F.col("k") * CHUNK_S).cast("long").alias("n_tok_chunk"),
+        F.array_join(
+            F.slice(F.col("tok"), F.col("k") * CHUNK_S + 1, end - F.col("k") * CHUNK_S),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -96,6 +96,7 @@ def main() -> int:
         "sample_stratified_split",
         "sample_pack_sequences",
         "embedding_label_outliers",
+        "text_chunk_windows",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

@@ -385,3 +385,50 @@ def test_embedding_label_outliers_plan_broadcasts_centroids(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "windowspecdefinition(label" in low
+
+
+def test_text_chunk_windows_tile_with_overlap(spark):
+    """Chunks tile each doc: first starts at 0, strides are CHUNK_S,
+    the last chunk ends exactly at n_tok, every chunk's text is the
+    exact token slice, and consecutive chunks overlap by W - S."""
+    from ai_ocr_spark.operators.textstats import (
+        CHUNK_S,
+        CHUNK_W,
+        text_chunk_windows,
+    )
+    from ai_ocr_spark.functions import text as TX
+    from pyspark.sql import functions as F
+
+    out = text_chunk_windows(spark, SF).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", TX.norm_text(F.col("text")).alias("norm"))
+        .toPandas()
+        .set_index("doc_id")["norm"]
+    )
+    assert (out["tok_start"] == out["chunk_id"] * CHUNK_S).all()
+    assert (out["n_tok_chunk"] == out["tok_end"] - out["tok_start"]).all()
+    assert (out["n_tok_chunk"] > 0).all() and (out["n_tok_chunk"] <= CHUNK_W).all()
+    multi = 0
+    for doc_id, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_id")
+        toks = docs[doc_id].split(" ")
+        assert g["chunk_id"].tolist() == list(range(len(g)))
+        assert g["tok_end"].iloc[-1] == len(toks)
+        # every non-final chunk is full-width; overlap = W - S
+        assert (g["tok_end"].iloc[:-1] == g["tok_start"].iloc[:-1] + CHUNK_W).all()
+        for _, r in g.iterrows():
+            assert r["chunk_text"] == " ".join(toks[r["tok_start"]:r["tok_end"]])
+        multi += len(g) > 1
+    assert multi > 0  # the overlap path is actually exercised
+
+
+def test_text_chunk_windows_plan_has_no_shuffle(spark):
+    """The chunker is a pure scan-side projection + explode — an
+    Exchange in this plan would be a scale regression."""
+    from ai_ocr_spark.operators.textstats import text_chunk_windows
+    from ai_ocr_spark.plans.audit import formatted_plan
+
+    plan = formatted_plan(text_chunk_windows(spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
