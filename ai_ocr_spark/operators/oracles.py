@@ -531,11 +531,15 @@ def quality_filter_gopher() -> str:
 # --- multimodal twins --------------------------------------------------------
 #
 # The media table is synthesized from documents by pure expressions
-# (multimodal.media_from_documents), so DuckDB can rebuild the payload
-# byte stream from the text column: hex(encode(body)) -> per-byte integer
-# list -> the same histogram / frame-checksum / RMS arithmetic the numpy
-# kernels run. All outputs are exact integers or single IEEE divisions of
-# exact integers, so the twins match bit-for-bit.
+# (multimodal.media_from_documents): real BMP/WAV/Y4M containers whose
+# data bytes are the utf-8 text. DuckDB rebuilds the data byte stream
+# from the text column — hex(encode(body)) -> per-byte integer list ->
+# the same histogram / checksum / RMS arithmetic the numpy decoders run
+# AFTER parsing the real headers. The image twin's position-weighted
+# checksum is defined over decoded top-down pixel order (== natural text
+# order), so a Spark decoder that failed to un-flip bottom-up BMP rows
+# would mismatch here. All outputs are exact integers or single IEEE
+# divisions of exact integers, so the twins match bit-for-bit.
 
 _BYTES = (
     "list_transform(range(1, n_bytes + 1), "
@@ -558,23 +562,36 @@ def _media_bytes_cte(kind: int) -> str:
 
 
 def mm_image_features() -> str:
-    from .multimodal import N_FEATURE_BINS
+    from .multimodal import _BMP_W, _CHECKSUM_MOD, N_FEATURE_BINS
 
     bins = ",\n               ".join(
-        f"CASE WHEN n_bytes = 0 THEN 0.0 "
-        f"ELSE len(list_filter(bytes, x -> x // 32 = {k})) / n_bytes END AS f{k}"
+        f"len(list_filter(pix, x -> x // 32 = {k})) / n_pix AS f{k}"
         for k in range(N_FEATURE_BINS)
     )
+    pad = "[" + ", ".join("0" * 1 for _ in range(_BMP_W)) + "]"
     return f"""
-        WITH {_media_bytes_cte(0)}
+        WITH {_media_bytes_cte(0)},
+        -- the BMP pixel array is the text bytes truncated to whole
+        -- {_BMP_W}-px rows and zero-padded to at least one row; the
+        -- checksum runs over decoded top-down order == this natural order
+        img AS (
+          SELECT doc_id,
+                 greatest(1, n_bytes // {_BMP_W}) * {_BMP_W} AS n_pix,
+                 list_slice(bytes || {pad}, 1,
+                            greatest(1, n_bytes // {_BMP_W}) * {_BMP_W}) AS pix
+          FROM byt
+        )
         SELECT doc_id,
                'image' AS media_type,
-               CAST(doc_id % 512 + 64 AS BIGINT) AS width,
-               CAST(doc_id % 384 + 48 AS BIGINT) AS height,
-               CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST({_BMP_W} AS BIGINT) AS width,
+               CAST(n_pix // {_BMP_W} AS BIGINT) AS height,
+               CAST(n_pix AS BIGINT) AS n_bytes,
                {bins},
+               CAST(list_sum(list_transform(range(1, CAST(n_pix AS BIGINT) + 1),
+                    i -> i * CAST(pix[i] AS BIGINT))) % {_CHECKSUM_MOD}
+                    AS BIGINT) AS pixel_checksum,
                CAST(NULL AS VARCHAR) AS error
-        FROM byt
+        FROM img
     """
 
 
@@ -599,12 +616,14 @@ def mm_frame_sample() -> str:
 
 
 def mm_audio_stats() -> str:
+    # WAV data chunk = the utf-8 text bytes as u8 PCM; n_samples is the
+    # BYTE count the real chunk walk yields, not the char count
     return f"""
         WITH {_media_bytes_cte(1)}
         SELECT doc_id,
                CAST(16000 AS BIGINT) AS sample_rate,
-               CAST(n_chars AS BIGINT) AS n_samples,
-               n_chars / 16000 AS duration_s,
+               CAST(n_bytes AS BIGINT) AS n_samples,
+               n_bytes / 16000 AS duration_s,
                CASE WHEN n_bytes = 0 THEN 0.0
                     ELSE sqrt(list_sum(list_transform(bytes,
                               x -> (x - 128) * (x - 128))) / n_bytes) END AS rms,

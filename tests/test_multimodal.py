@@ -1,21 +1,144 @@
-"""Multimodal plumbing: schema, determinism, error capture."""
+"""Multimodal over real containers: byte-valid BMP/WAV/Y4M from the
+source, real header parsers on the decode side, codec boundary pinned."""
 
+import struct
+
+import numpy as np
 import pytest
 
 SF = "/root/testdata/sf0.001"
 
 
-def test_media_source_partitions_of_modality(spark):
+def _bmp(width, height, pixels, bottom_up=True):
+    """Hand-rolled 8bpp BMP fixture (independent of the Spark source):
+    pixels given TOP-DOWN row-major; storage order per bottom_up."""
+    stride = (width + 3) & ~3
+    rows = [
+        bytes(pixels[r * width : (r + 1) * width]).ljust(stride, b"\x00")
+        for r in range(height)
+    ]
+    if bottom_up:
+        rows = rows[::-1]
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    off = 14 + 40 + 1024
+    body = b"".join(rows)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        height if bottom_up else -height,
+        1,
+        8,
+        0,
+        len(body),
+        2835,
+        2835,
+        256,
+        0,
+    )
+    return hdr + dib + palette + body
+
+
+def test_media_source_emits_byte_valid_containers(spark):
     from ai_ocr_spark.operators.multimodal import media_from_documents
 
     media = media_from_documents(spark, SF).toPandas()
     assert set(media["media_type"]) == {"image", "audio", "video"}
-    # headers are self-describing
-    for _, r in media.head(12).iterrows():
-        tag = bytes(r["media"])[:4].decode()
-        assert tag == {"image": "IMG1", "audio": "AUD1", "video": "VID1"}[
-            r["media_type"]
-        ]
+    for _, r in media.iterrows():
+        b = bytes(r["media"])
+        if r["media_type"] == "image":
+            assert b[:2] == b"BM"
+            (off,) = struct.unpack_from("<I", b, 10)
+            assert off == 1078  # file header + DIB + 256-entry palette
+        elif r["media_type"] == "audio":
+            assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+            # the junk LIST chunk must be present (chunk-walk is forced)
+            assert b"LIST" in b[:64]
+        else:
+            assert b.startswith(b"YUV4MPEG2 W8 H8")
+
+
+def test_bmp_decoder_flips_bottom_up_and_strips_stride():
+    from ai_ocr_spark.operators.multimodal import _decode_bmp
+
+    pix = list(range(30))  # width 6 -> stride 8, 5 rows
+    for bu in (True, False):
+        w, h, got = _decode_bmp(_bmp(6, 5, pix, bottom_up=bu))
+        assert (w, h) == (6, 5)
+        assert got.tolist() == pix  # top-down regardless of storage
+
+
+def test_wav_decoder_walks_chunks_and_supports_s16():
+    from ai_ocr_spark.operators.multimodal import _decode_wav
+
+    samples = np.array([-300, 0, 300, 1000], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    junk = b"JUNK" + struct.pack("<I", 3) + b"abc"  # odd size -> pad byte
+    data = samples.tobytes()
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 3 + 1 + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + junk
+        + b"\x00"  # word-alignment pad after the odd-sized chunk
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    sr, n, x = _decode_wav(wav)
+    assert (sr, n) == (8000, 4)
+    assert x.tolist() == [-300.0, 0.0, 300.0, 1000.0]
+
+
+def test_y4m_decoder_discovers_frames_and_sizes_colorspaces():
+    from ai_ocr_spark.operators.multimodal import _decode_y4m
+
+    # C420: frame = 4*2*3/2 = 12 bytes; 2 frames, second with a param
+    hdr = b"YUV4MPEG2 W4 H2 F30:1 C420\n"
+    f0, f1 = bytes(range(12)), bytes(range(100, 112))
+    y4m = hdr + b"FRAME\n" + f0 + b"FRAME Xparam\n" + f1
+    w, h, frames = _decode_y4m(y4m)
+    assert (w, h, len(frames)) == (4, 2, 2)
+    assert frames[0].tolist() == list(f0)
+    assert frames[1].tolist() == list(f1)
+    with pytest.raises(ValueError):
+        _decode_y4m(hdr + b"FRAME\n" + f0[:5])  # truncated plane
+
+
+def test_real_codec_magic_raises_not_implemented():
+    from ai_ocr_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_wav,
+        _decode_y4m,
+    )
+
+    with pytest.raises(NotImplementedError):
+        _decode_bmp(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        _decode_wav(b"\xff\xd8\xff\xe0JFIF....")
+    with pytest.raises(NotImplementedError):  # RIFF form that isn't WAVE
+        _decode_wav(b"RIFF\x10\x00\x00\x00AVI LIST....")
+    with pytest.raises(NotImplementedError):  # ISO-BMFF ftyp box
+        _decode_y4m(b"\x00\x00\x00\x18ftypmp42....")
+    with pytest.raises(NotImplementedError):  # 24bpp needs conversion
+        bad = bytearray(_bmp(6, 5, list(range(30))))
+        bad[28] = 24
+        _decode_bmp(bytes(bad))
+
+
+def test_malformed_container_is_a_value_error():
+    from ai_ocr_spark.operators.multimodal import _decode_bmp, _decode_wav
+
+    with pytest.raises(ValueError):
+        _decode_bmp(b"BMshort")
+    with pytest.raises(ValueError):
+        _decode_bmp(_bmp(6, 5, list(range(30)))[:-4])  # truncated pixels
+    with pytest.raises(ValueError):
+        _decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
 
 
 def test_image_features_deterministic_and_normalized(spark):
@@ -27,37 +150,46 @@ def test_image_features_deterministic_and_normalized(spark):
     assert list(a["doc_id"]) == list(b["doc_id"])
     for fa, fb in zip(a["features"], b["features"]):
         assert list(fa) == list(fb)
-        assert abs(sum(fa) - 1.0) < 1e-9 or sum(fa) == 0.0
-    assert (a["width"] >= 64).all() and (a["height"] >= 48).all()
+        assert abs(sum(fa) - 1.0) < 1e-9
+    assert (a["width"] == 8).all() and (a["height"] >= 1).all()
+    assert (a["n_bytes"] == a["height"] * 8).all()
+    assert list(a["pixel_checksum"]) == list(b["pixel_checksum"])
+
+
+def test_image_checksum_is_storage_order_invariant(spark):
+    """Even doc_ids store bottom-up, odd top-down; the decoded top-down
+    checksum must be a pure function of the text bytes either way —
+    verified by recomputing from the documents table directly."""
+    import pandas as pd
+
+    from ai_ocr_spark.operators.multimodal import (
+        _CHECKSUM_MOD,
+        mm_image_features,
+    )
+
+    got = mm_image_features(spark, SF).toPandas().set_index("doc_id")
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("doc_id % 3 = 0")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    for _, row in docs.head(20).iterrows():
+        body = (row["text"] or "").encode("utf-8") if pd.notna(row["text"]) else b""
+        hgt = max(1, len(body) // 8)
+        pix = body[: hgt * 8].ljust(hgt * 8, b"\x00")
+        want = sum((i + 1) * p for i, p in enumerate(pix)) % _CHECKSUM_MOD
+        assert got.loc[row["doc_id"], "pixel_checksum"] == want
 
 
 def test_frame_sampling_counts(spark):
     from ai_ocr_spark.operators.multimodal import mm_frame_sample
 
     out = mm_frame_sample(spark, SF).toPandas()
+    assert out["error"].isna().all()
     assert (out["n_sampled"] == (out["n_frames"] + 3) // 4).all()
     for cs in out["frame_checksums"]:
         assert all(0 <= c < 65536 for c in cs)
-
-
-def test_real_codec_magic_raises_not_implemented():
-    from ai_ocr_spark.operators.multimodal import _decode_header
-
-    with pytest.raises(NotImplementedError):
-        _decode_header(b"\x89PNG\r\n\x1a\n....")
-    with pytest.raises(NotImplementedError):
-        _decode_header(b"\xff\xd8\xff\xe0JFIF")
-
-
-def test_malformed_header_is_captured_not_fatal():
-    from ai_ocr_spark.operators.multimodal import _decode_header
-
-    # missing ';' after the count must raise cleanly (captured per-row by
-    # the operators' except blocks), never garbage-parse
-    with pytest.raises(ValueError):
-        _decode_header(b"VID1;12")  # no trailing ';'
-    with pytest.raises(ValueError):
-        _decode_header(b"AUD1;16000")  # second field unterminated
 
 
 def test_q_projections_match_base_ops(spark):
@@ -83,6 +215,7 @@ def test_audio_stats_deterministic(spark):
     a = mm_audio_stats(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
     b = mm_audio_stats(spark, SF).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+    assert a["error"].isna().all()
     assert (a["sample_rate"] == 16000).all()
     assert (a["rms"] >= 0).all()
     assert ((a["peak"] >= 0) & (a["peak"] <= 128)).all()
