@@ -38,21 +38,35 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+
+    def _timed_samples(run) -> list[float]:
+        """Warm once (codegen/JIT + persisted intermediates), then time
+        THREE executions and report the median with [min, max] spread.
+        A single warm run still swings 2-4x under shared-host noise
+        (BENCH_r03 driver read 38.1s vs 17.75s builder on identical
+        code); the median of three gives the driver's one invocation a
+        stable number, and the spread makes residual noise visible."""
+        run()
+        samples = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            run()
+            samples.append(time.monotonic() - t0)
+        samples.sort()
+        return samples
 
     # --- flagship: fused extraction pipeline (docs/sec) -----------------
     pages = pages_from_documents(spark, sf_dir)
     n_docs = pages.count()
-    # warm the JVM + Python workers once so the measured run is
-    # steady-state, then min-of-2 like every other query: shared-host
-    # noise spikes swing single runs 1.5-3x (measured 1.27s vs 4.44s on
-    # identical code minutes apart)
-    _materialize(extract_pages(pages, run_id="warmup", num_partitions=cpus * 2))
-    pipe_s = float("inf")
-    for _ in range(2):
-        t0 = time.monotonic()
-        _materialize(extract_pages(pages, run_id="bench", num_partitions=cpus * 2))
-        pipe_s = min(pipe_s, time.monotonic() - t0)
+    samples = _timed_samples(
+        lambda: _materialize(
+            extract_pages(pages, run_id="bench", num_partitions=cpus * 2)
+        )
+    )
+    pipe_s = samples[1]
     timings["pipeline_extract"] = round(pipe_s, 3)
+    spread["pipeline_extract"] = [round(samples[0], 3), round(samples[2], 3)]
     docs_per_sec = n_docs / pipe_s if pipe_s > 0 else 0.0
 
     # --- headline relational / training-data queries --------------------
@@ -104,19 +118,9 @@ def main() -> int:
         raise KeyError(f"headline queries missing from queries(): {missing}")
     for name in headline:
         fn = qs[name]
-        # steady-state protocol (same as the flagship): execute once to
-        # warm codegen/JIT and materialize persisted intermediates, then
-        # time TWO executions and take the min. Cold-compile costs
-        # amortize to zero at scale, and single warm runs still swing
-        # 2-4x under shared-host noise spikes (see BENCH/BASELINE.md) —
-        # min-of-2 reports the machine's actual steady-state capability.
-        _materialize(fn(spark, sf_dir))
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            _materialize(fn(spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+        samples = _timed_samples(lambda: _materialize(fn(spark, sf_dir)))
+        timings[name] = round(samples[1], 3)
+        spread[name] = [round(samples[0], 3), round(samples[2], 3)]
 
     total = round(sum(timings.values()), 3)
 
@@ -151,10 +155,11 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "total steady-state headline query wall time, warm second run per query, memoized index tables hot (flagship: fused extraction pipeline docs/sec); queries_cold = same op timed once immediately after clear_caches, pricing index build + probe",
+                "metric": "total steady-state headline query wall time, per-query MEDIAN of 3 warm runs (spread = [min,max] per query), memoized index tables hot (flagship: fused extraction pipeline docs/sec at the median); queries_cold = same op timed once immediately after clear_caches, pricing index build + probe",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "queries_cold": cold,
                 "sf": sf,
                 "docs_per_sec": round(docs_per_sec, 2),
