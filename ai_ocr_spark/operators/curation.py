@@ -644,9 +644,11 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12 docs every stage is bounded per shard; the offsets are
     BIGINT (corpus token counts ~10^15 fit comfortably).
 
-    Mirrors the reference's batch assembly step (documents to
-    fixed-size processing units, /root/reference/src/processor/app/
-    main.py batching loop) recast as a layout computation.
+    The reference processes strictly one document per job
+    (/root/reference/src/processor/app/main.py:115); this op has no
+    counterpart there — it is the GPT-style concat-and-chunk packing a
+    training-data pipeline runs after extraction, stated on its own
+    terms as a distributed layout computation.
     """
     from .textstats import _n_tokens
 

@@ -273,9 +273,12 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (BIGINT holds ~10^12 vectors per label at EMB_SCALE=1e6 before
     overflow); the bottom-K window is WindowGroupLimit-friendly.
 
-    Mirrors the reference's confidence-based review flagging
-    (/root/reference/src/processor/app/services/confidence.py) lifted
-    to embedding space.
+    Mirrors the reference's confidence-scored review flagging — each
+    extraction carries a confidence_score used to gate human review
+    (/root/reference/src/processor/app/extractors/langchain_extractor.py:214-215,
+    stored via db_client.py:247) — lifted to embedding space: distance
+    from the cluster centroid is the confidence, bottom-K is the review
+    queue.
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",

@@ -621,9 +621,12 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: a pure scan-side projection + explode — NO shuffle,
     no window, no join; output size is corpus tokens x (W/S) overlap
-    factor, streamed partition-local. The chunker the reference runs
-    per page before LLM calls (/root/reference/src/processor/app/
-    services/extraction.py chunked prompting) as one declarative plan.
+    factor, streamed partition-local. The reference feeds whole parsed
+    documents to its LLM extractor in one prompt
+    (/root/reference/src/processor/app/extractors/langchain_extractor.py:192-215);
+    this op is the overlapping-window chunker that extractor would need
+    for documents past the context limit, expressed as one declarative
+    plan.
     """
     from .curation import _docs  # same documents reader
 
