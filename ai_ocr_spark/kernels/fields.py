@@ -103,6 +103,9 @@ _LABEL_TO_FIELD = {
     "sheets": "n_sheets",
     "merged cells": "n_merged_cells",
     "formulas": "n_formulas",
+    # wordprocessing metadata lines rendered by the docx branch
+    "paragraphs": "n_paragraphs",
+    "tables": "n_body_tables",
 }
 
 _LABEL_RE = re.compile(

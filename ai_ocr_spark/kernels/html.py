@@ -539,12 +539,17 @@ def sniff_kind(payload: bytes) -> str:
         return "xls"
     if payload[:4] == b"PK\x03\x04":
         # zip container (magic at offset 0, no lstrip): xlsx iff it holds
-        # a workbook part. Member names appear verbatim in local file
-        # headers and the central directory, so a single bytes scan
-        # decides — no ZipFile construction / directory parse in the
-        # per-row hot path (parse_xlsx still validates structurally and
-        # degrades to empty sheets on a false positive).
-        return "xlsx" if b"xl/workbook.xml" in payload else "binary"
+        # a workbook part, docx iff a wordprocessing main part. Member
+        # names appear verbatim in local file headers and the central
+        # directory, so a single bytes scan decides — no ZipFile
+        # construction / directory parse in the per-row hot path
+        # (parse_xlsx/parse_docx still validate structurally and degrade
+        # to empty content on a false positive).
+        if b"xl/workbook.xml" in payload:
+            return "xlsx"
+        if b"word/document.xml" in payload:
+            return "docx"
+        return "binary"
     head = payload[:2048].lstrip()
     if head.startswith(b"%PDF-"):
         return "pdf"

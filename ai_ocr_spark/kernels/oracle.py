@@ -134,6 +134,43 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
                 {"table_index": i, "headers": split["headers"], "rows": split["rows"]}
             )
         return kind, "\n".join(lines), tables, []
+    if kind == "docx":
+        # wordprocessing main part: props + counters as labeled lines
+        # (same span-bearing layout as the workbook path), body
+        # paragraphs as the document text, tables through the same
+        # header heuristic as HTML/xlsx. Fills the reference's pinned-
+        # but-unused python-docx branch (requirements.txt:26).
+        from .docx import parse_docx
+
+        doc = parse_docx(payload)
+        if not doc["paragraphs"] and not doc["tables"]:
+            # a zip that mentions word/document.xml but parses to
+            # nothing is opaque binary, not an empty Word document
+            return "binary", "", [], []
+        lines = ["Document"]
+        for label, val in (
+            ("Title", doc["title"]),
+            ("Author", doc["author"]),
+            ("Created", doc["created"]),
+        ):
+            if val:
+                lines.append(f"{label}: {val}")
+        lines += [
+            f"Paragraphs: {len(doc['paragraphs'])}",
+            f"Tables: {len(doc['tables'])}",
+        ]
+        lines += [p for p in doc["paragraphs"] if p]
+        from .html import _split_header
+
+        tables = []
+        for i, rows in enumerate(doc["tables"]):
+            if not rows:
+                continue
+            split = _split_header(rows)
+            tables.append(
+                {"table_index": i, "headers": split["headers"], "rows": split["rows"]}
+            )
+        return kind, "\n".join(lines), tables, []
     if kind == "csv":
         header, rows = parse_csv(payload)
         tables = (
