@@ -11,12 +11,18 @@ query ranked by a tf-idf-family score. The classic distributed shape:
   broadcast(query terms) JOIN tf                     [shuffle-free probe]
   groupBy (query, doc) sum  -> top-K per query       [one small shuffle]
 
-Scoring is tf * idf_int with idf_int = (SCALE * N) DIV df — integer
-arithmetic end to end, so the DuckDB twin matches bit-for-bit. The
-textbook BM25 swap (log idf + length normalization) is a one-line
-change held back deliberately: ln() is not bit-stable across engines
-(same policy as text_unigram_rarity's LM-free quality proxy), and the
-integer idf is a monotone transform of 1/df, preserving ranking.
+search_keyword_topk scores tf * idf_int with idf_int = (SCALE * N)
+DIV df — integer arithmetic end to end, so the DuckDB twin matches
+bit-for-bit; the integer idf is a monotone transform of 1/df,
+preserving tf-idf ranking. search_bm25_topk lifts that family's known
+blind spot — no length normalization — with full BM25 (k1=1.2,
+b=0.75, Lucene idf), made cross-engine-exact the same way
+sketch_distinct_hll dodged libm: ln() never runs engine-side. An
+integer log (bit-length for the exponent + a 256-entry precomputed
+mantissa table embedded verbatim in both engines' query text) and DIV
+arithmetic make every intermediate a deterministic BIGINT, so the
+score is bit-identical in Spark and DuckDB while tracking real BM25
+to ~2^-8 relative precision — far inside what faithful ranking needs.
 
 At 10^12 docs the candidate set for a stop-word-ish term floods one
 reducer per query; production engines answer that with impact-ordered
@@ -122,6 +128,180 @@ SEARCH_ORACLE_SQL = f"""
         JOIN tf USING (token)
         JOIN dfreq USING (token)
         CROSS JOIN n
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score
+    FROM ranked WHERE rnk <= {SEARCH_TOP_K}
+"""
+
+
+# --- BM25 with cross-engine-exact integer arithmetic -------------------------
+
+import math  # noqa: E402
+
+BM25_PREC = 1_000_000  # fixed-point scale for all BM25 intermediates
+BM25_TBITS = 8  # mantissa table bits -> 256 entries, ~2^-8 rel. precision
+BM25_LN2 = round(BM25_PREC * math.log(2))
+BM25_LNPREC = round(BM25_PREC * math.log(BM25_PREC))
+# ln(1 + i/256) for the mantissa's lower bucket edge — Python-computed
+# literals embedded verbatim in BOTH engines' query text, like
+# sketch.HLL_LN_TABLE (neither engine ever calls its own ln()).
+BM25_LN_TABLE = [
+    round(BM25_PREC * math.log(1 + i / (1 << BM25_TBITS)))
+    for i in range(1 << BM25_TBITS)
+]
+
+
+def _iln_sql(v: str, dialect: str) -> str:
+    """SQL for the integer ln: given v = x * PREC (BIGINT, v >= PREC),
+    returns round-to-table ln(x) * PREC as pure integer ops.
+
+    x = 2^(L-1-ln2(PREC-ish)) * m decomposes via L = bit-length(v):
+    ln(v) = (L-1)*ln2 + ln(mantissa bucket), minus ln(PREC) to undo the
+    scale. bin()/greatest/pow(2.0, k) (exact for powers of two — DuckDB's
+    round-on-cast equals truncation there) exist in both dialects; only
+    integer division and list indexing differ.
+    """
+    div = "DIV" if dialect == "spark" else "//"
+    tab = ",".join(map(str, BM25_LN_TABLE))
+    bits = f"length(bin({v}))"
+    mant = (
+        f"(({v}) {div} CAST(pow(2.0, greatest({bits} - {1 + BM25_TBITS}, 0)) "
+        f"AS BIGINT)) - {1 << BM25_TBITS}"
+    )
+    if dialect == "spark":
+        lookup = f"element_at(array({tab}), CAST({mant} AS INT) + 1)"
+    else:
+        lookup = f"([{tab}])[({mant}) + 1]"
+    return f"(({bits} - 1) * {BM25_LN2} + {lookup} - {BM25_LNPREC})"
+
+
+# BM25 constants k1=1.2, b=0.75 cleared of fractions:
+#   tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# with avgdl = T/N and everything scaled by 10*PREC:
+#   num = 22 * PREC * tf * PREC
+#   den = 10*PREC*tf + 3*PREC + 9*dlr,  dlr = (dl*N*PREC) DIV T
+# idf = iln(((2N+2)*PREC) DIV (2*df+1))  [Lucene (N-df+.5)/(df+.5)+1]
+
+
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K retrieval under integer-exact BM25 — the length-normalized
+    ranking search_keyword_topk's docstring names as the graduation
+    path. Same distributed shape (one tf shuffle with map-side combine,
+    broadcast query terms + weights + corpus stats, one top-K window);
+    dl rides the tf groupBy key (constant per doc), so length
+    normalization costs ZERO extra shuffles.
+
+    Reference parity: the reference's keyword scoring
+    (src/processor/app/classifiers/document_classifier.py) has no
+    notion of document length; this is the standard correction that
+    stops 100-page pages from outranking focused ones at corpus scale.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
+    # N counts every document (dl=0 included); T is total corpus tokens.
+    # One aggregate scan, no distinct — the 1-row result broadcasts.
+    stats = docs.select(F.size(toks).alias("dl0")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl0").cast("long").alias("t_tokens"),
+    )
+    tf = (
+        docs.select(
+            "doc_id", F.explode(toks).alias("token"), F.size(toks).alias("dl")
+        )
+        .groupBy("doc_id", "token", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    qrows = [(q, t) for q, ts in SEARCH_QUERIES.items() for t in ts]
+    qterms = spark.createDataFrame(qrows, "query_id string, token string")
+    terms = qterms.select("token").distinct()
+    dfreq = tf.join(F.broadcast(terms), "token").groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.expr(
+            _iln_sql(f"((2 * n_docs + 2) * {BM25_PREC}) DIV (2 * df + 1)", "spark")
+        ).cast("long").alias("idf"),
+    )
+
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(idf), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "dlr", F.expr(f"(dl * n_docs * {BM25_PREC}) DIV t_tokens")
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                f"idf * ((22 * {BM25_PREC} * tf * {BM25_PREC}) DIV "
+                f"(10 * {BM25_PREC} * tf + 3 * {BM25_PREC} + 9 * dlr))"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= SEARCH_TOP_K)
+        .select(
+            "query_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            F.col("score").cast("long").alias("score"),
+        )
+    )
+
+
+BM25_ORACLE_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n_docs,
+               (SELECT count(*) FROM tok2) AS t_tokens
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok2 GROUP BY doc_id, token),
+    q(query_id, token) AS (VALUES {_values_clause()}),
+    dfreq AS (
+        SELECT token, count(*) AS df FROM tf
+        WHERE token IN (SELECT DISTINCT token FROM q)
+        GROUP BY token
+    ),
+    idf AS (
+        SELECT token,
+               CAST({_iln_sql(f"((2 * stats.n_docs + 2) * {BM25_PREC}) // (2 * df + 1)", "duckdb")}
+                    AS BIGINT) AS idf
+        FROM dfreq, stats
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum(idf.idf * ((22 * {BM25_PREC} * tf.tf * {BM25_PREC}) //
+                    (10 * {BM25_PREC} * tf.tf + 3 * {BM25_PREC}
+                     + 9 * ((dl.dl * stats.n_docs * {BM25_PREC}) // stats.t_tokens))))
+                    AS BIGINT) AS score
+        FROM q
+        JOIN tf USING (token)
+        JOIN idf USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
         GROUP BY q.query_id, tf.doc_id
     ),
     ranked AS (

@@ -108,6 +108,20 @@ def test_search_topk_query_side_broadcasts(spark):
     assert "partial_count" in plan
 
 
+def test_search_bm25_keeps_the_broadcast_shape(spark):
+    """Length normalization must not change the distributed shape:
+    query terms, idf weights, and the 1-row corpus stats all reach the
+    corpus as broadcasts; dl rides the tf groupBy key, so no extra
+    corpus-side exchange appears vs search_keyword_topk."""
+    from ai_ocr_spark.operators.search import search_bm25_topk
+
+    plan = formatted_plan(search_bm25_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
 def test_stratified_split_single_stratum_shuffle(spark):
     """The split is one shuffle on the stratum key: both window
     functions (rank + stratum count) share the same partitioning, so
