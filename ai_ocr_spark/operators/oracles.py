@@ -635,6 +635,32 @@ def mm_audio_stats() -> str:
     """
 
 
+
+def ann_ivf_recall() -> str:
+    """Recall@K of the IVF search vs the exact baseline: the two
+    existing ANN oracles composed as nested-CTE subqueries, so any
+    drift in either path surfaces here too. recall_at_k is one IEEE
+    division of exact integers."""
+    from .similarity import IVF_TOP_K
+
+    return f"""
+        WITH exact AS ({ann_cosine_topk()}),
+        ivf AS ({ann_ivf_topk()}),
+        hits AS (
+          SELECT i.query_id, count(*) AS n_hits
+          FROM ivf i
+          JOIN exact e ON e.query_id = i.query_id
+                      AND e.neighbor_id = i.neighbor_id
+                      AND e.rk <= {IVF_TOP_K}
+          GROUP BY i.query_id
+        ),
+        qs AS (SELECT DISTINCT query_id FROM ivf)
+        SELECT query_id,
+               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(n_hits, 0) / {IVF_TOP_K} AS recall_at_k
+        FROM qs LEFT JOIN hits USING (query_id)
+    """
+
 def dedup_embedding_lsh() -> str:
     from .similarity import LSH_COS_THRESHOLD, LSH_TABLES, _hyperplanes
 

@@ -309,3 +309,35 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(cw).cast("long").alias("n_label"),
         F.row_number().over(w).cast("long").alias("rn"),
     ).withColumn("is_outlier", F.col("rn") <= OUTLIER_BOTTOM_K)
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@K of the IVF index vs the exact brute-force
+    ground truth — the honesty gauge the fixed-K/N_PROBE configuration
+    needs: at 100x the corpus you re-derive K ~ sqrt(n) and tune
+    N_PROBE against THIS number, so the engine publishes it as a
+    first-class query instead of leaving recall a docstring claim.
+
+    Shape: both inputs are K-row-per-query top-K frames (tiny); the
+    intersection join and per-query count run broadcast. recall_at_k is
+    one IEEE division of exact integers, so the DuckDB twin (the two
+    existing ANN oracles composed as CTEs) matches bit-for-bit.
+    """
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ivf.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = ivf.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits / IVF_TOP_K).alias("recall_at_k"),
+    )

@@ -432,3 +432,59 @@ def test_text_chunk_windows_plan_has_no_shuffle(spark):
     plan = formatted_plan(text_chunk_windows(spark, SF))
     assert "Exchange" not in plan
     assert "Generate" in plan  # the explode
+
+
+def test_tokenizer_bpe_pairs_matches_bruteforce(spark):
+    """First-round BPE pair counts match a Python recount over the
+    vocabulary, and ranks are the deterministic (cnt DESC, pair ASC)."""
+    import re
+    from collections import Counter
+
+    from ai_ocr_spark.operators.tokenizer import BPE_TOP_K, tokenizer_bpe_pairs
+
+    out = tokenizer_bpe_pairs(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    vocab: Counter = Counter()
+    for t in docs["text"]:
+        vocab.update(
+            w
+            for w in re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ")
+            if w
+        )
+    pairs: Counter = Counter()
+    for w, n in vocab.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    got = out.sort_values("rnk")
+    assert list(got["pair"]) == [p for p, _ in expect]
+    assert list(got["cnt"]) == [c for _, c in expect]
+    assert list(got["rnk"]) == list(range(1, len(expect) + 1))
+
+
+def test_ann_ivf_recall_matches_intersection(spark):
+    """recall@K equals the hand-computed |ivf ∩ exact| / K per query and
+    is a number the tuning conversation can trust: in (0, 1]."""
+    from ai_ocr_spark.operators.similarity import (
+        IVF_TOP_K,
+        ann_cosine_topk,
+        ann_ivf_topk,
+        ann_ivf_recall,
+    )
+
+    exact = ann_cosine_topk(spark, SF).toPandas()
+    ivf = ann_ivf_topk(spark, SF).toPandas()
+    got = ann_ivf_recall(spark, SF).toPandas().set_index("query_id")
+    assert len(got) == ivf["query_id"].nunique()
+    for q in got.index:
+        e = set(
+            exact[(exact.query_id == q) & (exact.rk <= IVF_TOP_K)]["neighbor_id"]
+        )
+        i = set(ivf[ivf.query_id == q]["neighbor_id"])
+        hits = len(e & i)
+        assert got.loc[q, "n_hits"] == hits
+        assert got.loc[q, "recall_at_k"] == hits / IVF_TOP_K
+    # per-query recall can honestly hit 0.0 at toy scale (that gap is
+    # the number this op exists to publish); the macro average must not
+    assert (got["recall_at_k"] >= 0).all() and (got["recall_at_k"] <= 1).all()
+    assert got["recall_at_k"].mean() > 0
