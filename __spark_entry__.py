@@ -24,6 +24,7 @@ from ai_ocr_spark.operators import multimodal as MM  # noqa: E402
 from ai_ocr_spark.operators import oracles as ORC  # noqa: E402
 from ai_ocr_spark.operators import relational as R  # noqa: E402
 from ai_ocr_spark.operators import roundtrip as RT  # noqa: E402
+from ai_ocr_spark.operators import roundtrip_docx as RDX  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_fields as RF  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_pdf as RP  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_xls as RXL  # noqa: E402
@@ -33,6 +34,7 @@ from ai_ocr_spark.operators import similarity as SIM  # noqa: E402
 from ai_ocr_spark.operators import sketch as SK  # noqa: E402
 from ai_ocr_spark.operators import temporal as TP  # noqa: E402
 from ai_ocr_spark.operators import textstats as TS  # noqa: E402
+from ai_ocr_spark.operators import tokenizer as TOK  # noqa: E402
 from ai_ocr_spark.sources import pages as PG  # noqa: E402
 from ai_ocr_spark.streaming import ingest as SI  # noqa: E402
 from ai_ocr_spark.streaming import stateful as SS  # noqa: E402
@@ -116,6 +118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (new in r3 — closes the last input-format gap vs the
         # reference's file_validator.py xls acceptance)
         "pipeline_xls_roundtrip": RXL.pipeline_xls_roundtrip,
+        # Word documents: zip sniff -> word/document.xml paragraphs +
+        # body tables + core props with byte spans (new in r4 — fills
+        # the reference's pinned-but-unused python-docx branch)
+        "pipeline_docx_roundtrip": RDX.pipeline_docx_roundtrip,
         # applyInPandasWithState per-domain counters, final state vs a
         # byte-exact batch recount (closes the last §2.10 pytest-only)
         "stream_stateful_domain_counts": SS.stream_stateful_domain_counts,
@@ -169,6 +175,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inverted-index keyword retrieval: broadcast query terms,
         # posting-list df, integer tf-idf, per-query top-K (new in r3)
         "search_keyword_topk": SRCH.search_keyword_topk,
+        # full BM25 (k1/b + Lucene idf) via the integer-log table trick
+        # proven in sketch_distinct_hll — length normalization with a
+        # bit-exact DuckDB twin, zero extra shuffles (new in r4)
+        "search_bm25_topk": SRCH.search_bm25_topk,
+        # tokenizer-training corpus primitive: BPE merge-pair counts
+        # over the deduplicated vocabulary, corpus read once (new in r4)
+        "tokenizer_bpe_pairs": TOK.tokenizer_bpe_pairs,
+        # measured IVF recall@K vs the exact baseline — the number the
+        # 100x-scale N_PROBE tuning conversation needs (new in r4)
+        "ann_ivf_recall": SIM.ann_ivf_recall,
         # integer-scaled PageRank over a deterministic link graph:
         # weighted centrality next to the components op (new in r3)
         "pagerank_link_graph": G.pagerank_link_graph,
@@ -515,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_pdf_roundtrip": RP.ORACLE_SQL,
         "pipeline_xlsx_roundtrip": RX.ORACLE_SQL,
         "pipeline_xls_roundtrip": RXL.ORACLE_SQL,
+        "pipeline_docx_roundtrip": RDX.ORACLE_SQL,
         "pipeline_sections": RT.SECTIONS_ORACLE_SQL,
         "pipeline_gzip_roundtrip": RT.GZIP_ORACLE_SQL,
         "pipeline_warc_roundtrip": RT.WARC_ORACLE_SQL,
@@ -534,6 +551,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_label_outliers": ORC.embedding_label_outliers(),
         "text_chunk_windows": ORC.text_chunk_windows(),
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
+        "search_bm25_topk": SRCH.BM25_ORACLE_SQL,
+        "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
+        "ann_ivf_recall": ORC.ann_ivf_recall(),
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the

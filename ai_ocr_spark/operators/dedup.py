@@ -405,14 +405,31 @@ def connected_components_labels(
     storage and cuts the plan to a leaf. (On a real cluster with
     executor loss, swap for reliable checkpoint() on a cluster-visible
     dir — the driver-side loop is unchanged.)"""
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # Pregel pin (same as pagerank_link_graph): the doubled edge table
+    # is hash-partitioned ONCE on its join key (doc_b) and persisted,
+    # so every round's propagate join satisfies its distribution from
+    # the cache and exchanges ONLY the label side. (PySpark's
+    # localCheckpoint drops partitioning metadata — measured, pinned in
+    # tests/test_plan_shape_r4.py — so labels re-exchange each round;
+    # that is the Pregel cost model: vertex values move, edges never.)
+    # At 10^12 edges this is the difference between shuffling the edge
+    # list log(n) times and never.
+    spark = nodes.sparkSession
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).persist()
-    labels = nodes.select(
-        "doc_id", F.col("doc_id").alias("component_id")
-    ).localCheckpoint()
+        .repartition(par, "doc_b")
+        .persist()
+    )
+    labels = (
+        nodes.repartition(par, "doc_id")
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint()
+    )
     converged = False
     for _ in range(max_rounds):
         neigh = (

@@ -27,15 +27,21 @@ in-degree with genuine hubs, like a real web graph), so the
 oracle can rebuild it without external data; swap in a real
 (src, dst) edge table and nothing else changes.
 
-Scale shape: edges are built once and persisted; each iteration is
-one equi-join (ranks against the edge list, shuffled on src) + one
-partial-combine aggregate on dst. Ranks are localCheckpoint-ed per
-round — .persist() alone leaves the logical plan nesting k-fold per
-iteration (analyzer hang; see dedup_connected_components and the
-CLAUDE.md iterative-loop rule). At 10^12 edges you'd co-partition the
-edge cache and rank vector on the same hash (Pregel-style) so only
-the small rank table moves per round; the join/agg shape is already
-that plan minus the pinned partitioner.
+Scale shape (Pregel co-partitioned): the edge table is repartitioned
+on src ONCE, persisted, and never exchanged again — each iteration
+repartitions only the rank vector onto the same (key, partition-count)
+layout, so the per-round network cost is O(|ranks|), not O(|edges|).
+The node table is likewise pinned on doc_id, matching the contrib
+aggregate's output partitioning, so the rank-update join moves
+nothing either (plan-pinned in tests/test_plan_shape_r4.py: zero
+Exchange nodes above the persisted edge/node scans inside an
+iteration). Ranks are localCheckpoint-ed per round — .persist() alone
+leaves the logical plan nesting k-fold per iteration (analyzer hang;
+see dedup_connected_components and the CLAUDE.md iterative-loop
+rule). PySpark's localCheckpoint drops partitioning metadata
+(measured; pinned in the same test file), so the rank vector is
+re-pinned with an explicit repartition each round — a small-table
+exchange, which is exactly the Pregel cost model.
 
 Reference parity: the reference has no graph stage (single-document
 microservice); this extends SURVEY §2's dedup-graph family (pairs ->
@@ -75,13 +81,26 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    e = _edges(spark, sf_dir).persist()
+    # Pregel pin: edges live hash-partitioned on src, nodes on doc_id,
+    # both at the session's shuffle width — every per-iteration join
+    # then satisfies its distribution from the cache, and only the
+    # rank vector is exchanged per round
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(par, "doc_id")
+        .persist()
+    )
+    e = _edges(spark, sf_dir).repartition(par, "src").persist()
     ranks = docs.select("doc_id", F.lit(PR_UNIT).cast("long").alias("rnk"))
     for _ in range(PR_ITERS):
         contrib = (
             e.join(
-                ranks.select(F.col("doc_id").alias("src"), "rnk"), "src"
+                ranks.select(F.col("doc_id").alias("src"), "rnk").repartition(
+                    par, "src"
+                ),
+                "src",
             )
             .select(
                 "dst",
@@ -110,6 +129,7 @@ def pagerank_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
     )
     e.unpersist()
+    docs.unpersist()
     return out
 
 
