@@ -22,6 +22,7 @@ from ai_ocr_spark.operators import dedup as D  # noqa: E402
 from ai_ocr_spark.operators import graph as G  # noqa: E402
 from ai_ocr_spark.operators import multimodal as MM  # noqa: E402
 from ai_ocr_spark.operators import oracles as ORC  # noqa: E402
+from ai_ocr_spark.operators import quality_lm as QL  # noqa: E402
 from ai_ocr_spark.operators import relational as R  # noqa: E402
 from ai_ocr_spark.operators import roundtrip as RT  # noqa: E402
 from ai_ocr_spark.operators import roundtrip_docx as RDX  # noqa: E402
@@ -114,6 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
+        # CCNet-style unigram-LM perplexity gate: hash-stable 20% train
+        # slice, integer-ln cross-entropy, exact nearest-rank tertile
+        # head/middle/tail buckets (new in r4)
+        "quality_perplexity_unigram": QL.quality_perplexity_unigram,
         # multimodal: REWRITTEN in r4 to decode real containers (BMP
         # 8bpp palettized incl. bottom-up rows, RIFF/WAV PCM with junk
         # chunks, YUV4MPEG2) — synthetic TAG headers retired
@@ -484,6 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk": SRCH.BM25_ORACLE_SQL,
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
         "ann_ivf_recall": ORC.ann_ivf_recall(),
+        "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the

@@ -1,0 +1,215 @@
+"""CCNet-style language-model perplexity filtering, cross-engine exact.
+
+CCNet (Wenzek et al. 2020) ranks every crawled document by the
+perplexity of a language model trained on a clean corpus and keeps the
+head/middle tertiles — the canonical model-based quality stage between
+the rule gates (quality_filter_gopher/_c4) and dedup. The corpus-
+statistics proxy `text_unigram_rarity` deliberately avoided log-space
+scoring because ln() is not bit-stable across engines; the integer-ln
+machinery proven in sketch_distinct_hll and search_bm25_topk
+(bit-length exponent + a 256-entry precomputed mantissa table embedded
+verbatim in both engines' query text) lifts that restriction, so this
+operator computes a REAL add-one-smoothed unigram cross-entropy:
+
+  LM train     hash-stable 20% slice of documents (hash15(doc_id)%5==0
+               — the stand-in for CCNet's out-of-domain Wikipedia LM;
+               content-independent, so the slice is identical across
+               runs, engines and shard layouts)
+  p(t)         (cnt_t + 1) / (total + |V|)       [Laplace smoothing;
+                                                  OOV -> cnt_t = 0]
+  logp_int(t)  iln((cnt_t+1)*PREC) - iln((total+|V|)*PREC)   [BIGINT]
+  ce_scaled    per-doc mean negative log-prob * PREC, truncating
+               integer division — exp() never runs, because perplexity
+               exp(ce) is monotone in ce, so ranking and tertile cuts
+               are unaffected
+  ppl_bucket   CCNet's head/middle/tail: exact nearest-rank tertile
+               cutoffs over the corpus ce distribution (the
+               agg_length_percentiles pattern — integer rank
+               arithmetic, no approx_percentile)
+
+Scale shape (the part that must survive 10^12 docs):
+  - LM build: one token shuffle with map-side combine; the training
+    slice is filtered at scan time (hash of the PARTITION-pruning-
+    friendly doc_id, no content read for skipped docs' LM pass).
+  - score join-back: token keys are Zipf-skewed, so the join is split
+    exactly like text_unigram_rarity — the top-HEAD_K LM rows join as
+    a BROADCAST map (the hot head never touches the shuffle), only the
+    de-skewed tail rides the shuffled equi-join; OOV tokens survive
+    via left joins on both lanes.
+  - tertile cutoffs: groupBy(ce) collapses the corpus map-side FIRST;
+    the single-partition cumulative window runs over DISTINCT ce
+    values, bounded by the fixed-point value space (~PREC * ln-range),
+    not by corpus size.
+
+Reference parity: the reference gates documents on an LLM-reported
+confidence score (src/processor/app/extractors/langchain_extractor.py
+confidence field threshold); this is that quality gate rebuilt as a
+corpus-trained statistical score with a distributed plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from .search import BM25_PREC as PREC
+from .search import _iln_sql
+from .textstats import HEAD_K
+
+LM_MOD = 5  # hash15(doc_id) % LM_MOD == 0 -> the ~20% LM training slice
+EMPTY_CE = -1  # sentinel for zero-token docs (dtype-stable: no NULL lane)
+
+
+def quality_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+
+    lm = (
+        tok.filter(TX.hash15(F.col("doc_id").cast("string")) % LM_MOD == 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # one-row corpus stats: total token mass + vocab size of the LM,
+    # and the constant denominator log iln((total+|V|)*PREC)
+    stats = lm.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsize")
+    ).select(F.expr(_iln_sql(f"((total + vsize) * {PREC})", "spark")).alias("ilden"))
+
+    # skew-split join-back (text_unigram_rarity pattern): broadcast head,
+    # shuffled tail; LEFT joins on both lanes keep OOV tokens (cnt -> 0)
+    head = lm.orderBy(F.col("cnt").desc(), "token").limit(HEAD_K)
+    with_head = tok.join(F.broadcast(head), "token", "left")
+    hot = with_head.filter(F.col("cnt").isNotNull())
+    cold = (
+        with_head.filter(F.col("cnt").isNull())
+        .drop("cnt")
+        .join(lm, "token", "left")
+    )
+    scored = (
+        hot.unionByName(cold)
+        .withColumn("cnt1", F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+        .withColumn("lpn", F.expr(_iln_sql(f"(cnt1 * {PREC})", "spark")))
+    )
+
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"), F.sum("lpn").alias("slpn")
+    )
+    ce = perdoc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "n_tok",
+        # truncating INTEGER division (Spark DIV == DuckDB // on
+        # positives) — `/` would be double division with FP rounding
+        F.expr("(n_tok * ilden - slpn) DIV n_tok").cast("long").alias(
+            "ce_scaled"
+        ),
+    )
+
+    # exact nearest-rank tertile cutoffs over DISTINCT ce values
+    dist = ce.groupBy("ce_scaled").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("ce_scaled").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dist.select("ce_scaled", F.sum("c").over(wcum).alias("cum"))
+    n_row = ce.agg(F.count(F.lit(1)).alias("n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(n_row))
+        .agg(
+            # nearest-rank: ceil(n/3) = (n+2) DIV 3 — integer arithmetic
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("ce_scaled")
+                )
+            ).alias("c1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) DIV 3"),
+                    F.col("ce_scaled"),
+                )
+            ).alias("c2"),
+        )
+    )
+
+    bucketed = ce.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "ce_scaled",
+        F.when(F.col("ce_scaled") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ce_scaled") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    return docs.select("doc_id").join(bucketed, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+        F.coalesce(F.col("ce_scaled"), F.lit(EMPTY_CE)).cast("long").alias(
+            "ce_scaled"
+        ),
+        F.coalesce(F.col("ppl_bucket"), F.lit("tail")).alias("ppl_bucket"),
+    )
+
+
+_NORM = r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))"
+
+PERPLEXITY_ORACLE_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+        FROM documents
+    ),
+    tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    lm AS (
+        SELECT token, count(*) AS cnt
+        FROM tk
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % {LM_MOD} = 0
+        GROUP BY token
+    ),
+    stats AS (
+        SELECT {_iln_sql(
+            f"((CAST(sum(cnt) AS BIGINT) + count(*)) * {PREC})", "duckdb"
+        )} AS ilden
+        FROM lm
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               {_iln_sql(f"((coalesce(lm.cnt, 0) + 1) * {PREC})", "duckdb")}
+                   AS lpn
+        FROM tk t LEFT JOIN lm USING (token)
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(lpn) AS BIGINT) AS slpn
+        FROM scored GROUP BY doc_id
+    ),
+    ce AS (
+        SELECT doc_id, n_tok,
+               (n_tok * (SELECT ilden FROM stats) - slpn) // n_tok
+                   AS ce_scaled
+        FROM perdoc
+    ),
+    dist AS (SELECT ce_scaled, count(*) AS c FROM ce GROUP BY ce_scaled),
+    cum AS (
+        SELECT ce_scaled, sum(c) OVER (ORDER BY ce_scaled) AS cum FROM dist
+    ),
+    nrow AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ce),
+    cuts AS (
+        SELECT min(CASE WHEN cum >= (n + 2) // 3 THEN ce_scaled END) AS c1,
+               min(CASE WHEN cum >= (2 * n + 2) // 3 THEN ce_scaled END) AS c2
+        FROM cum, nrow
+    ),
+    bucketed AS (
+        SELECT doc_id, n_tok, ce_scaled,
+               CASE WHEN ce_scaled <= c1 THEN 'head'
+                    WHEN ce_scaled <= c2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM ce, cuts
+    )
+    SELECT d.doc_id,
+           coalesce(b.n_tok, 0) AS n_tok,
+           coalesce(b.ce_scaled, {EMPTY_CE}) AS ce_scaled,
+           coalesce(b.ppl_bucket, 'tail') AS ppl_bucket
+    FROM documents d LEFT JOIN bucketed b USING (doc_id)
+"""

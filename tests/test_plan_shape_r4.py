@@ -182,3 +182,18 @@ def test_bpe_pairs_vocabulary_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # pure explode/aggregate pipeline
+
+
+def test_perplexity_head_join_broadcasts_and_no_cartesian(spark):
+    """The perplexity score join-back keeps the skew split: the hot
+    LM head joins as a BROADCAST hash join (the Zipf head never rides
+    the shuffle) and the one-row stats/cutoff frames broadcast too —
+    no CartesianProduct anywhere despite three crossJoins."""
+    from ai_ocr_spark.operators.quality_lm import quality_perplexity_unigram
+
+    plan = formatted_plan(quality_perplexity_unigram(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the tail lane's equi-join on token is the only sort-merge risk;
+    # whichever strategy Spark picks, the head lane must be broadcast
+    assert plan.count("BroadcastExchange") >= 3, plan

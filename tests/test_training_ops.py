@@ -488,3 +488,78 @@ def test_ann_ivf_recall_matches_intersection(spark):
     # the number this op exists to publish); the macro average must not
     assert (got["recall_at_k"] >= 0).all() and (got["recall_at_k"] <= 1).all()
     assert got["recall_at_k"].mean() > 0
+
+
+def test_perplexity_unigram_matches_python_bruteforce(spark):
+    """ce_scaled equals an independent Python reimplementation of the
+    add-one unigram cross-entropy with the SAME integer-ln tables, the
+    integer score tracks the true float cross-entropy to table
+    precision, and the tertile buckets hit their nearest-rank counts."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from ai_ocr_spark.operators.quality_lm import (
+        EMPTY_CE,
+        LM_MOD,
+        quality_perplexity_unigram,
+    )
+    from ai_ocr_spark.operators.search import (
+        BM25_LN2,
+        BM25_LN_TABLE,
+        BM25_LNPREC,
+        BM25_PREC,
+    )
+
+    def iln(v: int) -> int:
+        bits = v.bit_length()
+        mant = (v >> max(bits - 9, 0)) - 256
+        return (bits - 1) * BM25_LN2 + BM25_LN_TABLE[mant] - BM25_LNPREC
+
+    def toks(t):
+        return [w for w in re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ") if w]
+
+    out = quality_perplexity_unigram(spark, SF).toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+    lm: Counter = Counter()
+    for _, row in docs.iterrows():
+        h = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:15], 16)
+        if h % LM_MOD == 0:
+            lm.update(toks(row["text"]))
+    total, vsize = sum(lm.values()), len(lm)
+    ilden = iln((total + vsize) * BM25_PREC)
+
+    n_scored = 0
+    for _, row in docs.iterrows():
+        tk = toks(row["text"])
+        got = out.loc[row["doc_id"]]
+        if not tk:
+            assert got["ce_scaled"] == EMPTY_CE and got["ppl_bucket"] == "tail"
+            continue
+        n_scored += 1
+        s = sum(iln((lm.get(t, 0) + 1) * BM25_PREC) for t in tk)
+        ce = (len(tk) * ilden - s) // len(tk)
+        assert got["ce_scaled"] == ce and got["n_tok"] == len(tk)
+        # the integer score tracks the REAL float cross-entropy to
+        # within the 256-entry mantissa table's precision
+        fce = -sum(
+            math.log((lm.get(t, 0) + 1) / (total + vsize)) for t in tk
+        ) / len(tk)
+        assert abs(ce / BM25_PREC - fce) < 0.01
+
+    # nearest-rank tertiles: head holds >= ceil(n/3) docs, head+middle
+    # >= ceil(2n/3), and all three buckets are non-empty at this sf
+    scored = out[out["ce_scaled"] != EMPTY_CE]
+    assert len(scored) == n_scored
+    n = len(scored)
+    counts = scored["ppl_bucket"].value_counts()
+    assert counts.get("head", 0) >= (n + 2) // 3
+    assert counts.get("head", 0) + counts.get("middle", 0) >= (2 * n + 2) // 3
+    assert set(counts.index) == {"head", "middle", "tail"}
+    # fluency ordering: every head ce <= every middle ce <= every tail ce
+    assert scored[scored["ppl_bucket"] == "head"]["ce_scaled"].max() <= \
+        scored[scored["ppl_bucket"] == "middle"]["ce_scaled"].min()
+    assert scored[scored["ppl_bucket"] == "middle"]["ce_scaled"].max() <= \
+        scored[scored["ppl_bucket"] == "tail"]["ce_scaled"].min()
