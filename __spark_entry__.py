@@ -112,6 +112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer-training corpus primitive: BPE merge-pair counts
         # over the deduplicated vocabulary, corpus read once (new in r4)
         "tokenizer_bpe_pairs": TOK.tokenizer_bpe_pairs,
+        # full iterative BPE training: BPE_ROUNDS greedy merge rounds,
+        # fold-merge JVM-side, twin replays merges with replace-first
+        # recursive CTEs (new in r4)
+        "tokenizer_bpe_train": TOK.tokenizer_bpe_train,
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
@@ -488,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "search_bm25_topk": SRCH.BM25_ORACLE_SQL,
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
+        "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,
         "ann_ivf_recall": ORC.ann_ivf_recall(),
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,

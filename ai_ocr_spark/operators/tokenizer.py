@@ -101,3 +101,190 @@ BPE_ORACLE_SQL = f"""
     ORDER BY cnt DESC, pair ASC
     LIMIT {BPE_TOP_K}
 """
+
+
+# --- iterative BPE training (multi-round merges) -----------------------------
+
+BPE_ROUNDS = 4
+
+
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING, not just round one: BPE_ROUNDS greedy merge rounds
+    over the word-frequency vocabulary, returning the learned merge
+    table (round, left symbol, right symbol, corpus pair count) — the
+    artifact a tokenizer trainer actually emits.
+
+    Distributed shape per round (everything after the first aggregate
+    is VOCABULARY-sized; the corpus is read exactly once, like
+    tokenizer_bpe_pairs):
+
+      vocab(word -> freq, persisted)            [the one corpus shuffle]
+      explode adjacent SYMBOL pairs, weight n   [vocab-sized]
+      argmax (count DESC, pair ASC)             [TakeOrderedAndProject,
+                                                 ONE row to the driver
+                                                 per round — the same
+                                                 bounded collect the
+                                                 pagerank loop makes]
+      fold-merge the winner into every word     [F.aggregate: JVM-side
+                                                 left fold, greedy
+                                                 left-to-right non-
+                                                 overlapping — standard
+                                                 BPE semantics; no
+                                                 Python, no shuffle]
+
+    The DuckDB twin recomputes every round INDEPENDENTLY (its own
+    argmax CTEs; Spark's collected winners never leak into the oracle
+    text), replaying each merge with a replace-first recursive CTE —
+    leftmost-first single replacement iterated to fixpoint is provably
+    the same greedy non-overlapping merge as the left fold.
+
+    At real tokenizer scale (30k+ merges) trainers keep incremental
+    pair-delta structures instead of recounting; the per-round recount
+    here is the honest distributed baseline and each round is bounded
+    by Heaps-law vocabulary size, not corpus size.
+
+    The reference has no tokenizer stage (hosted-API LLM calls,
+    langchain_extractor.py); this exists for the training-data engine
+    the north rule targets.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("w") >= 2)
+        .select(
+            # initial symbol sequence: one char per symbol, space-joined
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("ws"),
+            "n",
+        )
+        .persist()
+    )
+    vocab.count()  # materialize once; every round reads the cache
+
+    merges: list[tuple[int, str, str, int]] = []
+    cur = vocab
+    for rnd in range(1, BPE_ROUNDS + 1):
+        arr = F.split(F.col("ws"), " ")
+        pairs = cur.select(
+            F.explode(
+                F.when(
+                    F.size(arr) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.concat(
+                            F.element_at(arr, i),
+                            F.lit(" "),
+                            F.element_at(arr, i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "n",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["pair"].split(" ")
+        merges.append((rnd, left, right, int(top[0]["cnt"])))
+        lm, rm, mm = F.lit(left), F.lit(right), F.lit(left + right)
+        folded = F.aggregate(
+            F.split(F.col("ws"), " "),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lm)
+                & (x == rm),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mm)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.select(F.array_join(folded, " ").alias("ws"), "n")
+
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "rnd long, left_sym string, right_sym string, cnt long"
+    ).orderBy("rnd")
+
+
+def _bpe_train_oracle_sql() -> str:
+    """Unrolled DuckDB twin: per round, an argmax CTE + a replace-first
+    recursive rewrite CTE. Static text — nothing from the Spark run."""
+    parts = [
+        f"""
+    WITH RECURSIVE tok AS (
+        SELECT unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    v0 AS (
+        SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+                   AS pws,
+               count(*) AS n
+        FROM tok WHERE w <> '' AND length(w) >= 2
+        GROUP BY w
+    )"""
+    ]
+    for k in range(1, BPE_ROUNDS + 1):
+        prev, pk, tk, rwk, vk = (
+            f"v{k - 1}",
+            f"p{k}",
+            f"t{k}",
+            f"rw{k}",
+            f"v{k}",
+        )
+        parts.append(
+            f""",
+    {pk} AS (
+        SELECT unnest(list_transform(
+                   range(1, length(string_split(trim(pws), ' '))),
+                   i -> string_split(trim(pws), ' ')[i] || ' ' ||
+                        string_split(trim(pws), ' ')[i + 1])) AS pair,
+               n
+        FROM {prev}
+        WHERE length(string_split(trim(pws), ' ')) >= 2
+    ),
+    {tk} AS (
+        SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+        FROM {pk} GROUP BY pair
+        ORDER BY cnt DESC, pair ASC LIMIT 1
+    ),
+    {rwk} AS (
+        SELECT pws, n FROM {prev}
+        UNION ALL
+        SELECT substr(pws, 1, strpos(pws, (SELECT ' ' || pair || ' '
+                                           FROM {tk})) - 1)
+               || (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM {tk})
+               || substr(pws, strpos(pws, (SELECT ' ' || pair || ' '
+                                           FROM {tk}))
+                              + length((SELECT ' ' || pair || ' '
+                                        FROM {tk}))),
+               n
+        FROM {rwk}
+        WHERE strpos(pws, (SELECT ' ' || pair || ' ' FROM {tk})) > 0
+    ),
+    {vk} AS (
+        SELECT pws, n FROM {rwk}
+        WHERE strpos(pws, (SELECT ' ' || pair || ' ' FROM {tk})) = 0
+    )"""
+        )
+    selects = [
+        f"""SELECT CAST({k} AS BIGINT) AS rnd,
+               split_part(pair, ' ', 1) AS left_sym,
+               split_part(pair, ' ', 2) AS right_sym, cnt
+        FROM t{k}"""
+        for k in range(1, BPE_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+BPE_TRAIN_ORACLE_SQL = _bpe_train_oracle_sql()

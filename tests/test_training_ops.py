@@ -563,3 +563,54 @@ def test_perplexity_unigram_matches_python_bruteforce(spark):
         scored[scored["ppl_bucket"] == "middle"]["ce_scaled"].min()
     assert scored[scored["ppl_bucket"] == "middle"]["ce_scaled"].max() <= \
         scored[scored["ppl_bucket"] == "tail"]["ce_scaled"].min()
+
+
+def test_tokenizer_bpe_train_matches_python_bpe(spark):
+    """The full BPE_ROUNDS merge table equals a classic Python BPE
+    trainer (word counts -> per-round pair recount -> greedy
+    left-to-right non-overlapping merge of the argmax)."""
+    import re
+    from collections import Counter
+
+    from ai_ocr_spark.operators.tokenizer import (
+        BPE_ROUNDS,
+        tokenizer_bpe_train,
+    )
+
+    out = tokenizer_bpe_train(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    vocab: Counter = Counter()
+    for t in docs["text"]:
+        vocab.update(
+            w
+            for w in re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ")
+            if w and len(w) >= 2
+        )
+    words = {w: (tuple(w), n) for w, n in vocab.items()}
+
+    expect = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pc: Counter = Counter()
+        for syms, n in words.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        expect.append((rnd, left, right, cnt))
+        for w, (syms, n) in list(words.items()):
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[w] = (tuple(merged), n)
+
+    got = [
+        (r["rnd"], r["left_sym"], r["right_sym"], r["cnt"])
+        for _, r in out.sort_values("rnd").iterrows()
+    ]
+    assert got == expect
