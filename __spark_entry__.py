@@ -123,6 +123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slice, integer-ln cross-entropy, exact nearest-rank tertile
         # head/middle/tail buckets (new in r4)
         "quality_perplexity_unigram": QL.quality_perplexity_unigram,
+        # the north rule's lineage/metrics table value-checked: metrics
+        # re-keyed on the deterministic size-bucket half of the skew
+        # key x content kind, two injected fault families (new in r4)
+        "pipeline_metrics_report": RT.pipeline_metrics_report,
         # multimodal: REWRITTEN in r4 to decode real containers (BMP
         # 8bpp palettized incl. bottom-up rows, RIFF/WAV PCM with junk
         # chunks, YUV4MPEG2) — synthetic TAG headers retired
@@ -495,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,
         "ann_ivf_recall": ORC.ann_ivf_recall(),
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
+        "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the

@@ -314,3 +314,128 @@ DOMAIN_REPORT_ORACLE_SQL = """
                 '[぀-ヿ一-鿿]') THEN 1 ELSE 0 END) AS BIGINT) AS n_ja
     FROM m GROUP BY domain
 """
+
+
+def pipeline_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's lineage/metrics table, value-checked: run the
+    fused extraction over pages with two DETERMINISTIC fault families
+    (doc_id % 13 == 0 -> empty payload, doc_id % 17 == 0 -> a payload
+    undecodable in both utf-8 and cp932, so the sniffer lands on
+    'binary') and roll the metrics up on the deterministic half of the
+    skew key — the log2 payload-size bucket skew_repartition mixes into
+    the shuffle key — crossed with the sniffed content kind.
+
+    This is `pipeline.metrics_of` minus the two columns no cross-engine
+    twin can reconstruct (partition_id is task placement, wall_ms is a
+    clock); every other metrics/lineage column — run_id, the lineage
+    struct's kernel_version and attempt carried through the Arrow
+    boundary, n_docs, n_ok, n_err, bytes_in — is recomputed by DuckDB
+    from the documents table and the page-construction rules. n_err is
+    checked AT ZERO: the kernels' never-raise contract is part of the
+    invariant (a kernel regression that starts throwing flips the row).
+
+    The size bucket uses the bit-length identity
+    floor(log2(x)) == length(bin(x)) - 1 (exact integer arithmetic on
+    both engines) rather than double log2.
+    """
+    from ..pipeline import extract_pages, html_escape_col
+    from ..pipeline import _CHROME_FOOT, _DOC_CHROME_HEAD, SIZE_BUCKETS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html_ok = F.encode(
+        F.concat(
+            F.lit(_DOC_CHROME_HEAD + "<article><p>"),
+            html_escape_col(F.coalesce(F.col("text"), F.lit(""))),
+            F.lit("</p></article>" + _CHROME_FOOT),
+        ),
+        "UTF-8",
+    )
+    payload = (
+        F.when(F.col("doc_id") % 13 == 0, F.lit(b""))
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.lit(b"\x81\x00\x81\x00"),
+                F.encode(
+                    F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+                    "UTF-8",
+                ),
+            ),
+        )
+        .otherwise(html_ok)
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1740787200) + F.col("doc_id")).alias("warc_ts"),
+        payload.alias("html"),
+    )
+    ex = extract_pages(pages, run_id="metrics-report", num_partitions=8)
+    bucket = (F.length(F.bin(F.col("bytes_in") + 2)) - 1) % SIZE_BUCKETS
+    return (
+        ex.groupBy(
+            bucket.cast("long").alias("size_bucket"), "content_kind"
+        )
+        .agg(
+            F.max("lineage.run_id").alias("run_id"),
+            F.max("lineage.kernel_version").alias("kernel_version"),
+            F.max("lineage.attempt").cast("long").alias("attempt"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("valid").cast("long")).cast("long").alias("n_ok"),
+            F.sum(F.col("error").isNotNull().cast("long")).cast("long").alias(
+                "n_err"
+            ),
+            F.sum("bytes_in").cast("long").alias("bytes_in"),
+        )
+    )
+
+
+def _metrics_report_oracle_sql() -> str:
+    from ..pipeline import _CHROME_FOOT, _DOC_CHROME_HEAD, KERNEL_VERSION
+    from ..pipeline import SIZE_BUCKETS
+
+    chrome = len(_DOC_CHROME_HEAD) + len("<article><p>") + len(
+        "</p></article>"
+    ) + len(_CHROME_FOOT)
+    esc = (
+        "replace(replace(replace(coalesce(text, ''), '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+    )
+    collapsed = (
+        "trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '),"
+        " '\\s+', ' ', 'g'))"
+    )
+    return f"""
+    WITH base AS (
+        SELECT CASE WHEN doc_id % 13 = 0 THEN 0
+                    WHEN doc_id % 17 = 0
+                        THEN 4 + octet_length(encode(substr(
+                                 coalesce(text, ''), 1, 40)))
+                    ELSE {chrome} + octet_length(encode({esc}))
+               END AS bytes_in,
+               CASE WHEN doc_id % 13 = 0 THEN 'empty'
+                    WHEN doc_id % 17 = 0 THEN 'binary'
+                    ELSE 'html' END AS content_kind,
+               CASE WHEN doc_id % 13 <> 0 AND doc_id % 17 <> 0
+                         AND {collapsed} <> '' THEN 1 ELSE 0
+               END AS ok
+        FROM documents
+    )
+    SELECT CAST((length(bin(bytes_in + 2)) - 1) % {SIZE_BUCKETS} AS BIGINT)
+               AS size_bucket,
+           content_kind,
+           'metrics-report' AS run_id,
+           '{KERNEL_VERSION}' AS kernel_version,
+           CAST(0 AS BIGINT) AS attempt,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ok) AS BIGINT) AS n_ok,
+           CAST(0 AS BIGINT) AS n_err,
+           CAST(sum(bytes_in) AS BIGINT) AS bytes_in
+    FROM base
+    GROUP BY size_bucket, content_kind
+"""
+
+
+METRICS_REPORT_ORACLE_SQL = _metrics_report_oracle_sql()

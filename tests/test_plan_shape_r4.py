@@ -197,3 +197,26 @@ def test_perplexity_head_join_broadcasts_and_no_cartesian(spark):
     # the tail lane's equi-join on token is the only sort-merge risk;
     # whichever strategy Spark picks, the head lane must be broadcast
     assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_metrics_report_fault_families_bite_and_one_python_boundary(spark):
+    """All three content kinds appear, totals reconcile with the input,
+    the never-raise contract holds (n_err == 0), and the extraction
+    stays one fused MapInPandas."""
+    from ai_ocr_spark.operators.roundtrip import pipeline_metrics_report
+
+    df = pipeline_metrics_report(spark, SF)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    out = df.toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert set(out["content_kind"]) == {"html", "empty", "binary"}
+    assert out["n_docs"].sum() == n_docs
+    assert out["n_err"].sum() == 0
+    # fault families are invalid; healthy html rows are valid
+    bad = out[out["content_kind"] != "html"]
+    assert (bad["n_ok"] == 0).all() and bad["n_docs"].sum() > 0
+    assert out["n_ok"].sum() > 0
+    assert out["size_bucket"].between(0, 7).all()
+    assert (out["kernel_version"] != "").all()
+    assert (out["attempt"] == 0).all()
