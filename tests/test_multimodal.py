@@ -43,11 +43,30 @@ def _bmp(width, height, pixels, bottom_up=True):
 def test_media_source_emits_byte_valid_containers(spark):
     from ai_ocr_spark.operators.multimodal import media_from_documents
 
+    import zlib
+
     media = media_from_documents(spark, SF).toPandas()
     assert set(media["media_type"]) == {"image", "audio", "video"}
+    n_png = 0
     for _, r in media.iterrows():
         b = bytes(r["media"])
-        if r["media_type"] == "image":
+        if r["media_type"] == "image" and r["doc_id"] % 9 == 0:
+            # real PNG: signature, chunk CRCs verified against zlib.crc32,
+            # IDAT inflates (zlib checks the Adler-32 trailer itself)
+            n_png += 1
+            assert b[:8] == b"\x89PNG\r\n\x1a\n"
+            pos, kinds = 8, []
+            while pos + 8 <= len(b):
+                (ln,) = struct.unpack_from(">I", b, pos)
+                ctype, data = b[pos + 4 : pos + 8], b[pos + 8 : pos + 8 + ln]
+                (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+                assert crc == zlib.crc32(ctype + data), ctype
+                kinds.append(ctype)
+                if ctype == b"IDAT":
+                    zlib.decompress(data)
+                pos += 12 + ln
+            assert pos == len(b) and kinds == [b"IHDR", b"IDAT", b"IEND"]
+        elif r["media_type"] == "image":
             assert b[:2] == b"BM"
             (off,) = struct.unpack_from("<I", b, 10)
             assert off == 1078  # file header + DIB + 256-entry palette
@@ -57,6 +76,7 @@ def test_media_source_emits_byte_valid_containers(spark):
             assert b"LIST" in b[:64]
         else:
             assert b.startswith(b"YUV4MPEG2 W8 H8")
+    assert n_png > 0  # the PNG family is actually exercised
 
 
 def test_bmp_decoder_flips_bottom_up_and_strips_stride():
@@ -112,12 +132,13 @@ def test_y4m_decoder_discovers_frames_and_sizes_colorspaces():
 def test_real_codec_magic_raises_not_implemented():
     from ai_ocr_spark.operators.multimodal import (
         _decode_bmp,
+        _decode_image,
         _decode_wav,
         _decode_y4m,
     )
 
-    with pytest.raises(NotImplementedError):
-        _decode_bmp(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):  # GIF still needs a codec
+        _decode_image(b"GIF89a..........")
     with pytest.raises(NotImplementedError):
         _decode_wav(b"\xff\xd8\xff\xe0JFIF....")
     with pytest.raises(NotImplementedError):  # RIFF form that isn't WAVE
@@ -219,3 +240,90 @@ def test_audio_stats_deterministic(spark):
     assert (a["sample_rate"] == 16000).all()
     assert (a["rms"] >= 0).all()
     assert ((a["peak"] >= 0) & (a["peak"] <= 128)).all()
+
+
+def _png(width, height, pixels, filters):
+    """Hand-rolled grayscale-8 PNG fixture with a CHOSEN filter type per
+    row (real compressed deflate, unlike the source's stored blocks) —
+    independent of the Spark source."""
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    rows = [
+        pixels[r * width : (r + 1) * width] for r in range(height)
+    ]
+    prev = [0] * width
+    raw = b""
+    for r, row in enumerate(rows):
+        f = filters[r % len(filters)]
+        if f == 0:
+            enc = row[:]
+        elif f == 1:
+            enc = [(row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width)]
+        elif f == 2:
+            enc = [(row[x] - prev[x]) & 0xFF for x in range(width)]
+        elif f == 3:
+            enc = [
+                (row[x] - (((row[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(width)
+            ]
+        else:  # Paeth
+            enc = []
+            for x in range(width):
+                a = row[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((row[x] - pred) & 0xFF)
+        raw += bytes([f]) + bytes(enc)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_reconstructs_all_five_filters():
+    from ai_ocr_spark.operators.multimodal import _decode_png
+
+    pixels = [(7 * i * i + 3 * i) % 256 for i in range(6 * 5)]
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        w, h, got = _decode_png(_png(6, 5, pixels, filters))
+        assert (w, h) == (6, 5)
+        assert got.tolist() == pixels, f"filters={filters}"
+
+
+def test_png_codec_boundary():
+    import zlib
+
+    from ai_ocr_spark.operators.multimodal import _decode_png
+
+    def with_ihdr(color=0, depth=8, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 1, depth, color, 0, 0, interlace)
+        crc = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + crc
+        )
+
+    with pytest.raises(NotImplementedError):  # RGB truecolor
+        _decode_png(with_ihdr(color=2))
+    with pytest.raises(NotImplementedError):  # 1-bit depth
+        _decode_png(with_ihdr(depth=1))
+    with pytest.raises(NotImplementedError):  # Adam7
+        _decode_png(with_ihdr(interlace=1))
+    with pytest.raises(ValueError):  # bad signature
+        _decode_png(b"\x89PNX\r\n\x1a\n")
+    with pytest.raises(ValueError):  # missing scanline data
+        _decode_png(with_ihdr())
