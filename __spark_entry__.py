@@ -89,15 +89,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tier 3 — freshly-proven entries (green last round) sit behind the
                truncation line, where ageing is bounded by tier 2's
                fill next round.
-    r4 instantiation: tier 1 = 4 new (docx/bm25/bpe/ivf_recall) + the
-    rewritten mm_* codecs + everything the Pregel co-partition pin and
-    the docx sniff/label-table changes touched (connected_components,
-    minhash_lsh, pagerank, keep_canonical pair, search_keyword,
-    invoice/main_text/xlsx pipelines) = 16; tier 2 = 34 of the 38
-    remaining r2-green entries (only driver rows from round 2). The 4
-    r2 entries left outside (f_clamp_score, f_doc_type_case,
-    union_head_tail, orders_page2 — trivial scalar projections,
-    unchanged since r1) lead tier 3 so r5's rotation picks them first.
+    r4 instantiation: tier 1 = 8 new (docx/bm25/bpe_pairs/bpe_train/
+    ivf_recall/perplexity/entropy/metrics_report) + the rewritten mm_*
+    codecs (real BMP/WAV/Y4M + PNG) + everything the Pregel
+    co-partition pin and the docx sniff/label-table changes touched
+    (connected_components, minhash_lsh, pagerank, keep_canonical pair,
+    search_keyword, invoice/main_text/xlsx pipelines) = 20; tier 2 =
+    30 of the 38 remaining r2-green entries (only driver rows from
+    round 2). The 8 r2 entries left outside (f_amount_normalize,
+    f_lang_detect, f_json_parse_fallback, agg_first3_events_per_user,
+    f_clamp_score, f_doc_type_case, union_head_tail, orders_page2 —
+    simple scalar projections/slices, unchanged since r1) lead tier 3
+    so r5's rotation picks them first.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ================= tier 1: changed or new in r4 =================
@@ -123,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slice, integer-ln cross-entropy, exact nearest-rank tertile
         # head/middle/tail buckets (new in r4)
         "quality_perplexity_unigram": QL.quality_perplexity_unigram,
+        # within-doc unigram entropy (Gopher/Dolma degenerate-text
+        # signal), bit-exact via the same integer-ln table (new in r4)
+        "text_token_entropy": QL.text_token_entropy,
         # the north rule's lineage/metrics table value-checked: metrics
         # re-keyed on the deterministic size-bucket half of the skew
         # key x content kind, two injected fault families (new in r4)
@@ -499,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,
         "ann_ivf_recall": ORC.ann_ivf_recall(),
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
+        "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -213,3 +213,102 @@ PERPLEXITY_ORACLE_SQL = f"""
            coalesce(b.ppl_bucket, 'tail') AS ppl_bucket
     FROM documents d LEFT JOIN bucketed b USING (doc_id)
 """
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document unigram entropy — the "is this text degenerate"
+    signal the Gopher/Dolma rule families key repetition thresholds on
+    (a spam page repeating one token has H ~ 0; diverse prose sits near
+    ln(n_distinct)). Exact integer form of
+        H = ln(n) - (1/n) * sum_t c_t * ln(c_t)
+    via the shared 256-entry integer-ln table, so the score is
+    bit-identical cross-engine:
+        entropy_scaled = iln(n*PREC) - (sum_t c_t * iln(c_t*PREC)) DIV n
+    (iln(1*PREC) = 0, so hapax tokens contribute nothing — exactly like
+    the float identity). low_entropy flags documents below HALF the
+    maximum possible ln(n) — a relative, length-robust rule, pure
+    integer comparison.
+
+    Shape: explode -> (doc_id, token) count with map-side combine ->
+    per-doc aggregate. Both shuffles key on doc_id(+token): no Zipf
+    skew (the hot token "the" spreads across documents), no join, no
+    broadcast needed — scan-speed at any corpus size.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    perdoc = (
+        cnt.withColumn("ilnc", F.expr(_iln_sql(f"(c * {PREC})", "spark")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.col("ilnc")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_distinct",
+            (
+                F.expr(_iln_sql(f"(n_tok * {PREC})", "spark"))
+                - F.expr("s DIV n_tok")
+            ).alias("entropy_scaled"),
+        )
+    )
+    out = perdoc.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("entropy_scaled").cast("long").alias("entropy_scaled"),
+        (
+            F.col("entropy_scaled") * 2
+            < F.expr(_iln_sql(f"(n_tok * {PREC})", "spark"))
+        ).alias("low_entropy"),
+    )
+    return docs.select("doc_id").join(out, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias(
+            "n_distinct"
+        ),
+        F.coalesce(F.col("entropy_scaled"), F.lit(EMPTY_CE)).cast("long").alias(
+            "entropy_scaled"
+        ),
+        F.coalesce(F.col("low_entropy"), F.lit(True)).alias("low_entropy"),
+    )
+
+
+ENTROPY_ORACLE_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, token, count(*) AS c
+        FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tok,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(c * {_iln_sql(f"(c * {PREC})", "duckdb")})
+                    AS BIGINT) AS s
+        FROM cnt GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT doc_id, n_tok, n_distinct,
+               {_iln_sql(f"(n_tok * {PREC})", "duckdb")} - s // n_tok
+                   AS entropy_scaled,
+               (2 * ({_iln_sql(f"(n_tok * {PREC})", "duckdb")} - s // n_tok))
+                   < {_iln_sql(f"(n_tok * {PREC})", "duckdb")} AS low_entropy
+        FROM perdoc
+    )
+    SELECT d.doc_id,
+           coalesce(o.n_tok, 0) AS n_tok,
+           coalesce(o.n_distinct, 0) AS n_distinct,
+           coalesce(o.entropy_scaled, {EMPTY_CE}) AS entropy_scaled,
+           coalesce(o.low_entropy, TRUE) AS low_entropy
+    FROM documents d LEFT JOIN scored o USING (doc_id)
+"""

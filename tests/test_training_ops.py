@@ -614,3 +614,52 @@ def test_tokenizer_bpe_train_matches_python_bpe(spark):
         for _, r in out.sort_values("rnd").iterrows()
     ]
     assert got == expect
+
+
+def test_token_entropy_matches_python_bruteforce(spark):
+    """entropy_scaled equals an independent Python reimplementation with
+    the same integer-ln tables, tracks float entropy to table precision,
+    and the low_entropy flag follows the relative half-max rule."""
+    import math
+    import re
+    from collections import Counter
+
+    from ai_ocr_spark.operators.quality_lm import EMPTY_CE, text_token_entropy
+    from ai_ocr_spark.operators.search import (
+        BM25_LN2,
+        BM25_LN_TABLE,
+        BM25_LNPREC,
+        BM25_PREC,
+    )
+
+    def iln(v: int) -> int:
+        bits = v.bit_length()
+        return (
+            (bits - 1) * BM25_LN2
+            + BM25_LN_TABLE[(v >> max(bits - 9, 0)) - 256]
+            - BM25_LNPREC
+        )
+
+    out = text_token_entropy(spark, SF).toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    for _, row in docs.iterrows():
+        tk = [
+            w
+            for w in re.sub(r"\s+", " ", (row["text"] or "").lower())
+            .strip()
+            .split(" ")
+            if w
+        ]
+        got = out.loc[row["doc_id"]]
+        if not tk:
+            assert got["entropy_scaled"] == EMPTY_CE and got["low_entropy"]
+            continue
+        c = Counter(tk)
+        n = len(tk)
+        s = sum(v * iln(v * BM25_PREC) for v in c.values())
+        ent = iln(n * BM25_PREC) - s // n
+        assert got["entropy_scaled"] == ent
+        assert got["n_tok"] == n and got["n_distinct"] == len(c)
+        assert got["low_entropy"] == (2 * ent < iln(n * BM25_PREC))
+        fent = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        assert abs(ent / BM25_PREC - fent) < 0.02
