@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
+        # real Lloyd k-means: driver-side bounded centroids, map-only
+        # assignment, integer floor-div updates, per-round inertia
+        # (new in r4)
+        "embedding_kmeans": SIM.embedding_kmeans,
         # CCNet-style unigram-LM perplexity gate: hash-stable 20% train
         # slice, integer-ln cross-entropy, exact nearest-rank tertile
         # head/middle/tail buckets (new in r4)
@@ -504,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,
         "ann_ivf_recall": ORC.ann_ivf_recall(),
+        "embedding_kmeans": SIM.KMEANS_ORACLE_SQL,
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,

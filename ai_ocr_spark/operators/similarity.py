@@ -341,3 +341,188 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hits.cast("long").alias("n_hits"),
         (n_hits / IVF_TOP_K).alias("recall_at_k"),
     )
+
+
+# --- Lloyd's k-means over the embedding corpus --------------------------------
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Lloyd iterations — the centroid-training primitive
+    ann_ivf_topk's docstring defers to ("at 10^12 vectors you'd
+    re-derive K ~ sqrt(n)"): KMEANS_ROUNDS rounds of assign/update over
+    the embedding corpus, reporting per-round per-cluster membership
+    and inertia so convergence is a measured number, not a claim.
+
+    The distributed shape is the textbook one — centroids are BOUNDED
+    (K rows) so they live driver-side and ride into the plan as
+    literals:
+
+      assign   map-ONLY projection: per vector, argmin over K inlined
+               squared-L2 folds (strict left fold, IEEE-identical on
+               both engines); deterministic tie-break by centroid id
+               via array_min over (d2, cid) structs. No join, no
+               shuffle, no per-round exchange of the corpus.
+      stats    one groupBy(cid) with map-side combine -> K rows.
+      update   posexplode of floor(x*EMB_SCALE) BIGINT components ->
+               (cid, pos) integer sums (order-free) -> K*dim rows to
+               the driver; new centroid = floor-div mean, computed in
+               exact integer arithmetic. Empty clusters keep their
+               previous centroid.
+
+    Everything crossing to the driver is K- or K*dim-sized — the same
+    bounded collect the pagerank/BPE loops make. Inertia is summed as
+    floor(d2*EMB_SCALE) BIGINTs so the per-cluster total is order-free
+    and bit-identical cross-engine; the DuckDB twin recomputes all
+    rounds independently (unrolled CTEs, Spark's centroids never leak
+    into the oracle text).
+    """
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    emb = emb.repartition(par, "vec_id").persist()
+    qarr = F.transform(F.col("v"), lambda x: F.floor(x * EMB_SCALE).cast("long"))
+    init_rows = (
+        emb.orderBy(
+            F.md5(F.col("vec_id").cast("string").cast("binary")).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(KMEANS_K)
+        .select(qarr.alias("q"))
+        .collect()
+    )
+    cents: dict[int, list[int]] = {
+        j: [int(c) for c in r["q"]] for j, r in enumerate(init_rows)
+    }
+    stats_rows: list[tuple[int, int, int, int]] = []
+    for rnd in range(1, KMEANS_ROUNDS + 1):
+        choices = []
+        for j in sorted(cents):
+            carr = F.array(*[F.lit(c) for c in cents[j]])
+            diff = F.zip_with(
+                F.col("v"),
+                carr,
+                lambda a, b: (a - b / F.lit(1000000.0))
+                * (a - b / F.lit(1000000.0)),
+            )
+            d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+            choices.append(
+                F.struct(d2.alias("d"), F.lit(j).cast("long").alias("cid"))
+            )
+        best = F.array_min(F.array(*choices))
+        assigned = emb.select(
+            "vec_id",
+            "v",
+            best["cid"].alias("cid"),
+            F.floor(best["d"] * EMB_SCALE).cast("long").alias("d2i"),
+        )
+        by_cid = {
+            r["cid"]: r
+            for r in assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("d2i").alias("inertia"))
+            .collect()
+        }
+        for j in sorted(cents):
+            r = by_cid.get(j)
+            stats_rows.append(
+                (rnd, j, int(r["n"]) if r else 0, int(r["inertia"]) if r else 0)
+            )
+        if rnd == KMEANS_ROUNDS:
+            break
+        upd = (
+            assigned.select(
+                "cid", F.posexplode(qarr).alias("pos", "comp")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.sum("comp").cast("long").alias("s"))
+            .collect()
+        )
+        sums: dict[int, dict[int, int]] = {}
+        for r in upd:
+            sums.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(r["s"])
+        for j in sorted(cents):
+            if j in sums and by_cid.get(j) and int(by_cid[j]["n"]) > 0:
+                n = int(by_cid[j]["n"])
+                cents[j] = [sums[j][p] // n for p in sorted(sums[j])]
+    emb.unpersist()
+    return spark.createDataFrame(
+        stats_rows,
+        "rnd long, centroid_id long, n_members long, inertia_scaled long",
+    ).orderBy("rnd", "centroid_id")
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled twin: per round, an assignment CTE (cross join against
+    the K-row centroid CTE, strict-left-fold squared L2, row_number
+    argmin), a stats CTE, and a floor-div integer centroid update with
+    empty-cluster carry-over."""
+    parts = [f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+               AS BIGINT) AS cid,
+               list_transform(v, x -> CAST(floor(x * {EMB_SCALE})
+                   AS BIGINT)) AS carr
+        FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {KMEANS_K}
+    )"""]
+    for k in range(1, KMEANS_ROUNDS + 1):
+        parts.append(f""",
+    a{k} AS (
+        SELECT vec_id, v, cid, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   list_reduce(list_transform(range(1, len(e.v) + 1),
+                       i -> (e.v[i] - c.carr[i] / 1000000.0)
+                          * (e.v[i] - c.carr[i] / 1000000.0)),
+                       (x, y) -> x + y) AS d2
+            FROM e, c{k - 1} c
+        )
+    ),
+    w{k} AS (
+        SELECT vec_id, v, cid,
+               CAST(floor(d2 * {EMB_SCALE}) AS BIGINT) AS d2i
+        FROM a{k} WHERE rn = 1
+    ),
+    s{k} AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d2i) AS BIGINT) AS inertia
+        FROM w{k} GROUP BY cid
+    )""")
+        if k < KMEANS_ROUNDS:
+            parts.append(f""",
+    u{k} AS (
+        SELECT cid, pos, CAST(sum(comp) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT cid,
+                     unnest(range(1, len(v) + 1)) AS pos,
+                     unnest(list_transform(v,
+                         x -> CAST(floor(x * {EMB_SCALE}) AS BIGINT)))
+                         AS comp
+              FROM w{k})
+        GROUP BY cid, pos
+    ),
+    c{k} AS (
+        SELECT p.cid, coalesce(uu.carr, p.carr) AS carr
+        FROM c{k - 1} p LEFT JOIN (
+            SELECT cid,
+                   list((s - ((s % n) + n) % n) // n ORDER BY pos) AS carr
+            FROM u{k} GROUP BY cid
+        ) uu USING (cid)
+    )""")
+    selects = [
+        f"""SELECT CAST({k} AS BIGINT) AS rnd, p.cid AS centroid_id,
+               coalesce(s.n, 0) AS n_members,
+               coalesce(s.inertia, 0) AS inertia_scaled
+        FROM c{k - 1} p LEFT JOIN s{k} s USING (cid)"""
+        for k in range(1, KMEANS_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+KMEANS_ORACLE_SQL = _kmeans_oracle_sql()

@@ -663,3 +663,25 @@ def test_token_entropy_matches_python_bruteforce(spark):
         assert got["low_entropy"] == (2 * ent < iln(n * BM25_PREC))
         fent = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
         assert abs(ent / BM25_PREC - fent) < 0.02
+
+
+def test_kmeans_inertia_decreases_and_partitions_corpus(spark):
+    """Lloyd's guarantee holds end-to-end: every vector is assigned
+    every round, and total inertia is non-increasing (strictly
+    decreasing here) across rounds."""
+    from ai_ocr_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_ROUNDS,
+        embedding_kmeans,
+    )
+
+    out = embedding_kmeans(spark, SF).toPandas()
+    n_vec = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sorted(out["rnd"].unique()) == list(range(1, KMEANS_ROUNDS + 1))
+    per_round = out.groupby("rnd")
+    assert (per_round["centroid_id"].count() == KMEANS_K).all()
+    assert (per_round["n_members"].sum() == n_vec).all()
+    totals = per_round["inertia_scaled"].sum()
+    assert all(
+        totals[r + 1] < totals[r] for r in range(1, KMEANS_ROUNDS)
+    ), totals.to_dict()
