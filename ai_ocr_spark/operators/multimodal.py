@@ -329,9 +329,14 @@ def _png_hex(h: Column, blen: Column) -> Column:
 
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from documents: doc_id % 3 picks
-    the modality; the payload is a byte-valid BMP/WAV/Y4M container whose
-    data bytes are the utf-8 text. Pure JVM expressions — no Python."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    the modality; the payload is a byte-valid PNG/BMP/WAV/Y4M container
+    whose data bytes are the utf-8 text. Pure JVM expressions — no
+    Python. The one-split testdata parquet is repartitioned to width
+    FIRST (CLAUDE.md footgun): the PNG CRC/Adler byte folds are ~12x a
+    BMP row, and on a single task they serialize the whole modality
+    (measured 1.7s -> 0.2s at sf0.1)."""
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
     h = F.hex(body)
     blen = F.length(body)

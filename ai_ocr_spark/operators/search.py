@@ -203,7 +203,11 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     notion of document length; this is the standard correction that
     stops 100-page pages from outranking focused ones at corpus scale.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # testdata parquet is ONE split (CLAUDE.md footgun): repartition to
+    # width BEFORE the tokenizing projections or both corpus scans run
+    # as a single task (measured 4.5s -> ~1s at sf0.1)
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
     # N counts every document (dl=0 included); T is total corpus tokens.
     # One aggregate scan, no distinct — the 1-row result broadcasts.

@@ -111,6 +111,18 @@ def main() -> int:
         "sample_pack_sequences",
         "embedding_label_outliers",
         "text_chunk_windows",
+        # r4 additions — each timed run re-invokes the query builder, so
+        # the driver-side iteration loops (bpe_train rounds, kmeans
+        # rounds) are INSIDE the timed section, not amortized away
+        "search_bm25_topk",
+        "quality_perplexity_unigram",
+        "text_token_entropy",
+        "tokenizer_bpe_pairs",
+        "tokenizer_bpe_train",
+        "embedding_kmeans",
+        "ann_ivf_recall",
+        "pipeline_metrics_report",
+        "mm_image_features",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
