@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within-doc unigram entropy (Gopher/Dolma degenerate-text
         # signal), bit-exact via the same integer-ln table (new in r4)
         "text_token_entropy": QL.text_token_entropy,
+        # the data-repetition schedule (epochs per source under a
+        # smoothed token budget, LLaMA-table shape) (new in r4)
+        "sample_mix_epochs": CU.sample_mix_epochs,
         # the north rule's lineage/metrics table value-checked: metrics
         # re-keyed on the deterministic size-bucket half of the skew
         # key x content kind, two injected fault families (new in r4)
@@ -511,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": SIM.KMEANS_ORACLE_SQL,
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
+        "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -701,3 +701,132 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("seq_last") > F.col("seq_first")).alias("crosses_seq"),
         )
     )
+
+
+EPOCH_BUDGET_MULT = 2  # train for 2x the corpus token mass
+EPOCH_FRAC_SCALE = 1_000_000
+
+
+def sample_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-repetition PLAN for a smoothed mixture — the artifact a
+    training run actually consumes (cf. LLaMA's per-source epochs
+    table; Muennighoff et al. 2023 on repeating data): given the
+    temperature-smoothed quota q_s = (B * sqrt-weight_s) DIV r_total
+    for a token budget B = EPOCH_BUDGET_MULT * corpus tokens, report
+    per source how many PASSES the loader makes and how much of the
+    final pass it takes:
+
+      epochs_s           ceil(q_s / n_s)      [>= 2 means the tail
+                                               source is repeated —
+                                               upsampling made visible]
+      last_epoch_frac    (q_s - (epochs_s-1)*n_s) / n_s, scaled 1e6
+      upsampled          epochs_s >= 2
+
+    Where sample_temperature_mix SELECTS the documents of one epoch,
+    this computes the repetition schedule across epochs — the two
+    compose into the full mixture spec. All arithmetic is integer
+    (the sqrt-weight uses the same floor(sqrt(n*SCALE)) idiom whose
+    exactness sample_temperature_mix's docstring proves), so the twin
+    matches bit-for-bit.
+
+    Scale shape: one (source)-keyed token-count aggregate with
+    map-side combine — the ONLY corpus-sized stage — then a one-row
+    totals broadcast onto the |sources|-row dimension table. Output is
+    dimension-sized.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = F.size(F.filter(TX.tokens(F.col("text")), lambda t: t != ""))
+    counts = docs.select("source", ntok.alias("nt")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").cast("long").alias("n_s")
+    )
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        "n_s",
+        F.floor(F.sqrt((F.col("n_s") * MIX_ALPHA_SQRT_SCALE).cast("double")))
+        .cast("long")
+        .alias("r_s"),
+    )
+    totals = weighted.agg(
+        F.sum("n_s").alias("n_total"), F.sum("r_s").alias("r_total")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_s").cast("long").alias("n_tokens"),
+            F.expr(
+                f"((n_total * {EPOCH_BUDGET_MULT}) * r_s) DIV r_total"
+            ).alias("quota_tokens"),
+            "n_s",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("quota_tokens").cast("long").alias("quota_tokens"),
+            F.when(F.col("n_s") == 0, F.lit(0))
+            .otherwise(F.expr("(quota_tokens + n_s - 1) DIV n_s"))
+            .cast("long")
+            .alias("epochs"),
+            F.when(F.col("n_s") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "((quota_tokens - ((quota_tokens + n_s - 1) DIV n_s - 1)"
+                    f" * n_s) * {EPOCH_FRAC_SCALE}) DIV n_s"
+                )
+            )
+            .cast("long")
+            .alias("last_epoch_frac_scaled"),
+            F.when(F.col("n_s") == 0, F.lit(False))
+            .otherwise(F.expr("(quota_tokens + n_s - 1) DIV n_s >= 2"))
+            .alias("upsampled"),
+        )
+    )
+
+
+MIX_EPOCHS_ORACLE_SQL = f"""
+    WITH tokc AS (
+        SELECT source,
+               len(list_filter(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+                   x -> x <> '')) AS nt
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_s
+        FROM tokc GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_docs, n_s,
+               CAST(floor(sqrt(CAST(n_s * {MIX_ALPHA_SQRT_SCALE} AS DOUBLE)))
+                    AS BIGINT) AS r_s
+        FROM counts
+    ),
+    totals AS (
+        SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+               CAST(sum(r_s) AS BIGINT) AS r_total
+        FROM weighted
+    ),
+    q AS (
+        SELECT source, n_docs, n_s,
+               ((n_total * {EPOCH_BUDGET_MULT}) * r_s) // r_total
+                   AS quota_tokens
+        FROM weighted, totals
+    )
+    SELECT source, n_docs,
+           n_s AS n_tokens,
+           quota_tokens,
+           CASE WHEN n_s = 0 THEN 0
+                ELSE (quota_tokens + n_s - 1) // n_s END AS epochs,
+           CASE WHEN n_s = 0 THEN 0
+                ELSE ((quota_tokens - ((quota_tokens + n_s - 1) // n_s - 1)
+                       * n_s) * {EPOCH_FRAC_SCALE}) // n_s
+           END AS last_epoch_frac_scaled,
+           CASE WHEN n_s = 0 THEN FALSE
+                ELSE (quota_tokens + n_s - 1) // n_s >= 2
+           END AS upsampled
+    FROM q
+"""

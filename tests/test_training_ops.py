@@ -685,3 +685,31 @@ def test_kmeans_inertia_decreases_and_partitions_corpus(spark):
     assert all(
         totals[r + 1] < totals[r] for r in range(1, KMEANS_ROUNDS)
     ), totals.to_dict()
+
+
+def test_mix_epochs_schedule_invariants(spark):
+    """The repetition plan is conservation-exact and shows the
+    smoothing: quotas sum to ~2x the corpus (integer-floor slack only),
+    small sources repeat (epochs >= 2), the largest source doesn't."""
+    from ai_ocr_spark.operators.curation import (
+        EPOCH_BUDGET_MULT,
+        EPOCH_FRAC_SCALE,
+        sample_mix_epochs,
+    )
+
+    out = sample_mix_epochs(spark, SF01).toPandas()
+    assert (out["epochs"] >= 1).all()
+    total = out["n_tokens"].sum()
+    assert 0 <= EPOCH_BUDGET_MULT * total - out["quota_tokens"].sum() < len(out) * total
+    # per-source accounting: (epochs-1)*n + frac*n/SCALE == quota
+    got = (out["epochs"] - 1) * out["n_tokens"] + (
+        out["last_epoch_frac_scaled"] * out["n_tokens"]
+    ) // EPOCH_FRAC_SCALE
+    assert ((out["quota_tokens"] - got).abs() <= out["n_tokens"] // EPOCH_FRAC_SCALE + 1).all()
+    assert (out["upsampled"] == (out["epochs"] >= 2)).all()
+    # sqrt smoothing: the biggest source is downweighted below MULT
+    # epochs, the smallest is repeated above MULT
+    big = out.loc[out["n_tokens"].idxmax()]
+    small = out.loc[out[out["n_tokens"] > 0]["n_tokens"].idxmin()]
+    assert big["epochs"] <= EPOCH_BUDGET_MULT
+    assert small["epochs"] >= EPOCH_BUDGET_MULT
