@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assignment, integer floor-div updates, per-round inertia
         # (new in r4)
         "embedding_kmeans": SIM.embedding_kmeans,
+        # product-quantization ANN: Lloyd-trained per-subspace
+        # codebooks, map-only encoding, broadcast ADC lookup tables,
+        # order-free integer distance sums (new in r4)
+        "ann_pq_topk": SIM.ann_pq_topk,
         # CCNet-style unigram-LM perplexity gate: hash-stable 20% train
         # slice, integer-ln cross-entropy, exact nearest-rank tertile
         # head/middle/tail buckets (new in r4)
@@ -512,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,
         "ann_ivf_recall": ORC.ann_ivf_recall(),
         "embedding_kmeans": SIM.KMEANS_ORACLE_SQL,
+        "ann_pq_topk": SIM.PQ_ORACLE_SQL,
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,

@@ -526,3 +526,319 @@ def _kmeans_oracle_sql() -> str:
 
 
 KMEANS_ORACLE_SQL = _kmeans_oracle_sql()
+
+
+# --- product-quantization ANN --------------------------------------------------
+
+PQ_M = 16  # subspaces (64-dim vectors -> 4 dims each)
+PQ_SUB = 4
+PQ_KS = 32  # codewords per subspace -> 5 bits * 16 = 80-bit codes
+PQ_ROUNDS = 2  # Lloyd refinement rounds on the md5-sampled init
+PQ_TOP_K = 5
+
+
+def _pq_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sv): the M unit-normalized 4-dim subvectors per
+    vector — the frame every PQ stage (train/encode/query) reads."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        # PQ runs on UNIT vectors: after normalization, squared L2 is
+        # 2 - 2*cos, so ADC ranking is rank-equivalent to the exact
+        # cosine baseline (raw-L2 PQ on unnormalized vectors measured
+        # recall@5 ~0.08; normalized ~0.5)
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("v"),
+    )
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    return (
+        emb.repartition(par, "vec_id")
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("long").alias("m"),
+                            F.slice(
+                                F.col("v"), m * PQ_SUB + 1, PQ_SUB
+                            ).alias("sv"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("vec_id", "s.m", "s.sv")
+    )
+
+
+def _pq_d2() -> Column:
+    """Strict-left-fold squared L2 between a double subvector column
+    `sv` and a scaled-BIGINT codeword column `carr` — the IEEE-identical
+    arithmetic the twin's list_reduce uses."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("sv"),
+            F.col("carr"),
+            lambda a, b: (a - b / F.lit(1000000.0))
+            * (a - b / F.lit(1000000.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment: cross the subvector frame with the
+    BROADCAST M*K codebook table (data-level — a literal-expression
+    argmin at M=16,K=32 was measured at ~50s of pure plan/codegen),
+    argmin per (vec_id, m) with the (d2, cid) tie-break."""
+    aw = Window.partitionBy("vec_id", "m").orderBy(
+        F.asc("d2"), F.asc("cid")
+    )
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", "sv", _pq_d2().alias("d2"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the PQ codebooks: md5-sampled init + PQ_ROUNDS Lloyd
+    refinements per subspace, centroid state driver-side (M*K rows,
+    bounded — the embedding_kmeans pattern per 4-dim slice). Returns
+    the (m, cid, carr) codebook DataFrame, memoized per (session,
+    sf_dir) like the IVF index: codebooks are trained once and probed
+    many times."""
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    key = _cache_key(spark, sf_dir, "pq-codebooks")
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sub = _pq_sub(spark, sf_dir).persist()
+    qarr = F.transform(
+        F.col("sv"), lambda x: F.floor(x * EMB_SCALE).cast("long")
+    )
+    init = (
+        sub.withColumn(
+            "h", F.md5(F.col("vec_id").cast("string").cast("binary"))
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("m").orderBy("h", "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= PQ_KS)
+        .select(
+            "m", (F.col("rk") - 1).cast("long").alias("cid"), qarr.alias("carr")
+        )
+        .collect()
+    )
+    cents = {(int(r["m"]), int(r["cid"])): list(r["carr"]) for r in init}
+
+    def _cb_df() -> DataFrame:
+        return spark.createDataFrame(
+            [(m, k, cents[(m, k)]) for m, k in sorted(cents)],
+            "m long, cid long, carr array<long>",
+        )
+
+    for _rnd in range(PQ_ROUNDS):
+        upd = (
+            _pq_assign(sub, _cb_df())
+            .select("m", "cid", F.posexplode(qarr).alias("pos", "comp"))
+            .groupBy("m", "cid", "pos")
+            .agg(
+                F.sum("comp").cast("long").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        sums: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in upd:
+            sums.setdefault((int(r["m"]), int(r["cid"])), {})[
+                int(r["pos"])
+            ] = (int(r["s"]), int(r["n"]))
+        for ck in cents:
+            if ck in sums:
+                cents[ck] = [
+                    sums[ck][p][0] // sums[ck][p][1]
+                    for p in sorted(sums[ck])
+                ]
+    sub.unpersist()
+    cb = _cb_df().persist()
+    cb.count()
+    _SHINGLE_CACHE[key] = cb
+    return cb
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011) — the memory-side
+    scale path next to IVF's compute-side one: each vector compresses
+    to PQ_M codes of log2(PQ_KS) bits (80 bits vs 256 bytes of floats —
+    the ratio that lets 10^12 vectors fit an index tier), and queries
+    score candidates via asymmetric distance (ADC): per-subspace lookup
+    tables instead of full-dimension folds.
+
+    Codebooks are md5-init + PQ_ROUNDS-Lloyd-trained (driver-bounded
+    state, _pq_codebooks) and ride as a BROADCAST M*K-row table, so
+    encoding never shuffles the corpus; the query lookup table is
+    Q*M*K rows, broadcast. The ADC sum is over integerized
+    per-subspace distances floor(d2 * EMB_SCALE), so the (query, vec)
+    aggregate is an order-free BIGINT sum — bit-identical cross-engine.
+    Deterministic top-K by (adc ASC, neighbor_id ASC). Measured
+    recall@5 vs the exact cosine baseline: 0.50-0.53 on the synthetic
+    near-uniform embeddings (PQ's worst case — no manifold structure
+    to exploit; pytest pins the floor).
+
+    The DuckDB twin re-trains the codebooks independently (md5 init,
+    PQ_ROUNDS refinements, same floor-div means and carry-over) —
+    Spark's collected codebooks never leak into the oracle text."""
+    cb = _pq_codebooks(spark, sf_dir)
+    sub = _pq_sub(spark, sf_dir)
+    codes = _pq_assign(sub, cb).select("vec_id", "m", "cid")
+    qd = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            # rename the join keys: codes and qd both descend from the
+            # same `sub` lineage, and identically-named columns in a
+            # self-join resolve to ONE attribute (Spark warns
+            # "trivially true equals predicate") — the join would
+            # silently stop keying on the subspace
+            F.col("m").alias("qm"),
+            F.col("cid").alias("k"),
+            F.floor(_pq_d2() * EMB_SCALE).cast("long").alias("qd"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (F.col("m") == F.col("qm")) & (F.col("cid") == F.col("k")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").cast("long").alias("adc_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_scaled"), F.asc("vec_id")
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_scaled",
+            "rk",
+        )
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """Independent PQ twin: md5-init codebooks per subspace, PQ_ROUNDS
+    Lloyd refinements (floor-div integer means, empty-code carry-over),
+    ADC scoring over integerized per-subspace distances. The subspace
+    index m is a COLUMN, so one CTE chain covers all subspaces and the
+    rounds unroll in a loop."""
+    d2 = (
+        "list_reduce(list_transform(range(1, len({sv}) + 1), "
+        "i -> ({sv}[i] - {c}[i] / 1000000.0) "
+        "* ({sv}[i] - {c}[i] / 1000000.0)), (x, y) -> x + y)"
+    )
+    parts = [f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    en AS (SELECT vec_id, v,
+                  sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+                      i -> v[i] * v[i]), (x, y) -> x + y)) AS nrm
+           FROM e0),
+    e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM en),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    sub AS (
+        SELECT e.vec_id, ms.m,
+               list_slice(e.v, CAST(ms.m * {PQ_SUB} + 1 AS INT),
+                          CAST(ms.m * {PQ_SUB} + {PQ_SUB} AS INT)) AS sv
+        FROM e, ms
+    ),
+    c0 AS (
+        SELECT m,
+               CAST(row_number() OVER (PARTITION BY m
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS BIGINT) AS cid,
+               list_transform(sv, x -> CAST(floor(x * {EMB_SCALE})
+                   AS BIGINT)) AS carr
+        FROM sub
+        QUALIFY row_number() OVER (PARTITION BY m
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {PQ_KS}
+    )"""]
+    for r in range(1, PQ_ROUNDS + 1):
+        parts.append(f""",
+    a{r} AS (
+        SELECT vec_id, m, cid, sv,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM (
+            SELECT s.vec_id, s.m, c.cid, s.sv,
+                   {d2.format(sv="s.sv", c="c.carr")} AS d2
+            FROM sub s JOIN c{r - 1} c USING (m)
+        )
+    ),
+    w{r} AS (SELECT vec_id, m, cid, sv FROM a{r} WHERE rn = 1),
+    u{r} AS (
+        SELECT m, cid, pos, CAST(sum(comp) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT m, cid,
+                     unnest(range(1, len(sv) + 1)) AS pos,
+                     unnest(list_transform(sv,
+                         x -> CAST(floor(x * {EMB_SCALE}) AS BIGINT)))
+                         AS comp
+              FROM w{r})
+        GROUP BY m, cid, pos
+    ),
+    c{r} AS (
+        SELECT p.m, p.cid, coalesce(uu.carr, p.carr) AS carr
+        FROM c{r - 1} p LEFT JOIN (
+            SELECT m, cid,
+                   list((s - ((s % n) + n) % n) // n ORDER BY pos) AS carr
+            FROM u{r} GROUP BY m, cid
+        ) uu USING (m, cid)
+    )""")
+    cf = f"c{PQ_ROUNDS}"
+    parts.append(f""",
+    enc AS (
+        SELECT vec_id, m, cid AS code FROM (
+            SELECT s.vec_id, s.m, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {d2.format(sv="s.sv", c="c.carr")} ASC,
+                                c.cid ASC) AS rn
+            FROM sub s JOIN {cf} c USING (m)
+        ) WHERE rn = 1
+    ),
+    qd AS (
+        SELECT s.vec_id AS query_id, s.m, c.cid AS k,
+               CAST(floor({d2.format(sv="s.sv", c="c.carr")}
+                          * {EMB_SCALE}) AS BIGINT) AS qd
+        FROM sub s JOIN {cf} c USING (m)
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT q.query_id, x.vec_id,
+               CAST(sum(q.qd) AS BIGINT) AS adc_scaled
+        FROM enc x JOIN qd q
+          ON q.m = x.m AND q.k = x.code AND x.vec_id <> q.query_id
+        GROUP BY q.query_id, x.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_scaled, rk FROM (
+        SELECT query_id, vec_id AS neighbor_id, adc_scaled,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_scaled ASC, vec_id ASC) AS BIGINT) AS rk
+        FROM adc
+    ) WHERE rk <= {PQ_TOP_K}
+""")
+    return "".join(parts)
+
+
+PQ_ORACLE_SQL = _pq_oracle_sql()

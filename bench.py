@@ -120,6 +120,7 @@ def main() -> int:
         "tokenizer_bpe_pairs",
         "tokenizer_bpe_train",
         "embedding_kmeans",
+        "ann_pq_topk",
         "ann_ivf_recall",
         "pipeline_metrics_report",
         "mm_image_features",
@@ -155,6 +156,7 @@ def main() -> int:
         "dedup_embedding_lsh",
         "dedup_substring_spans",
         "ann_ivf_topk",
+        "ann_pq_topk",
         "filter_bloom_blocklist",
         "sketch_heavy_hitters_cms",
     ):

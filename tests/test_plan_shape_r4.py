@@ -220,3 +220,14 @@ def test_metrics_report_fault_families_bite_and_one_python_boundary(spark):
     assert out["size_bucket"].between(0, 7).all()
     assert (out["kernel_version"] != "").all()
     assert (out["attempt"] == 0).all()
+
+
+def test_pq_codebook_rides_broadcast_and_no_cartesian(spark):
+    """PQ encode/score joins keep the corpus un-shuffled: the M*K
+    codebook and the Q*M*K query lookup table are BROADCAST, and no
+    CartesianProduct appears anywhere."""
+    from ai_ocr_spark.operators.similarity import ann_pq_topk
+
+    plan = formatted_plan(ann_pq_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan

@@ -713,3 +713,32 @@ def test_mix_epochs_schedule_invariants(spark):
     small = out.loc[out[out["n_tokens"] > 0]["n_tokens"].idxmin()]
     assert big["epochs"] <= EPOCH_BUDGET_MULT
     assert small["epochs"] >= EPOCH_BUDGET_MULT
+
+
+def test_ann_pq_recall_floor_and_code_compression(spark):
+    """PQ recall@5 vs the exact cosine baseline stays above the floor
+    measured on this worst-case (structureless) embedding set, and the
+    output is a valid per-query ranking."""
+    from ai_ocr_spark.operators.similarity import (
+        PQ_TOP_K,
+        ann_cosine_topk,
+        ann_pq_topk,
+    )
+
+    pq = ann_pq_topk(spark, SF01).toPandas()
+    ex = ann_cosine_topk(spark, SF01).toPandas()
+    ex5 = ex[ex["rk"] <= PQ_TOP_K]
+    n_q = pq["query_id"].nunique()
+    for _, grp in pq.sort_values("rk").groupby("query_id"):
+        assert list(grp["rk"]) == list(range(1, PQ_TOP_K + 1))
+    assert (pq["query_id"] != pq["neighbor_id"]).all()
+    hits = sum(
+        len(set(pq[pq["query_id"] == q]["neighbor_id"])
+            & set(ex5[ex5["query_id"] == q]["neighbor_id"]))
+        for q in pq["query_id"].unique()
+    )
+    recall = hits / (n_q * PQ_TOP_K)
+    # measured 0.50 at sf0.01 (synthetic uniform vectors are PQ's worst
+    # case); the floor guards against a broken codebook/ADC path, which
+    # measured ~0.08-0.1
+    assert recall >= 0.3, recall
