@@ -89,18 +89,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tier 3 — freshly-proven entries (green last round) sit behind the
                truncation line, where ageing is bounded by tier 2's
                fill next round.
-    r4 instantiation: tier 1 = 8 new (docx/bm25/bpe_pairs/bpe_train/
-    ivf_recall/perplexity/entropy/metrics_report) + the rewritten mm_*
-    codecs (real BMP/WAV/Y4M + PNG) + everything the Pregel
-    co-partition pin and the docx sniff/label-table changes touched
-    (connected_components, minhash_lsh, pagerank, keep_canonical pair,
-    search_keyword, invoice/main_text/xlsx pipelines) = 20; tier 2 =
-    30 of the 38 remaining r2-green entries (only driver rows from
-    round 2). The 8 r2 entries left outside (f_amount_normalize,
-    f_lang_detect, f_json_parse_fallback, agg_first3_events_per_user,
-    f_clamp_score, f_doc_type_case, union_head_tail, orders_page2 —
-    simple scalar projections/slices, unchanged since r1) lead tier 3
-    so r5's rotation picks them first.
+    r4 instantiation: tier 1 = 11 new (docx/bm25/bpe_pairs/bpe_train/
+    ivf_recall/kmeans/pq/perplexity/entropy/mix_epochs/metrics_report)
+    + the rewritten mm_* codecs (real BMP/WAV/Y4M + PNG) + everything
+    the Pregel co-partition pin and the docx sniff/label-table changes
+    touched (connected_components, minhash_lsh, pagerank,
+    keep_canonical pair, search_keyword, invoice/main_text/xlsx
+    pipelines) = 23; tier 2 = 27 of the 38 remaining r2-green entries
+    (only driver rows from round 2). The 11 r2 entries left outside
+    (filter_events_window, filter_keyword_headers, f_date_normalize,
+    f_amount_normalize, f_lang_detect, f_json_parse_fallback,
+    agg_first3_events_per_user, f_clamp_score, f_doc_type_case,
+    union_head_tail, orders_page2 — simple scalar projections/slices,
+    unchanged since r1) lead tier 3 so r5's rotation picks them first.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ================= tier 1: changed or new in r4 =================
