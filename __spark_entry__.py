@@ -141,6 +141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the data-repetition schedule (epochs per source under a
         # smoothed token budget, LLaMA-table shape) (new in r4)
         "sample_mix_epochs": CU.sample_mix_epochs,
+        # native Structured Streaming session windows, append-drained
+        # with a sentinel flush; twin is the independent islands
+        # construction (new in r4)
+        "stream_session_windows": SW.stream_session_windows,
         # the north rule's lineage/metrics table value-checked: metrics
         # re-keyed on the deterministic size-bucket half of the skew
         # key x content kind, two injected fault families (new in r4)
@@ -521,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
+        "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -242,3 +242,133 @@ STREAM_EVENTS_DAILY_ORACLE = """
                AS sum_value
     FROM events GROUP BY 1, 2, 3
 """
+
+
+SESSION_GAP = "30 minutes"  # same inactivity gap as the batch sessionizer
+
+
+def stream_session_windows(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """Native Structured Streaming SESSION windows (F.session_window) —
+    the stateful merging-window primitive the batch gaps-and-islands
+    sessionizer (window_sessionize) emulates with two windows. Session
+    windows only support append/update mode (state merges windows, so
+    complete mode is unsupported); append emits a session once the
+    watermark passes its end. To emit EVERY real session
+    deterministically, the drain appends a second parquet file holding
+    one sentinel row 200 days past max(ts): the final batch's watermark
+    then clears all real sessions, while the sentinel's own session —
+    still open at drain end — is the unemitted tail, filtered by its
+    user_id = -1.
+
+    Semantics under check: Spark merges events when the next arrives
+    STRICTLY within gap of the session end (a new event exactly gap
+    after the last opens a NEW session), and the emitted window end is
+    last_event + gap. The DuckDB twin reconstructs both from scratch
+    with the islands construction (new session when diff >= gap,
+    session_end = max(ts) + gap), so the value hash pins the native
+    session-window semantics against an independent derivation — not
+    against another Spark query.
+
+    Scale shape: state is O(open sessions per user), bounded by the
+    watermark; the one shuffle keys on the session_window/user_id pair
+    exactly like production sessionization."""
+    import os
+    import shutil
+    import tempfile
+
+    from .util import detach, drain_available_now, write_ordered_file
+
+    prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stage = tempfile.mkdtemp(prefix="stream_session_")
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        schema = events.schema
+        os.makedirs(os.path.join(stage, "in"))
+        now = 1_700_000_000
+        write_ordered_file(
+            events, os.path.join(stage, "in", "batch0.parquet"), now
+        )
+        sentinel = events.orderBy(F.col("ts").desc(), F.col("event_id")).limit(
+            1
+        ).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 200 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        write_ordered_file(
+            sentinel, os.path.join(stage, "in", "batch1.parquet"), now + 100
+        )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(stage, "in"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.session_window(F.col("ts"), SESSION_GAP).alias("w"),
+                F.col("user_id"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+                .cast("double")
+                .alias("session_value"),
+            )
+        )
+        name = drain_available_now(
+            agg, "append", os.path.join(stage, "ckpt"), prefix="stream_session"
+        )
+        out = (
+            spark.table(name)
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+                "session_value",
+            )
+        )
+        return detach(spark, out, name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        if prior_tz is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prior_tz)
+
+
+SESSION_WINDOWS_ORACLE_SQL = """
+    WITH s AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                      OR CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
+                         >= 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+        SELECT *, sum(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_seq
+        FROM s
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(28,8))), 4) AS DOUBLE)
+               AS session_value
+    FROM t
+    GROUP BY user_id, session_seq
+"""

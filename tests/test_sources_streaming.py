@@ -373,3 +373,34 @@ def test_append_drain_provably_drops_late_rows_and_tail(spark):
     assert len(m) == len(app)  # every emitted window exists in batch
     assert (m["n_events_a"] < m["n_events_f"]).any()  # real late drops
     assert (m["n_events_a"] <= m["n_events_f"]).all()
+
+
+def test_stream_session_windows_match_batch_islands(spark):
+    """Native session_window sessions agree with the batch
+    gaps-and-islands sessionizer on bounds and membership, sessions
+    never overlap per user, and the sentinel flush row is excluded."""
+    from ai_ocr_spark.operators.relational import window_sessionize
+    from ai_ocr_spark.streaming.windows import stream_session_windows
+
+    sf = "/root/testdata/sf0.001"
+    got = stream_session_windows(spark, sf).toPandas()
+    assert (got["user_id"] >= 0).all()  # sentinel filtered
+    batch = window_sessionize(spark, sf).toPandas()
+    assert len(got) == len(batch)
+    g = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    b = batch.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert (g["user_id"] == b["user_id"]).all()
+    assert (g["session_start"] == b["session_start"]).all()
+    assert (g["n_events"] == b["n_events"]).all()
+    assert (g["session_value"] == b["session_value"]).all()
+    # session_window end = last event + gap (batch reports last event)
+    import pandas as pd
+
+    assert (
+        g["session_end"] == b["session_end"] + pd.Timedelta(minutes=30)
+    ).all()
+    # no per-user overlap: each session starts at/after the prior end
+    for _, grp in g.groupby("user_id"):
+        e = grp["session_end"].shift(1).dropna()
+        s = grp["session_start"].iloc[1:]
+        assert (s.values >= e.values).all()
