@@ -766,11 +766,19 @@ def sample_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             F.col("quota_tokens").cast("long").alias("quota_tokens"),
-            F.when(F.col("n_s") == 0, F.lit(0))
+            # quota 0 (possible when many tiny sources floor the
+            # integer share to nothing) means ZERO passes — without the
+            # guard the frac formula, which assumes epochs >= 1, would
+            # claim a full final pass on a zero-epoch source
+            F.when(
+                (F.col("n_s") == 0) | (F.col("quota_tokens") == 0), F.lit(0)
+            )
             .otherwise(F.expr("(quota_tokens + n_s - 1) DIV n_s"))
             .cast("long")
             .alias("epochs"),
-            F.when(F.col("n_s") == 0, F.lit(0))
+            F.when(
+                (F.col("n_s") == 0) | (F.col("quota_tokens") == 0), F.lit(0)
+            )
             .otherwise(
                 F.expr(
                     "((quota_tokens - ((quota_tokens + n_s - 1) DIV n_s - 1)"
@@ -779,7 +787,10 @@ def sample_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("last_epoch_frac_scaled"),
-            F.when(F.col("n_s") == 0, F.lit(False))
+            F.when(
+                (F.col("n_s") == 0) | (F.col("quota_tokens") == 0),
+                F.lit(False),
+            )
             .otherwise(F.expr("(quota_tokens + n_s - 1) DIV n_s >= 2"))
             .alias("upsampled"),
         )
@@ -819,13 +830,13 @@ MIX_EPOCHS_ORACLE_SQL = f"""
     SELECT source, n_docs,
            n_s AS n_tokens,
            quota_tokens,
-           CASE WHEN n_s = 0 THEN 0
+           CASE WHEN n_s = 0 OR quota_tokens = 0 THEN 0
                 ELSE (quota_tokens + n_s - 1) // n_s END AS epochs,
-           CASE WHEN n_s = 0 THEN 0
+           CASE WHEN n_s = 0 OR quota_tokens = 0 THEN 0
                 ELSE ((quota_tokens - ((quota_tokens + n_s - 1) // n_s - 1)
                        * n_s) * {EPOCH_FRAC_SCALE}) // n_s
            END AS last_epoch_frac_scaled,
-           CASE WHEN n_s = 0 THEN FALSE
+           CASE WHEN n_s = 0 OR quota_tokens = 0 THEN FALSE
                 ELSE (quota_tokens + n_s - 1) // n_s >= 2
            END AS upsampled
     FROM q

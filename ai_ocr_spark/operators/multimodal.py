@@ -66,6 +66,7 @@ _UNSUPPORTED_MAGIC = (
 )
 
 _BMP_W = 8  # source image width; stride == width == 8 (already 4-aligned)
+_PNG_BLOCK = 16384  # stored-DEFLATE block payload bytes (cap 65535)
 _CHECKSUM_MOD = 1_000_000_007
 _WAV_SR = 16000
 N_FEATURE_BINS = 8
@@ -279,14 +280,15 @@ def _adler32_hex(raw_arr: Column, raw_len: Column) -> Column:
 def _png_hex(h: Column, blen: Column) -> Column:
     """A REAL spec-valid PNG (grayscale 8-bit, color type 0) whose image
     is the same 8-px-wide top-down pixel array as the BMP family: zlib
-    stream with one stored (uncompressed) DEFLATE block — the one zlib
+    stream of stored (uncompressed) DEFLATE blocks — the one zlib
     framing pure SQL can emit — plus a genuine Adler-32 trailer (zlib
     verifies it on decompress) and genuine per-chunk CRC-32s, both
     computed as JVM-side byte folds. Scanlines carry filter byte 0; the
     DECODER still implements all five PNG filters, exercised by pytest
-    fixtures. Stored-block bound: raw = 9 * ceil(len/8) bytes must fit
-    one 65535-byte block — testdata maxes at ~650 bytes; a corpus with
-    >58 KiB texts would chunk the raw stream like _y4m_hex does."""
+    fixtures. The raw stream is chunked into _PNG_BLOCK-byte stored
+    blocks (BFINAL on the last), so ANY text length emits a valid
+    stream — stored blocks cap at 65535 bytes and a single unguarded
+    block would wrap its LEN field past ~58 KiB of text."""
     hgt = F.greatest(F.lit(1).cast("long"), F.floor(blen / _BMP_W).cast("long"))
     n_pix = hgt * _BMP_W
     pix_hex = F.substr(
@@ -303,11 +305,34 @@ def _png_hex(h: Column, blen: Column) -> Column:
         "",
     )
     raw_len = hgt * (1 + _BMP_W)
+    # stored DEFLATE blocks hold <= 65535 bytes each: chunk the raw
+    # stream at _PNG_BLOCK bytes (16 KiB keeps the split's regex
+    # lookbehind under Java's 65535-char bound) so ANY text length
+    # emits a valid stream — a single unguarded block would wrap LEN
+    # negative past ~58 KiB of text. The two-arg zip_with lambda flags
+    # the FINAL block's BFINAL bit.
+    blocks = F.filter(
+        F.split(raw_hex, r"(?<=\G.{%d})" % (2 * _PNG_BLOCK)),
+        lambda b: F.length(b) > 0,
+    )
+    nblk = F.size(blocks)
+    block_hex = F.aggregate(
+        F.zip_with(
+            blocks,
+            F.sequence(F.lit(1), nblk),
+            lambda b, i: F.concat(
+                F.when(i == nblk, F.lit("01")).otherwise(F.lit("00")),
+                _le_hex((F.length(b) / 2).cast("long"), 2),
+                _le_hex(65535 - (F.length(b) / 2).cast("long"), 2),
+                b,
+            ),
+        ),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
     zlib_hex = F.concat(
-        F.lit("780101"),  # CMF/FLG (0x7801 % 31 == 0) + final stored block
-        _le_hex(raw_len, 2),  # LEN
-        _le_hex(65535 - raw_len, 2),  # NLEN (ones' complement)
-        raw_hex,
+        F.lit("7801"),  # CMF/FLG (0x7801 % 31 == 0)
+        block_hex,
         _adler32_hex(_hex_byte_arr(raw_hex), raw_len),
     )
     ihdr_content = F.concat(
@@ -320,7 +345,8 @@ def _png_hex(h: Column, blen: Column) -> Column:
         F.lit(_const_hex(b"\x89PNG\r\n\x1a\n") + "0000000D"),
         ihdr_content,
         _crc32_hex(ihdr_content),
-        F.lpad(F.hex(raw_len + 11), 8, "0"),  # IDAT chunk length
+        # IDAT length: 2 zlib hdr + 5 per stored-block hdr + raw + 4 adler
+        F.lpad(F.hex(raw_len + 6 + 5 * nblk.cast("long")), 8, "0"),
         idat_content,
         _crc32_hex(idat_content),
         F.lit("00000000" + _const_hex(b"IEND") + "AE426082"),

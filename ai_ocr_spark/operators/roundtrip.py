@@ -338,18 +338,10 @@ def pipeline_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(log2(x)) == length(bin(x)) - 1 (exact integer arithmetic on
     both engines) rather than double log2.
     """
-    from ..pipeline import extract_pages, html_escape_col
-    from ..pipeline import _CHROME_FOOT, _DOC_CHROME_HEAD, SIZE_BUCKETS
+    from ..pipeline import SIZE_BUCKETS, doc_page_exprs, extract_pages
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    html_ok = F.encode(
-        F.concat(
-            F.lit(_DOC_CHROME_HEAD + "<article><p>"),
-            html_escape_col(F.coalesce(F.col("text"), F.lit(""))),
-            F.lit("</p></article>" + _CHROME_FOOT),
-        ),
-        "UTF-8",
-    )
+    url, warc_ts, html_ok = doc_page_exprs()  # the pipeline's page shape
     payload = (
         F.when(F.col("doc_id") % 13 == 0, F.lit(b""))
         .when(
@@ -365,12 +357,7 @@ def pipeline_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(html_ok)
     )
     pages = docs.select(
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        F.timestamp_seconds(F.lit(1740787200) + F.col("doc_id")).alias("warc_ts"),
-        payload.alias("html"),
+        url.alias("url"), warc_ts.alias("warc_ts"), payload.alias("html")
     )
     ex = extract_pages(pages, run_id="metrics-report", num_partitions=8)
     bucket = (F.length(F.bin(F.col("bytes_in") + 2)) - 1) % SIZE_BUCKETS

@@ -403,20 +403,23 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             diff = F.zip_with(
                 F.col("v"),
                 carr,
-                lambda a, b: (a - b / F.lit(1000000.0))
-                * (a - b / F.lit(1000000.0)),
+                lambda a, b: (a - b / F.lit(float(EMB_SCALE)))
+                * (a - b / F.lit(float(EMB_SCALE))),
             )
             d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
             choices.append(
                 F.struct(d2.alias("d"), F.lit(j).cast("long").alias("cid"))
             )
         best = F.array_min(F.array(*choices))
+        # persist per round: the stats collect AND the update collect
+        # both read this frame — without the cache each would re-run
+        # the K-way argmin folds over the corpus (2x the dominant cost)
         assigned = emb.select(
             "vec_id",
             "v",
             best["cid"].alias("cid"),
             F.floor(best["d"] * EMB_SCALE).cast("long").alias("d2i"),
-        )
+        ).persist()
         by_cid = {
             r["cid"]: r
             for r in assigned.groupBy("cid")
@@ -429,6 +432,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (rnd, j, int(r["n"]) if r else 0, int(r["inertia"]) if r else 0)
             )
         if rnd == KMEANS_ROUNDS:
+            assigned.unpersist()
             break
         upd = (
             assigned.select(
@@ -438,6 +442,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("comp").cast("long").alias("s"))
             .collect()
         )
+        assigned.unpersist()
         sums: dict[int, dict[int, int]] = {}
         for r in upd:
             sums.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(r["s"])
@@ -478,8 +483,8 @@ def _kmeans_oracle_sql() -> str:
         FROM (
             SELECT e.vec_id, e.v, c.cid,
                    list_reduce(list_transform(range(1, len(e.v) + 1),
-                       i -> (e.v[i] - c.carr[i] / 1000000.0)
-                          * (e.v[i] - c.carr[i] / 1000000.0)),
+                       i -> (e.v[i] - c.carr[i] / {float(EMB_SCALE)})
+                          * (e.v[i] - c.carr[i] / {float(EMB_SCALE)})),
                        (x, y) -> x + y) AS d2
             FROM e, c{k - 1} c
         )
@@ -579,8 +584,8 @@ def _pq_d2() -> Column:
         F.zip_with(
             F.col("sv"),
             F.col("carr"),
-            lambda a, b: (a - b / F.lit(1000000.0))
-            * (a - b / F.lit(1000000.0)),
+            lambda a, b: (a - b / F.lit(float(EMB_SCALE)))
+            * (a - b / F.lit(float(EMB_SCALE))),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -746,8 +751,8 @@ def _pq_oracle_sql() -> str:
     rounds unroll in a loop."""
     d2 = (
         "list_reduce(list_transform(range(1, len({sv}) + 1), "
-        "i -> ({sv}[i] - {c}[i] / 1000000.0) "
-        "* ({sv}[i] - {c}[i] / 1000000.0)), (x, y) -> x + y)"
+        "i -> ({sv}[i] - {c}[i] / " + str(float(EMB_SCALE)) + ") "
+        "* ({sv}[i] - {c}[i] / " + str(float(EMB_SCALE)) + ")), (x, y) -> x + y)"
     )
     parts = [f"""
     WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -384,6 +384,25 @@ def html_escape_col(c):
     return F.replace(c, F.lit(">"), F.lit("&gt;"))
 
 
+def doc_page_exprs() -> "tuple[Column, Column, Column]":
+    """(url, warc_ts, html) expressions over a documents frame — the
+    ONE definition of the synthetic page shape. Shared by
+    pages_from_documents and the metrics-report fault injector so a
+    chrome/url change can't leave a consumer silently measuring a page
+    shape the pipeline no longer produces."""
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1740787200) + F.col("doc_id"))
+    html_str = F.concat(
+        F.lit(_DOC_CHROME_HEAD + "<article><p>"),
+        html_escape_col(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit("</p></article>" + _CHROME_FOOT),
+    )
+    return url, warc_ts, F.encode(html_str, "UTF-8")
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap /root/testdata documents.text in deterministic page chrome.
 
@@ -392,18 +411,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant for the Spark pipeline.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    html_str = F.concat(
-        F.lit(_DOC_CHROME_HEAD + "<article><p>"),
-        html_escape_col(F.coalesce(F.col("text"), F.lit(""))),
-        F.lit("</p></article>" + _CHROME_FOOT),
-    )
+    url, warc_ts, html = doc_page_exprs()
     return docs.select(
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        F.timestamp_seconds(F.lit(1740787200) + F.col("doc_id")).alias("warc_ts"),
-        F.encode(html_str, "UTF-8").alias("html"),
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
         F.col("text"),
         F.col("lang"),
     )

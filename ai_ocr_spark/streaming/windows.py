@@ -347,11 +347,15 @@ def stream_session_windows(spark: "SparkSession", sf_dir: str) -> DataFrame:
 
 SESSION_WINDOWS_ORACLE_SQL = """
     WITH s AS (
+        -- EXACT timestamp arithmetic, not floor(epoch) seconds:
+        -- session_window compares microsecond timestamps, so a pair
+        -- 1799.9s apart whose floored diff is 1800 must MERGE (found
+        -- as a 1-row mismatch at sf0.1; the batch window_sessionize
+        -- twin floors on BOTH sides, so it is internally consistent
+        -- but intentionally second-granular)
         SELECT user_id, event_id, ts, value,
-               CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
-                      OR CAST(floor(epoch(ts)) AS BIGINT)
-                         - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w
-                         >= 1800
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -698,7 +698,12 @@ def test_mix_epochs_schedule_invariants(spark):
     )
 
     out = sample_mix_epochs(spark, SF01).toPandas()
-    assert (out["epochs"] >= 1).all()
+    pos = out["quota_tokens"] > 0
+    assert (out.loc[pos, "epochs"] >= 1).all()
+    zero = out[~pos]
+    assert (zero["epochs"] == 0).all()
+    assert (zero["last_epoch_frac_scaled"] == 0).all()
+    assert (~zero["upsampled"]).all()
     total = out["n_tokens"].sum()
     assert 0 <= EPOCH_BUDGET_MULT * total - out["quota_tokens"].sum() < len(out) * total
     # per-source accounting: (epochs-1)*n + frac*n/SCALE == quota
