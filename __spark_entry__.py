@@ -89,19 +89,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tier 3 — freshly-proven entries (green last round) sit behind the
                truncation line, where ageing is bounded by tier 2's
                fill next round.
-    r4 instantiation: tier 1 = 11 new (docx/bm25/bpe_pairs/bpe_train/
-    ivf_recall/kmeans/pq/perplexity/entropy/mix_epochs/metrics_report)
-    + the rewritten mm_* codecs (real BMP/WAV/Y4M + PNG) + everything
-    the Pregel co-partition pin and the docx sniff/label-table changes
-    touched (connected_components, minhash_lsh, pagerank,
-    keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 23; tier 2 = 27 of the 38 remaining r2-green entries
-    (only driver rows from round 2). The 11 r2 entries left outside
-    (filter_events_window, filter_keyword_headers, f_date_normalize,
+    r4 instantiation: tier 1 = 13 new (docx/bm25/bpe_pairs/bpe_train/
+    ivf_recall/kmeans/pq/perplexity/entropy/mix_epochs/metrics_report/
+    session_windows/resume_snapshot) + the rewritten mm_* codecs (real
+    BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin and
+    the docx sniff/label-table changes touched (connected_components,
+    minhash_lsh, pagerank, keep_canonical pair, search_keyword,
+    invoice/main_text/xlsx pipelines) = 25; tier 2 = 25 of the 38
+    remaining r2-green entries (only driver rows from round 2). The 13
+    r2 entries left outside (window_top3_events_per_user,
+    filter_events_window, filter_keyword_headers, f_date_normalize,
     f_amount_normalize, f_lang_detect, f_json_parse_fallback,
     agg_first3_events_per_user, f_clamp_score, f_doc_type_case,
-    union_head_tail, orders_page2 — simple scalar projections/slices,
-    unchanged since r1) lead tier 3 so r5's rotation picks them first.
+    union_head_tail, orders_page2, topk_parts_by_price — simple scalar
+    projections/slices/top-k, unchanged since r1) lead tier 3 so r5's
+    rotation picks them first.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ================= tier 1: changed or new in r4 =================
@@ -145,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with a sentinel flush; twin is the independent islands
         # construction (new in r4)
         "stream_session_windows": SW.stream_session_windows,
+        # snapshot-atomic resume value-checked: three runs against a
+        # growing pages dir — anti-join resume, idempotent no-op third
+        # run, lineage run_ids through the manifest (new in r4)
+        "pipeline_resume_snapshot": RT.pipeline_resume_snapshot,
         # the north rule's lineage/metrics table value-checked: metrics
         # re-keyed on the deterministic size-bucket half of the skew
         # key x content kind, two injected fault families (new in r4)
@@ -526,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
+        "pipeline_resume_snapshot": RT.RESUME_SNAPSHOT_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -426,3 +426,103 @@ def _metrics_report_oracle_sql() -> str:
 
 
 METRICS_REPORT_ORACLE_SQL = _metrics_report_oracle_sql()
+
+
+def pipeline_resume_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's "resumes idempotently from the last committed
+    snapshot" as a VALUE-CHECKED query, not just a pytest: three full
+    `run_extraction_job` invocations against a growing pages directory,
+    with the committed snapshot manifest as the checked output.
+
+      run-a   batch A only (doc_id % 3 != 0) -> commits snapshot 1
+      run-b   batch B arrives (the remaining third); the resume
+              anti-join (catalog.SnapshotTable.pending, J5) must
+              process ONLY the new urls -> snapshot 2. If the
+              anti-join leaked, run-b's counts would include batch A
+              again and the hash would flip.
+      run-c   nothing pending; the job must commit NO snapshot (the
+              empty-append removal path). If it wrongly committed, a
+              third run_id group (or inflated counts) appears.
+
+    Output: per committed run_id (carried through the kernel's lineage
+    struct), document count, non-empty extraction count and total
+    extracted chars — each reconstructed by the DuckDB twin from the
+    doc_id % 3 split and the pipeline's collapse-whitespace oracle
+    invariant. Exercises the snapshot-atomic append, the url anti-join
+    and the crash-reconciled metrics backfill (run_extraction_job
+    returns only after metrics parity) on the driver's hash-checked
+    surface.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipeline import doc_page_exprs, run_extraction_job
+    from ..streaming.util import write_ordered_file
+
+    stage = tempfile.mkdtemp(prefix="resume_snap_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        url, warc_ts, html = doc_page_exprs()
+        pages = docs.select(
+            F.col("doc_id"),
+            url.alias("url"),
+            warc_ts.alias("warc_ts"),
+            html.alias("html"),
+            "text",
+            "lang",
+        )
+        in_dir = os.path.join(stage, "pages")
+        os.makedirs(in_dir)
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        write_ordered_file(
+            pages.filter(F.col("doc_id") % 3 != 0).select(*cols),
+            os.path.join(in_dir, "batchA.parquet"),
+            1_700_000_000,
+        )
+        out_root = os.path.join(stage, "out")
+        run_extraction_job(spark, in_dir, out_root, run_id="run-a")
+        # batch B lands; resume must process ONLY the new urls
+        write_ordered_file(
+            pages.filter(F.col("doc_id") % 3 == 0).select(*cols),
+            os.path.join(in_dir, "batchB.parquet"),
+            1_700_000_100,
+        )
+        run_extraction_job(spark, in_dir, out_root, run_id="run-b")
+        # idempotency: nothing pending -> no third snapshot
+        run_extraction_job(spark, in_dir, out_root, run_id="run-c")
+
+        from ..catalog import SnapshotTable
+
+        table = SnapshotTable(f"{out_root}/extractions").read(spark)
+        nonempty = F.when(F.col("main_text") != "", 1).otherwise(0)
+        out = (
+            table.groupBy(F.col("lineage.run_id").alias("run_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(nonempty).cast("long").alias("n_nonempty"),
+                F.sum(F.length("main_text")).cast("long").alias("sum_chars"),
+            )
+        )
+        # materialize before the staging dir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+RESUME_SNAPSHOT_ORACLE_SQL = """
+    WITH m AS (
+        SELECT doc_id,
+               trim(regexp_replace(replace(coalesce(text, ''), chr(160), ' '),
+                    '\\s+', ' ', 'g')) AS mt
+        FROM documents
+    )
+    SELECT CASE WHEN doc_id % 3 <> 0 THEN 'run-a' ELSE 'run-b' END AS run_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN mt <> '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonempty,
+           CAST(sum(length(mt)) AS BIGINT) AS sum_chars
+    FROM m
+    GROUP BY 1
+"""
