@@ -89,21 +89,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tier 3 — freshly-proven entries (green last round) sit behind the
                truncation line, where ageing is bounded by tier 2's
                fill next round.
-    r4 instantiation: tier 1 = 13 new (docx/bm25/bpe_pairs/bpe_train/
-    ivf_recall/kmeans/pq/perplexity/entropy/mix_epochs/metrics_report/
-    session_windows/resume_snapshot) + the rewritten mm_* codecs (real
-    BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin and
-    the docx sniff/label-table changes touched (connected_components,
-    minhash_lsh, pagerank, keep_canonical pair, search_keyword,
-    invoice/main_text/xlsx pipelines) = 25; tier 2 = 25 of the 38
-    remaining r2-green entries (only driver rows from round 2). The 13
-    r2 entries left outside (window_top3_events_per_user,
-    filter_events_window, filter_keyword_headers, f_date_normalize,
-    f_amount_normalize, f_lang_detect, f_json_parse_fallback,
-    agg_first3_events_per_user, f_clamp_score, f_doc_type_case,
-    union_head_tail, orders_page2, topk_parts_by_price — simple scalar
-    projections/slices/top-k, unchanged since r1) lead tier 3 so r5's
-    rotation picks them first.
+    r4 instantiation: tier 1 = 14 new (docx/bm25/bpe_pairs/bpe_train/
+    ivf_recall/kmeans/pq/perplexity-unigram+bigram/entropy/mix_epochs/
+    metrics_report/session_windows/resume_snapshot) + the rewritten
+    mm_* codecs (real BMP/WAV/Y4M + PNG) + everything the Pregel
+    co-partition pin and the docx sniff/label-table changes touched
+    (connected_components, minhash_lsh, pagerank, keep_canonical pair,
+    search_keyword, invoice/main_text/xlsx pipelines) = 26; tier 2 =
+    24 of the 38 remaining r2-green entries (only driver rows from
+    round 2). The 14 r2 entries left outside
+    (join_anti_customers_without_orders, topk_parts_by_price,
+    window_top3_events_per_user, filter_events_window,
+    filter_keyword_headers, f_date_normalize, f_amount_normalize,
+    f_lang_detect, f_json_parse_fallback, agg_first3_events_per_user,
+    f_clamp_score, f_doc_type_case, union_head_tail, orders_page2 —
+    simple scalar projections/slices/top-k/anti-join, unchanged since
+    r1) lead tier 3 so r5's rotation picks them first.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ================= tier 1: changed or new in r4 =================
@@ -137,6 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slice, integer-ln cross-entropy, exact nearest-rank tertile
         # head/middle/tail buckets (new in r4)
         "quality_perplexity_unigram": QL.quality_perplexity_unigram,
+        # bigram-LM cross-entropy — one Markov order closer to CCNet's
+        # KenLM; both Zipf-keyed join-backs skew-split (new in r4)
+        "quality_perplexity_bigram": QL.quality_perplexity_bigram,
         # within-doc unigram entropy (Gopher/Dolma degenerate-text
         # signal), bit-exact via the same integer-ln table (new in r4)
         "text_token_entropy": QL.text_token_entropy,
@@ -530,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": SIM.PQ_ORACLE_SQL,
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
+        "quality_perplexity_bigram": QL.BIGRAM_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
         "pipeline_resume_snapshot": RT.RESUME_SNAPSHOT_ORACLE_SQL,

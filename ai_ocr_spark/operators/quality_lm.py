@@ -312,3 +312,160 @@ ENTROPY_ORACLE_SQL = f"""
            coalesce(o.low_entropy, TRUE) AS low_entropy
     FROM documents d LEFT JOIN scored o USING (doc_id)
 """
+
+
+def _skew_left_join(
+    rows: DataFrame, dim: DataFrame, key: str, valcol: str
+) -> DataFrame:
+    """Broadcast-head skew split for a LEFT join against a Zipf-keyed
+    dimension (the text_unigram_rarity pattern as a helper): the
+    top-HEAD_K dimension rows join as a broadcast map so the hot head
+    never rides the shuffle; only the de-skewed tail takes the shuffled
+    equi-join, and misses survive via left joins on both lanes."""
+    head = dim.orderBy(F.col(valcol).desc(), key).limit(HEAD_K)
+    with_head = rows.join(F.broadcast(head), key, "left")
+    hot = with_head.filter(F.col(valcol).isNotNull())
+    cold = (
+        with_head.filter(F.col(valcol).isNull())
+        .drop(valcol)
+        .join(dim, key, "left")
+    )
+    return hot.unionByName(cold)
+
+
+def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy — one Markov order closer to CCNet's
+    actual KenLM than the unigram gate: score each document by the mean
+    negative log of add-one-smoothed p(w2 | w1) under a bigram model
+    trained on the same hash-stable 20% slice.
+
+        p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + |V|)
+        lp_int   = iln((c12+1)*PREC) - iln((c1+|V|)*PREC)   [BIGINT]
+        ce2      = -mean(lp_int), truncating integer division
+
+    where c(w1 ·) counts bigrams STARTING with w1 in the slice (the
+    conditioning mass, so rows with unseen w1 fall back to 1/|V|), and
+    |V| is the slice's unigram vocabulary. Unlike the unigram gate the
+    denominator log varies per row, so both terms ride the join.
+
+    Scale shape: the bigram explode is corpus-sized but scan-side; BOTH
+    join-backs (bigram -> c12, left-token -> c1) are Zipf-keyed, so
+    each runs through the broadcast-head skew split (_skew_left_join).
+    Per-doc aggregation is one doc_id shuffle. The c·iln sums graduate
+    to DECIMAL(38,0) at 10^12-token corpora like the other integer-log
+    ops. Docs with < 2 tokens have no bigrams -> EMPTY_CE sentinel.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = TX.tokens(F.col("text"))
+    bigr = (
+        docs.select("doc_id", arr.alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("a"), i).alias("w1"),
+                        F.concat(
+                            F.element_at(F.col("a"), i),
+                            F.lit(" "),
+                            F.element_at(F.col("a"), i + 1),
+                        ).alias("bg"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.bg")
+    )
+    in_slice = TX.hash15(F.col("doc_id").cast("string")) % LM_MOD == 0
+    lm_bg = bigr.filter(in_slice).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    lm_c1 = bigr.filter(in_slice).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vrow = (
+        docs.filter(in_slice)
+        .select(F.explode(TX.tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t") != "")
+        .agg(F.count_distinct("t").alias("vsize"))
+    )
+    joined = _skew_left_join(
+        _skew_left_join(bigr, lm_bg, "bg", "c12"), lm_c1, "w1", "c1"
+    )
+    scored = (
+        joined.crossJoin(F.broadcast(vrow))
+        .withColumn("c12_1", F.coalesce(F.col("c12"), F.lit(0)) + 1)
+        .withColumn("c1_v", F.coalesce(F.col("c1"), F.lit(0)) + F.col("vsize"))
+        .withColumn(
+            "lp",
+            F.expr(_iln_sql(f"(c1_v * {PREC})", "spark"))
+            - F.expr(_iln_sql(f"(c12_1 * {PREC})", "spark")),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(lp) DIV count(1)").alias("ce2_scaled"),
+    )
+    return docs.select("doc_id").join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+            "n_bigrams"
+        ),
+        F.coalesce(F.col("ce2_scaled"), F.lit(EMPTY_CE)).cast("long").alias(
+            "ce2_scaled"
+        ),
+    )
+
+
+BIGRAM_ORACLE_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS a FROM documents
+    ),
+    bigr AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)),
+                   i -> a[i])) AS w1,
+               unnest(list_transform(range(1, len(a)),
+                   i -> a[i] || ' ' || a[i + 1])) AS bg
+        FROM tk WHERE len(a) >= 2
+    ),
+    sl AS (
+        SELECT * FROM bigr
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % {LM_MOD} = 0
+    ),
+    lm_bg AS (SELECT bg, count(*) AS c12 FROM sl GROUP BY bg),
+    lm_c1 AS (SELECT w1, count(*) AS c1 FROM sl GROUP BY w1),
+    vrow AS (
+        SELECT count(DISTINCT t) AS vsize FROM (
+            SELECT unnest(string_split({_NORM}, ' ')) AS t
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % {LM_MOD} = 0
+        ) WHERE t <> ''
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               {_iln_sql(
+                   f"((coalesce(c.c1, 0) + (SELECT vsize FROM vrow))"
+                   f" * {PREC})", "duckdb")}
+               - {_iln_sql(f"((coalesce(g.c12, 0) + 1) * {PREC})", "duckdb")}
+                   AS lp
+        FROM bigr b
+        LEFT JOIN lm_bg g USING (bg)
+        LEFT JOIN lm_c1 c USING (w1)
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(lp) AS BIGINT) // CAST(count(*) AS BIGINT)
+                   AS ce2_scaled
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.ce2_scaled, {EMPTY_CE}) AS ce2_scaled
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""

@@ -747,3 +747,78 @@ def test_ann_pq_recall_floor_and_code_compression(spark):
     # case); the floor guards against a broken codebook/ADC path, which
     # measured ~0.08-0.1
     assert recall >= 0.3, recall
+
+
+def test_perplexity_bigram_matches_python_bruteforce(spark):
+    """ce2_scaled equals an independent Python bigram-LM implementation
+    with the same integer-ln tables and tracks the float cross-entropy
+    to table precision; sub-2-token docs get the sentinel."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from ai_ocr_spark.operators.quality_lm import (
+        EMPTY_CE,
+        LM_MOD,
+        quality_perplexity_bigram,
+    )
+    from ai_ocr_spark.operators.search import (
+        BM25_LN2,
+        BM25_LN_TABLE,
+        BM25_LNPREC,
+        BM25_PREC,
+    )
+
+    def iln(v: int) -> int:
+        bits = v.bit_length()
+        return (
+            (bits - 1) * BM25_LN2
+            + BM25_LN_TABLE[(v >> max(bits - 9, 0)) - 256]
+            - BM25_LNPREC
+        )
+
+    def toks(t):
+        return [
+            w
+            for w in re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ")
+            if w
+        ]
+
+    out = quality_perplexity_bigram(spark, SF).toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+    bg_c: Counter = Counter()
+    c1_c: Counter = Counter()
+    vocab = set()
+    for _, row in docs.iterrows():
+        h = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:15], 16)
+        if h % LM_MOD != 0:
+            continue
+        tk = toks(row["text"])
+        vocab.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            bg_c[(a, b)] += 1
+            c1_c[a] += 1
+    V = len(vocab)
+
+    for _, row in docs.iterrows():
+        tk = toks(row["text"])
+        got = out.loc[row["doc_id"]]
+        if len(tk) < 2:
+            assert got["ce2_scaled"] == EMPTY_CE and got["n_bigrams"] == 0
+            continue
+        lps = [
+            iln((c1_c.get(a, 0) + V) * BM25_PREC)
+            - iln((bg_c.get((a, b), 0) + 1) * BM25_PREC)
+            for a, b in zip(tk, tk[1:])
+        ]
+        ce2 = sum(lps) // len(lps)
+        assert got["ce2_scaled"] == ce2 and got["n_bigrams"] == len(lps)
+        fce = -sum(
+            math.log(
+                (bg_c.get((a, b), 0) + 1) / (c1_c.get(a, 0) + V)
+            )
+            for a, b in zip(tk, tk[1:])
+        ) / len(lps)
+        assert abs(ce2 / BM25_PREC - fce) < 0.01
