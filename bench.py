@@ -116,6 +116,7 @@ def main() -> int:
         # rounds) are INSIDE the timed section, not amortized away
         "search_bm25_topk",
         "quality_perplexity_unigram",
+        "quality_perplexity_bigram",
         "text_token_entropy",
         "tokenizer_bpe_pairs",
         "tokenizer_bpe_train",
