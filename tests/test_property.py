@@ -220,3 +220,76 @@ def test_xls_emit_parse_roundtrip(sheets, title, author):
         assert parsed["rows"] == want
     assert wb["title"] == title
     assert wb["author"] == author
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    word=st.text(alphabet="ab c", min_size=0, max_size=24).map(
+        lambda s: s.replace(" ", "")
+    ),
+    left=st.sampled_from(["a", "b", "c", "ab", "bc", "abc"]),
+    right=st.sampled_from(["a", "b", "c", "ab", "bc", "abc"]),
+)
+def test_bpe_fold_merge_equals_replace_first_iteration(word, left, right):
+    """The cross-engine equivalence tokenizer_bpe_train rests on: the
+    Spark-side LEFT FOLD merge (greedy left-to-right non-overlapping)
+    produces the same symbol sequence as the DuckDB twin's
+    leftmost-first single replacement iterated to fixpoint — for ANY
+    symbol sequence and merge pair, including self-pairs over runs
+    (a a a a) and multi-char symbols."""
+    if not word:
+        return
+    # start from an arbitrary segmentation of `word` into the symbol
+    # alphabet by greedy longest-match (deterministic), so multi-char
+    # symbols occur
+    syms, i = [], 0
+    while i < len(word):
+        for cand in ("abc", "ab", "bc", "a", "b", "c"):
+            if word.startswith(cand, i):
+                syms.append(cand)
+                i += len(cand)
+                break
+
+    # Spark F.aggregate mirror: left fold
+    folded: list[str] = []
+    for x in syms:
+        if folded and folded[-1] == left and x == right:
+            folded[-1] = left + right
+        else:
+            folded.append(x)
+
+    # DuckDB recursive-CTE mirror: replace FIRST occurrence, iterate
+    pws = " " + " ".join(syms) + " "
+    pat = f" {left} {right} "
+    rep = f" {left}{right} "
+    while pat in pws:
+        k = pws.index(pat)
+        pws = pws[:k] + rep + pws[k + len(pat):]
+    assert pws.strip().split(" ") == folded
+
+
+@settings(max_examples=500, deadline=None)
+@given(x=st.integers(min_value=1, max_value=10**12))
+def test_integer_ln_table_tracks_math_log(x):
+    """The shared integer-ln (bit-length exponent + 256-entry mantissa
+    table) that BM25, HLL, perplexity and entropy all ride: for any
+    x >= 1, iln(x*PREC)/PREC approximates ln(x) within the table's
+    ~2^-8 bucket width — the bound the quality scores' docstrings
+    claim."""
+    import math
+
+    from ai_ocr_spark.operators.search import (
+        BM25_LN2,
+        BM25_LN_TABLE,
+        BM25_LNPREC,
+        BM25_PREC,
+    )
+
+    v = x * BM25_PREC
+    bits = v.bit_length()
+    iln = (
+        (bits - 1) * BM25_LN2
+        + BM25_LN_TABLE[(v >> max(bits - 9, 0)) - 256]
+        - BM25_LNPREC
+    )
+    assert abs(iln / BM25_PREC - math.log(x)) < math.log(1 + 1 / 256) + 1e-4
