@@ -78,18 +78,11 @@ def quality_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsize")
     ).select(F.expr(_iln_sql(f"((total + vsize) * {PREC})", "spark")).alias("ilden"))
 
-    # skew-split join-back (text_unigram_rarity pattern): broadcast head,
-    # shuffled tail; LEFT joins on both lanes keep OOV tokens (cnt -> 0)
-    head = lm.orderBy(F.col("cnt").desc(), "token").limit(HEAD_K)
-    with_head = tok.join(F.broadcast(head), "token", "left")
-    hot = with_head.filter(F.col("cnt").isNotNull())
-    cold = (
-        with_head.filter(F.col("cnt").isNull())
-        .drop("cnt")
-        .join(lm, "token", "left")
-    )
+    # skew-split join-back (the shared _skew_left_join helper):
+    # broadcast head, shuffled tail; LEFT joins on both lanes keep OOV
+    # tokens (cnt -> 0)
     scored = (
-        hot.unionByName(cold)
+        _skew_left_join(tok, lm, "token", "cnt")
         .withColumn("cnt1", F.coalesce(F.col("cnt"), F.lit(0)) + 1)
         .withColumn("lpn", F.expr(_iln_sql(f"(cnt1 * {PREC})", "spark")))
     )
@@ -379,12 +372,31 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "p.w1", "p.bg")
     )
     in_slice = TX.hash15(F.col("doc_id").cast("string")) % LM_MOD == 0
-    lm_bg = bigr.filter(in_slice).groupBy("bg").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
-    lm_c1 = bigr.filter(in_slice).groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1")
-    )
+    # ONE slice scan builds the (w1, bg, c12) pair table — bg determines
+    # w1, so this is bigram-vocabulary-sized — and c1 derives from it as
+    # sum(c12) over w1 without a second corpus pass. The pair table and
+    # the scoring-side bigram frame are persisted+memoized per
+    # (session, sf_dir) like the IVF index: the two skew-split joins'
+    # four hot/cold lanes read the cache instead of re-running the
+    # tokenize+explode four times.
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    key = _cache_key(spark, sf_dir, "bigram-lm")
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is None:
+        pc = (
+            bigr.filter(in_slice)
+            .groupBy("w1", "bg")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .persist()
+        )
+        bigr_c = bigr.persist()
+        pc.count()
+        _SHINGLE_CACHE[key] = (pc, bigr_c)
+    else:
+        pc, bigr_c = cached
+    lm_bg = pc.select("bg", "c12")
+    lm_c1 = pc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     vrow = (
         docs.filter(in_slice)
         .select(F.explode(TX.tokens(F.col("text"))).alias("t"))
@@ -392,7 +404,7 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("t").alias("vsize"))
     )
     joined = _skew_left_join(
-        _skew_left_join(bigr, lm_bg, "bg", "c12"), lm_c1, "w1", "c1"
+        _skew_left_join(bigr_c, lm_bg, "bg", "c12"), lm_c1, "w1", "c1"
     )
     scored = (
         joined.crossJoin(F.broadcast(vrow))

@@ -494,7 +494,13 @@ def pipeline_resume_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..catalog import SnapshotTable
 
-        table = SnapshotTable(f"{out_root}/extractions").read(spark)
+        snap = SnapshotTable(f"{out_root}/extractions")
+        table = snap.read(spark)
+        # the manifest snapshot count rides every row: run-c committing
+        # a spurious EMPTY snapshot adds zero table rows (the grouped
+        # counts would not notice), but it would bump this to 3 and
+        # flip the hash against the twin's literal 2
+        n_snaps = len(snap.snapshots())
         nonempty = F.when(F.col("main_text") != "", 1).otherwise(0)
         out = (
             table.groupBy(F.col("lineage.run_id").alias("run_id"))
@@ -503,6 +509,7 @@ def pipeline_resume_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(nonempty).cast("long").alias("n_nonempty"),
                 F.sum(F.length("main_text")).cast("long").alias("sum_chars"),
             )
+            .withColumn("n_snapshots", F.lit(n_snaps).cast("long"))
         )
         # materialize before the staging dir vanishes
         rows = out.collect()
@@ -522,7 +529,8 @@ RESUME_SNAPSHOT_ORACLE_SQL = """
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN mt <> '' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_nonempty,
-           CAST(sum(length(mt)) AS BIGINT) AS sum_chars
+           CAST(sum(length(mt)) AS BIGINT) AS sum_chars,
+           CAST(2 AS BIGINT) AS n_snapshots
     FROM m
     GROUP BY 1
 """

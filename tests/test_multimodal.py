@@ -327,3 +327,62 @@ def test_png_codec_boundary():
         _decode_png(b"\x89PNX\r\n\x1a\n")
     with pytest.raises(ValueError):  # missing scanline data
         _decode_png(with_ihdr())
+
+
+def test_png_multiblock_stored_deflate(spark, tmp_path):
+    """A document large enough for >2 stored-DEFLATE blocks still emits
+    a spec-valid PNG (chunk CRCs, zlib inflate incl. the Adler trailer,
+    IDAT length accounting for per-block headers) and round-trips
+    through the decoder — the corpus never exercises nblk > 1, so this
+    fixture pins the chunking, the BFINAL flag and the 5*nblk length
+    term."""
+    import os
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_ocr_spark.operators.multimodal import (
+        _PNG_BLOCK,
+        _decode_png,
+        media_from_documents,
+    )
+
+    long_text = ("lorem ipsum dolor sit amet " * 1500)[:40000]  # ~45 KB raw
+    df = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": [long_text],
+            "lang": ["en"],
+            "source": ["big"],
+            "n_chars": [len(long_text)],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df), os.path.join(tmp_path, "documents.parquet")
+    )
+    b = bytes(
+        media_from_documents(spark, str(tmp_path)).collect()[0]["media"]
+    )
+    assert b[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, []
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        ctype, data = b[pos + 4 : pos + 8], b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+        assert crc == zlib.crc32(ctype + data), ctype
+        chunks.append((ctype, data))
+        pos += 12 + ln
+    assert pos == len(b) and [c for c, _ in chunks] == [
+        b"IHDR",
+        b"IDAT",
+        b"IEND",
+    ]
+    raw = zlib.decompress(chunks[1][1])  # verifies Adler-32 too
+    hgt = max(1, len(long_text.encode()) // 8)
+    assert len(raw) == hgt * 9
+    assert (len(raw) + _PNG_BLOCK - 1) // _PNG_BLOCK >= 3  # really multi-block
+    w, h, pix = _decode_png(b)
+    want = long_text.encode()[: hgt * 8]
+    assert (w, h) == (8, hgt) and bytes(pix[: len(want)]) == want

@@ -706,11 +706,13 @@ def test_mix_epochs_schedule_invariants(spark):
     assert (~zero["upsampled"]).all()
     total = out["n_tokens"].sum()
     assert 0 <= EPOCH_BUDGET_MULT * total - out["quota_tokens"].sum() < len(out) * total
-    # per-source accounting: (epochs-1)*n + frac*n/SCALE == quota
-    got = (out["epochs"] - 1) * out["n_tokens"] + (
-        out["last_epoch_frac_scaled"] * out["n_tokens"]
+    # per-source accounting (quota > 0 only — zero-quota rows report
+    # 0/0/false by design): (epochs-1)*n + frac*n/SCALE == quota
+    op = out[pos]
+    got = (op["epochs"] - 1) * op["n_tokens"] + (
+        op["last_epoch_frac_scaled"] * op["n_tokens"]
     ) // EPOCH_FRAC_SCALE
-    assert ((out["quota_tokens"] - got).abs() <= out["n_tokens"] // EPOCH_FRAC_SCALE + 1).all()
+    assert ((op["quota_tokens"] - got).abs() <= op["n_tokens"] // EPOCH_FRAC_SCALE + 1).all()
     assert (out["upsampled"] == (out["epochs"] >= 2)).all()
     # sqrt smoothing: the biggest source is downweighted below MULT
     # epochs, the smallest is repeated above MULT
