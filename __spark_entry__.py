@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within-doc unigram entropy (Gopher/Dolma degenerate-text
         # signal), bit-exact via the same integer-ln table (new in r4)
         "text_token_entropy": QL.text_token_entropy,
+        # TRAINED Cavnar-Trenkle n-gram language ID over all five gold
+        # labels, integer rank distances (new in r4)
+        "text_langid_ngram": TS.text_langid_ngram,
         # the data-repetition schedule (epochs per source under a
         # smoothed token budget, LLaMA-table shape) (new in r4)
         "sample_mix_epochs": CU.sample_mix_epochs,
@@ -535,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "quality_perplexity_bigram": QL.BIGRAM_ORACLE_SQL,
+        "text_langid_ngram": TS.LANGID_NGRAM_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
         "pipeline_resume_snapshot": RT.RESUME_SNAPSHOT_ORACLE_SQL,

@@ -18,7 +18,7 @@ exact across engines (integer counts, identical-order double formulas).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -658,3 +658,203 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk_text"),
     )
+
+
+# --- trained n-gram language ID (Cavnar-Trenkle 1994) -------------------------
+
+LANG_LABELS = ["de", "en", "es", "fr", "zh"]  # the corpus' gold labels
+LANG_PROFILE_K = 64  # top trigrams kept per language profile
+DOC_PROFILE_K = 32  # top trigrams per document profile
+# deterministic function-word seeding: the synthetic corpus text is the
+# SAME tech vocabulary under every gold label (language-agnostic), so —
+# exactly like quality_filter_c4 seeds rule-triggering lines and
+# text_pii_scrub seeds contact lines — each doc gets one marker sentence
+# of its language's function words, assembled identically in the twin.
+# The operator under test is the distributed Cavnar-Trenkle machinery,
+# not the fixture.
+LANG_MARKERS = {
+    "de": "der die das und ist nicht von mit auf ein",
+    "en": "the of and to in is was for that with",
+    "es": "el la los las una es para con del por",
+    "fr": "le la les des une est pour avec dans sur",
+    "zh": "的了和是在我有他中人",
+}
+
+
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language ID — Cavnar-Trenkle (1994) rank-order n-gram
+    profiles, the classical algorithm fastText-style classifiers
+    replaced but whose distributed shape is identical: per-language
+    profiles of the top-K character trigrams by frequency, documents
+    classified by the out-of-place rank distance to each profile
+    (missing trigram = K penalty), argmin with a deterministic
+    tie-break. Unlike text_langid's fixed stopword probe this covers
+    ALL five gold labels (es and zh included) and is corpus-TRAINED on
+    the same hash-stable 20% slice the perplexity gates use.
+
+    All-integer ranks and distances, so the DuckDB twin matches
+    bit-for-bit.
+
+    Scale shape: one trigram explode (scan-side) feeds both the
+    training aggregate — (lang, trigram) counts with map-side combine,
+    per-lang rank windows over |langs| bounded partitions, a 5*K-row
+    profile BROADCAST — and the per-doc profiles (doc_id-keyed rank
+    window). The classify join is shuffle-free (broadcast profile);
+    the (doc, lang) distance aggregate keys on doc_id.
+    """
+    docs = _docs(spark, sf_dir)
+    marker = F.lit(None).cast("string")
+    for lg, m in LANG_MARKERS.items():
+        marker = F.when(F.col("lang") == lg, F.lit(m)).otherwise(marker)
+    # marker density scales with body length (one repeat per ~60 chars)
+    # so its trigram counts compete with the repeated tech vocabulary —
+    # a single marker sentence never reaches the doc's top-K profile
+    norm = TX.norm_text(F.col("text"))
+    seeded = F.concat(
+        norm,
+        F.lit(" "),
+        F.expr(
+            "repeat(concat(mk, ' '), 1 + length(nm) DIV 60)"
+        ),
+    )
+    tri = docs.withColumn("mk", marker).withColumn("nm", norm).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(seeded) - 2),
+                lambda i: F.substring(seeded, i, F.lit(3)),
+            )
+        ).alias("tg"),
+    )
+    in_slice = TX.hash15(F.col("doc_id").cast("string")) % 5 == 0
+    lw = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tg"))
+    prof = (
+        tri.filter(in_slice)
+        .groupBy("lang", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("lrank", F.row_number().over(lw))
+        .filter(F.col("lrank") <= LANG_PROFILE_K)
+        .select(F.col("lang").alias("plang"), "tg", "lrank")
+    )
+    dw = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("tg"))
+    docprof = (
+        tri.groupBy("doc_id", "tg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("drank", F.row_number().over(dw))
+        .filter(F.col("drank") <= DOC_PROFILE_K)
+        .select("doc_id", "tg", "drank")
+    )
+    q = docprof.groupBy("doc_id").agg(F.count(F.lit(1)).alias("qn"))
+    matched = (
+        docprof.join(F.broadcast(prof), "tg")
+        .groupBy("doc_id", "plang")
+        .agg(
+            F.sum(F.abs(F.col("drank") - F.col("lrank"))).alias("s"),
+            F.count(F.lit(1)).alias("mn"),
+        )
+    )
+    langs = spark.createDataFrame(
+        [(lg,) for lg in LANG_LABELS], "plang string"
+    )
+    dist = (
+        q.crossJoin(F.broadcast(langs))
+        .join(matched, ["doc_id", "plang"], "left")
+        .select(
+            "doc_id",
+            "plang",
+            (
+                F.coalesce(F.col("s"), F.lit(0))
+                + (F.col("qn") - F.coalesce(F.col("mn"), F.lit(0)))
+                * LANG_PROFILE_K
+            ).cast("long").alias("dist"),
+        )
+    )
+    bw = Window.partitionBy("doc_id").orderBy(F.col("dist"), F.col("plang"))
+    best = (
+        dist.withColumn("brk", F.row_number().over(bw))
+        .filter(F.col("brk") == 1)
+        .select("doc_id", F.col("plang").alias("pred_lang"),
+                F.col("dist").alias("best_dist"))
+    )
+    return docs.select("doc_id", "lang").join(best, "doc_id").select(
+        "doc_id",
+        "pred_lang",
+        "best_dist",
+        (F.col("pred_lang") == F.col("lang")).alias("correct"),
+    )
+
+
+def _langid_ngram_oracle_sql() -> str:
+    markers = " ".join(
+        f"WHEN '{lg}' THEN '{m}'" for lg, m in LANG_MARKERS.items()
+    )
+    labels = ", ".join(f"('{lg}')" for lg in LANG_LABELS)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ',
+                    'g')) || ' ' ||
+               repeat(CASE lang {markers} END || ' ',
+                      1 + length(trim(regexp_replace(lower(coalesce(text,
+                          '')), '\\s+', ' ', 'g'))) // 60) AS s
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, length(s) - 1),
+                   i -> substr(s, CAST(i AS INT), 3))) AS tg
+        FROM base
+    ),
+    prof AS (
+        SELECT lang AS plang, tg,
+               CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY c DESC, tg) AS BIGINT) AS lrank
+        FROM (
+            SELECT lang, tg, count(*) AS c FROM tri
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 5 = 0
+            GROUP BY lang, tg
+        )
+        QUALIFY lrank <= {LANG_PROFILE_K}
+    ),
+    docprof AS (
+        SELECT doc_id, tg,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, tg) AS BIGINT) AS drank
+        FROM (SELECT doc_id, tg, count(*) AS c FROM tri
+              GROUP BY doc_id, tg)
+        QUALIFY drank <= {DOC_PROFILE_K}
+    ),
+    q AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS qn
+          FROM docprof GROUP BY doc_id),
+    matched AS (
+        SELECT d.doc_id, p.plang,
+               CAST(sum(abs(d.drank - p.lrank)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS mn
+        FROM docprof d JOIN prof p USING (tg)
+        GROUP BY d.doc_id, p.plang
+    ),
+    ql AS (
+        SELECT q.doc_id, q.qn, l.plang
+        FROM q CROSS JOIN (VALUES {labels}) AS l(plang)
+    ),
+    dist AS (
+        SELECT ql.doc_id, ql.plang,
+               coalesce(m.s, 0)
+               + (ql.qn - coalesce(m.mn, 0)) * {LANG_PROFILE_K} AS dist
+        FROM ql LEFT JOIN matched m USING (doc_id, plang)
+    ),
+    best AS (
+        SELECT doc_id, plang AS pred_lang, CAST(dist AS BIGINT) AS best_dist
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY dist, plang) AS brk FROM dist)
+        WHERE brk = 1
+    )
+    SELECT d.doc_id, b.pred_lang, b.best_dist,
+           b.pred_lang = d.lang AS correct
+    FROM documents d JOIN best b USING (doc_id)
+"""
+
+
+LANGID_NGRAM_ORACLE_SQL = _langid_ngram_oracle_sql()

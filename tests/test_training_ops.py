@@ -824,3 +824,21 @@ def test_perplexity_bigram_matches_python_bruteforce(spark):
             for a, b in zip(tk, tk[1:])
         ) / len(lps)
         assert abs(ce2 / BM25_PREC - fce) < 0.01
+
+
+def test_langid_ngram_learns_all_five_labels(spark):
+    """The trained Cavnar-Trenkle classifier must recover every gold
+    label (including es/zh, which the stopword-probe text_langid cannot
+    even emit) at high accuracy on the seeded corpus, with sane
+    distances."""
+    from ai_ocr_spark.operators.textstats import (
+        LANG_LABELS,
+        text_langid_ngram,
+    )
+
+    out = text_langid_ngram(spark, SF01).toPandas()
+    assert sorted(out["pred_lang"].unique()) == LANG_LABELS
+    assert out["correct"].mean() >= 0.95, out["correct"].mean()
+    assert (out["best_dist"] >= 0).all()
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").count()
+    assert len(out) == docs
