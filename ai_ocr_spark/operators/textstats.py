@@ -702,7 +702,11 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     window). The classify join is shuffle-free (broadcast profile);
     the (doc, lang) distance aggregate keys on doc_id.
     """
-    docs = _docs(spark, sf_dir)
+    # one-split testdata parquet (CLAUDE.md footgun): repartition to
+    # width BEFORE the trigram explode or the whole corpus tokenizes
+    # in a single task (measured 31.5s -> ~3s at sf0.1)
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    docs = _docs(spark, sf_dir).repartition(par)
     marker = F.lit(None).cast("string")
     for lg, m in LANG_MARKERS.items():
         marker = F.when(F.col("lang") == lg, F.lit(m)).otherwise(marker)

@@ -118,6 +118,7 @@ def main() -> int:
         "quality_perplexity_unigram",
         "quality_perplexity_bigram",
         "text_token_entropy",
+        "text_langid_ngram",
         "tokenizer_bpe_pairs",
         "tokenizer_bpe_train",
         "embedding_kmeans",
