@@ -145,6 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within-doc unigram entropy (Gopher/Dolma degenerate-text
         # signal), bit-exact via the same integer-ln table (new in r4)
         "text_token_entropy": QL.text_token_entropy,
+        # DCLM-style LEARNED quality classifier: multinomial NB trained
+        # on provenance labels, integer log-likelihood-ratio score, no
+        # truncating division on negatives (new in r4)
+        "quality_classifier_nb": QL.quality_classifier_nb,
         # TRAINED Cavnar-Trenkle n-gram language ID over all five gold
         # labels, integer rank distances (new in r4)
         "text_langid_ngram": TS.text_langid_ngram,
@@ -539,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "quality_perplexity_bigram": QL.BIGRAM_ORACLE_SQL,
+        "quality_classifier_nb": QL.NB_ORACLE_SQL,
         "text_langid_ngram": TS.LANGID_NGRAM_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,

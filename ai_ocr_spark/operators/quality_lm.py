@@ -146,6 +146,200 @@ def quality_perplexity_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NORM = r"trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))"
 
+NB_POS_MOD = 4  # hash15(source) % NB_POS_MOD == 0 -> positive provenance
+_H15 = "CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCLM/fastText-style model-based quality classifier — multinomial
+    Naive Bayes trained on provenance labels, scored as an integer
+    log-likelihood ratio.
+
+    The modern curation stack (DCLM, FineWeb-Edu, Llama's "quality
+    classifier") gates documents on a LEARNED discriminative score, not
+    just rule gates (quality_filter_gopher/_c4) or a one-class LM
+    (quality_perplexity_*). The canonical recipe trains a linear
+    classifier on bag-of-words features where the positive set is a
+    trusted provenance pool and the negative set is raw crawl — NB with
+    Laplace smoothing IS that linear model, and its weights are pure
+    count arithmetic, so the whole train+score loop stays inside
+    DataFrame aggregates with a bit-exact DuckDB twin:
+
+      label        pos(source)  := hash15(source) % NB_POS_MOD == 0
+                   (the stand-in for "curated provenance" — content-
+                   independent and engine-identical)
+      train slice  hash15(doc_id) % LM_MOD == 0  (same 20% slice as the
+                   perplexity gates; the other 80% is honestly unseen)
+      w(t)         iln((c_pos(t)+1)*PREC) - iln((c_neg(t)+1)*PREC)
+      kden         iln((T_pos+|V|)*PREC) - iln((T_neg+|V|)*PREC)
+      prior        iln((D_pos+1)*PREC) - iln((D_neg+1)*PREC)
+      score(d)     prior + sum_t w(t) - n_tok(d) * kden      [BIGINT]
+      pred_hi      score(d) > 0
+
+    i.e. the exact smoothed NB decision function ln P(pos|d)/P(neg|d);
+    every term is integer via the shared 256-entry ln table, and the
+    score is a SUM (never a mean), so no truncating division touches a
+    possibly-negative numerator — Spark DIV and DuckDB // only agree on
+    positives (CLAUDE.md), and this operator never needs one.
+
+    Scale shape (the part that must survive 10^12 docs): ONE token
+    shuffle builds the two class-conditional count columns in the same
+    aggregate (map-side combine; no per-class scan); the weight
+    join-back is Zipf-keyed so it rides the broadcast-head skew split
+    (_skew_left_join, ordered by total class mass); per-doc scoring is
+    one doc_id shuffle; all model state (kden, prior) is a broadcast
+    one-row frame. OOV tokens take w = 0 via the left-join coalesce —
+    the true smoothed ratio for an unseen token is -kden per unit mass,
+    which the n_tok * kden term already pays, so OOV contributes exactly
+    its NB share.
+
+    Reference parity: the reference's quality gate is an LLM-reported
+    confidence threshold (src/processor/app/extractors/
+    langchain_extractor.py, confidence field); this rebuilds that
+    accept/reject stage as a corpus-trained discriminative score with a
+    distributed plan.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = TX.hash15(F.col("source")) % NB_POS_MOD == 0
+    in_slice = TX.hash15(F.col("doc_id").cast("string")) % LM_MOD == 0
+
+    tok = docs.select(
+        "doc_id",
+        pos.alias("pos"),
+        F.explode(TX.tokens(F.col("text"))).alias("token"),
+    ).filter(F.col("token") != "")
+
+    lm = (
+        tok.filter(in_slice)
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("cp"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("cn"),
+        )
+    )
+    # one-row model state: class-mass denominators + smoothed doc prior
+    kden = lm.agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn"), F.count(F.lit(1)).alias("v")
+    ).select(
+        (
+            F.expr(_iln_sql(f"((tp + v) * {PREC})", "spark"))
+            - F.expr(_iln_sql(f"((tn + v) * {PREC})", "spark"))
+        ).alias("kden")
+    )
+    prior = (
+        docs.filter(in_slice)
+        .agg(
+            F.sum(F.when(pos, 1).otherwise(0)).alias("dp"),
+            F.sum(F.when(~pos, 1).otherwise(0)).alias("dn"),
+        )
+        .select(
+            (
+                F.expr(_iln_sql(f"((dp + 1) * {PREC})", "spark"))
+                - F.expr(_iln_sql(f"((dn + 1) * {PREC})", "spark"))
+            ).alias("prior")
+        )
+    )
+    stats = kden.crossJoin(prior)
+
+    # weight table, packed (cnt, w) so the skew helper's head pick
+    # orders by total class mass while the payload rides along
+    wt = lm.select(
+        "token",
+        F.struct(
+            (F.col("cp") + F.col("cn")).alias("cnt"),
+            (
+                F.expr(_iln_sql(f"((cp + 1) * {PREC})", "spark"))
+                - F.expr(_iln_sql(f"((cn + 1) * {PREC})", "spark"))
+            ).alias("w"),
+        ).alias("v"),
+    )
+    scored = _skew_left_join(tok.select("doc_id", "token"), wt, "token", "v")
+    perdoc = scored.select(
+        "doc_id", F.coalesce(F.col("v.w"), F.lit(0)).alias("w")
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"), F.sum("w").alias("sw")
+    )
+
+    return (
+        docs.select("doc_id", (TX.hash15(F.col("source")) % NB_POS_MOD == 0).alias("label_pos"))
+        .join(perdoc, "doc_id", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "label_pos",
+            F.coalesce(F.col("n_tok"), F.lit(0)).cast("long").alias("n_tok"),
+            (
+                F.col("prior")
+                + F.coalesce(F.col("sw"), F.lit(0))
+                - F.coalesce(F.col("n_tok"), F.lit(0)) * F.col("kden")
+            ).cast("long").alias("nb_llr_scaled"),
+        )
+        .withColumn("pred_hi", F.col("nb_llr_scaled") > 0)
+    )
+
+
+_POS = "(" + _H15.format(x="source") + f" % {NB_POS_MOD} = 0)"
+_SLICE = _H15.format(x="doc_id") + f" % {LM_MOD} = 0"
+
+NB_ORACLE_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id, {_POS} AS pos,
+               unnest(string_split({_NORM}, ' ')) AS token
+        FROM documents
+    ),
+    tk AS (SELECT * FROM tok WHERE token <> ''),
+    lm AS (
+        SELECT token,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+               CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS cn
+        FROM tk WHERE {_SLICE} GROUP BY token
+    ),
+    kden AS (
+        SELECT {_iln_sql(
+            f"((CAST(sum(cp) AS BIGINT) + count(*)) * {PREC})", "duckdb")}
+             - {_iln_sql(
+            f"((CAST(sum(cn) AS BIGINT) + count(*)) * {PREC})", "duckdb")}
+               AS kden
+        FROM lm
+    ),
+    prior AS (
+        SELECT {_iln_sql(
+            "((CAST(sum(CASE WHEN " + _POS + " THEN 1 ELSE 0 END) AS BIGINT)"
+            f" + 1) * {PREC})", "duckdb")}
+             - {_iln_sql(
+            "((CAST(sum(CASE WHEN NOT " + _POS
+            + " THEN 1 ELSE 0 END) AS BIGINT)"
+            f" + 1) * {PREC})", "duckdb")}
+               AS prior
+        FROM documents WHERE {_SLICE}
+    ),
+    wt AS (
+        SELECT token,
+               {_iln_sql(f"((cp + 1) * {PREC})", "duckdb")}
+             - {_iln_sql(f"((cn + 1) * {PREC})", "duckdb")} AS w
+        FROM lm
+    ),
+    perdoc AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(coalesce(wt.w, 0)) AS BIGINT) AS sw
+        FROM tk t LEFT JOIN wt USING (token)
+        GROUP BY t.doc_id
+    ),
+    final AS (
+        SELECT d.doc_id,
+               {_POS.replace("source", "d.source")} AS label_pos,
+               coalesce(p.n_tok, 0) AS n_tok,
+               (SELECT prior FROM prior) + coalesce(p.sw, 0)
+                 - coalesce(p.n_tok, 0) * (SELECT kden FROM kden)
+                   AS nb_llr_scaled
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    )
+    SELECT doc_id, label_pos, n_tok, nb_llr_scaled,
+           nb_llr_scaled > 0 AS pred_hi
+    FROM final
+"""
+
 PERPLEXITY_ORACLE_SQL = f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token

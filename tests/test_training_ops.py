@@ -842,3 +842,90 @@ def test_langid_ngram_learns_all_five_labels(spark):
     assert (out["best_dist"] >= 0).all()
     docs = spark.read.parquet(f"{SF01}/documents.parquet").count()
     assert len(out) == docs
+
+
+def test_quality_classifier_nb_is_exact_smoothed_nb(spark):
+    """Pure-Python multinomial NB (Laplace-smoothed, trained on the
+    hash-stable 20% slice with provenance labels) must reproduce every
+    integer LLR bit-for-bit; the integer score tracks the true float
+    log P(pos|d)/P(neg|d) to table precision; predictions are
+    non-degenerate."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from ai_ocr_spark.operators.quality_lm import (
+        LM_MOD,
+        NB_POS_MOD,
+        quality_classifier_nb,
+    )
+    from ai_ocr_spark.operators.search import (
+        BM25_LN2,
+        BM25_LN_TABLE,
+        BM25_LNPREC,
+        BM25_PREC,
+    )
+
+    def iln(v: int) -> int:
+        bits = v.bit_length()
+        mant = (v >> max(bits - 9, 0)) - 256
+        return (bits - 1) * BM25_LN2 + BM25_LN_TABLE[mant] - BM25_LNPREC
+
+    def h15(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def toks(t):
+        return [w for w in re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ") if w]
+
+    out = quality_classifier_nb(spark, SF).toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+    cp: Counter = Counter()
+    cn: Counter = Counter()
+    dp = dn = 0
+    for _, row in docs.iterrows():
+        if h15(str(row["doc_id"])) % LM_MOD != 0:
+            continue
+        if h15(row["source"]) % NB_POS_MOD == 0:
+            cp.update(toks(row["text"]))
+            dp += 1
+        else:
+            cn.update(toks(row["text"]))
+            dn += 1
+    vocab = set(cp) | set(cn)
+    tp, tn, v = sum(cp.values()), sum(cn.values()), len(vocab)
+    kden = iln((tp + v) * BM25_PREC) - iln((tn + v) * BM25_PREC)
+    prior = iln((dp + 1) * BM25_PREC) - iln((dn + 1) * BM25_PREC)
+
+    for _, row in docs.iterrows():
+        got = out.loc[row["doc_id"]]
+        tk = toks(row["text"])
+        label = h15(row["source"]) % NB_POS_MOD == 0
+        sw = sum(
+            iln((cp.get(t, 0) + 1) * BM25_PREC)
+            - iln((cn.get(t, 0) + 1) * BM25_PREC)
+            if t in vocab
+            else 0
+            for t in tk
+        )
+        score = prior + sw - len(tk) * kden
+        assert got["label_pos"] == label
+        assert got["n_tok"] == len(tk)
+        assert got["nb_llr_scaled"] == score
+        assert got["pred_hi"] == (score > 0)
+        # integer LLR tracks the real smoothed NB decision function:
+        # every token contributes one table-rounded ln, so the bound
+        # scales with n_tok + 2 (prior + denominator terms)
+        fscore = (
+            math.log((dp + 1) / (dn + 1))
+            + sum(
+                math.log((cp.get(t, 0) + 1) / (tp + v))
+                - math.log((cn.get(t, 0) + 1) / (tn + v))
+                for t in tk
+            )
+        )
+        assert abs(score / BM25_PREC - fscore) < 0.004 * (len(tk) + 2)
+
+    # the gate is a real decision boundary at this sf, not a constant
+    assert out["pred_hi"].nunique() == 2
