@@ -89,16 +89,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tier 3 — freshly-proven entries (green last round) sit behind the
                truncation line, where ageing is bounded by tier 2's
                fill next round.
-    r4 instantiation: tier 1 = 15 new (docx/bm25/bpe_pairs/bpe_train/
+    r4 instantiation: tier 1 = 16 new (docx/bm25/bpe_pairs/bpe_train/
     ivf_recall/kmeans/pq/perplexity-unigram+bigram/entropy/
-    langid_ngram/mix_epochs/metrics_report/session_windows/
-    resume_snapshot) + the rewritten mm_* codecs (real BMP/WAV/Y4M +
-    PNG) + everything the Pregel co-partition pin and the docx
-    sniff/label-table changes touched (connected_components,
+    classifier_nb/langid_ngram/mix_epochs/metrics_report/
+    session_windows/resume_snapshot) + the rewritten mm_* codecs (real
+    BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin and
+    the docx sniff/label-table changes touched (connected_components,
     minhash_lsh, pagerank, keep_canonical pair, search_keyword,
-    invoice/main_text/xlsx pipelines) = 27; tier 2 = 23 of the 38
-    remaining r2-green entries (only driver rows from round 2). The 15
-    r2 entries left outside (join_semi_orders_with_items,
+    invoice/main_text/xlsx pipelines) = 28; tier 2 = 22 of the 38
+    remaining r2-green entries (only driver rows from round 2). The 16
+    r2 entries left outside (agg_bool_checks,
+    join_semi_orders_with_items,
     join_anti_customers_without_orders, topk_parts_by_price,
     window_top3_events_per_user, filter_events_window,
     filter_keyword_headers, f_date_normalize, f_amount_normalize,
