@@ -89,16 +89,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tier 3 — freshly-proven entries (green last round) sit behind the
                truncation line, where ageing is bounded by tier 2's
                fill next round.
-    r4 instantiation: tier 1 = 16 new (docx/bm25/bpe_pairs/bpe_train/
+    r4 instantiation: tier 1 = 17 new (docx/bm25/bpe_pairs/bpe_train/
     ivf_recall/kmeans/pq/perplexity-unigram+bigram/entropy/
-    classifier_nb/langid_ngram/mix_epochs/metrics_report/
-    session_windows/resume_snapshot) + the rewritten mm_* codecs (real
-    BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin and
-    the docx sniff/label-table changes touched (connected_components,
-    minhash_lsh, pagerank, keep_canonical pair, search_keyword,
-    invoice/main_text/xlsx pipelines) = 28; tier 2 = 22 of the 38
-    remaining r2-green entries (only driver rows from round 2). The 16
-    r2 entries left outside (agg_bool_checks,
+    classifier_nb/classifier_eval_pr/langid_ngram/mix_epochs/
+    metrics_report/session_windows/resume_snapshot) + the rewritten
+    mm_* codecs (real BMP/WAV/Y4M + PNG) + everything the Pregel
+    co-partition pin and the docx sniff/label-table changes touched
+    (connected_components, minhash_lsh, pagerank, keep_canonical pair,
+    search_keyword, invoice/main_text/xlsx pipelines) = 29; tier 2 =
+    21 of the 38 remaining r2-green entries (only driver rows from
+    round 2), ending at agg_order_totals = position 50. The 17 r2
+    entries left outside (events_daily_metrics, agg_bool_checks,
     join_semi_orders_with_items,
     join_anti_customers_without_orders, topk_parts_by_price,
     window_top3_events_per_user, filter_events_window,
@@ -150,6 +151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on provenance labels, integer log-likelihood-ratio score, no
         # truncating division on negatives (new in r4)
         "quality_classifier_nb": QL.quality_classifier_nb,
+        # held-out PR/F1 sweep over a fixed threshold grid — the
+        # measured operating curve for the learned gate (new in r4)
+        "classifier_eval_pr": QL.classifier_eval_pr,
         # TRAINED Cavnar-Trenkle n-gram language ID over all five gold
         # labels, integer rank distances (new in r4)
         "text_langid_ngram": TS.text_langid_ngram,
@@ -219,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_nation_region_rollup": R.join_nation_region_rollup,
         "join_customer_orders": R.join_customer_orders,
         "agg_order_totals": R.agg_order_totals,
+        # ====== tier 3: behind the truncation line (position 51+) ======
+        # r2 leftovers nearest the line — r5 rotation picks these first
         "events_daily_metrics": R.events_daily_metrics,
         "agg_bool_checks": R.agg_bool_checks,
         "join_semi_orders_with_items": R.join_semi_orders_with_items,
@@ -232,8 +238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_lang_detect": R.f_lang_detect,
         "f_json_parse_fallback": R.f_json_parse_fallback,
         "agg_first3_events_per_user": R.agg_first3_events_per_user,
-        # ====== tier 3: behind the truncation line (position 51+) ======
-        # r2 leftovers nearest the line — r5 rotation picks these first
         "f_clamp_score": R.f_clamp_score,
         "f_doc_type_case": R.f_doc_type_case,
         "union_head_tail": R.union_head_tail,
@@ -545,6 +549,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "quality_perplexity_bigram": QL.BIGRAM_ORACLE_SQL,
         "quality_classifier_nb": QL.NB_ORACLE_SQL,
+        "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "text_langid_ngram": TS.LANGID_NGRAM_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,

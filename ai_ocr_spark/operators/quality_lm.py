@@ -281,8 +281,7 @@ def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POS = "(" + _H15.format(x="source") + f" % {NB_POS_MOD} = 0)"
 _SLICE = _H15.format(x="doc_id") + f" % {LM_MOD} = 0"
 
-NB_ORACLE_SQL = f"""
-    WITH tok AS (
+_NB_CTES = f"""tok AS (
         SELECT doc_id, {_POS} AS pos,
                unnest(string_split({_NORM}, ' ')) AS token
         FROM documents
@@ -334,10 +333,161 @@ NB_ORACLE_SQL = f"""
                  - coalesce(p.n_tok, 0) * (SELECT kden FROM kden)
                    AS nb_llr_scaled
         FROM documents d LEFT JOIN perdoc p USING (doc_id)
-    )
+    )"""
+
+NB_ORACLE_SQL = f"""
+    WITH {_NB_CTES}
     SELECT doc_id, label_pos, n_tok, nb_llr_scaled,
            nb_llr_scaled > 0 AS pred_hi
     FROM final
+"""
+
+
+EVAL_BINS = 10  # threshold grid resolution for classifier_eval_pr
+
+
+def classifier_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out precision/recall sweep for the learned quality gate —
+    the measured-honesty companion to quality_classifier_nb (the same
+    role ann_ivf_recall plays for the IVF index): before anyone trusts
+    a classifier threshold at 10^12 docs, they need its operating curve
+    on documents the model never saw.
+
+    Evaluation set: the 80% of the corpus OUTSIDE the hash-stable
+    training slice. Thresholds: a fixed EVAL_BINS-point grid spanning
+    the held-out score range (lo + i*(hi-lo) DIV EVAL_BINS, i in
+    1..EVAL_BINS-1) — deliberately NOT score quantiles: exact order
+    statistics over near-unique scores would need a corpus-wide sort
+    into one partition, while min/max is a scan-side aggregate, so the
+    grid stays scale-safe at any corpus size. Per threshold the full
+    confusion matrix (predict pos iff score > threshold) plus
+    fixed-point precision/recall/F1 (PREC-scaled truncating division on
+    non-negative counts only; empty-denominator cells take the -1
+    sentinel rather than NULL so the dtype lane stays BIGINT).
+
+    Shape: one NB scoring pass (shared plan with the classifier), a
+    one-row min/max aggregate, a broadcast (EVAL_BINS-1)-row threshold
+    table crossJoined onto the held-out scores (row expansion ×9,
+    collapsed by map-side partial aggregation before the 9-group
+    shuffle). No sort, no skew, no per-row Python.
+    """
+    scored = quality_classifier_nb(spark, sf_dir)
+    held = scored.filter(
+        TX.hash15(F.col("doc_id").cast("string")) % LM_MOD != 0
+    ).select("label_pos", "nb_llr_scaled")
+    rng = held.agg(
+        F.min("nb_llr_scaled").alias("lo"), F.max("nb_llr_scaled").alias("hi")
+    )
+    grid = rng.select(
+        F.explode(F.sequence(F.lit(1), F.lit(EVAL_BINS - 1))).alias("thr_i"),
+        "lo",
+        "hi",
+    ).select(
+        F.col("thr_i").cast("long").alias("thr_i"),
+        (
+            F.col("lo")
+            + F.expr(f"(thr_i * (hi - lo)) DIV {EVAL_BINS}")
+        ).cast("long").alias("threshold"),
+    )
+    conf = (
+        held.crossJoin(F.broadcast(grid))
+        .withColumn("hit", F.col("nb_llr_scaled") > F.col("threshold"))
+        .groupBy("thr_i", "threshold")
+        .agg(
+            F.sum(F.when(F.col("label_pos") & F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(~F.col("label_pos") & F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.when(F.col("label_pos") & ~F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+            F.sum(F.when(~F.col("label_pos") & ~F.col("hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(-1)).otherwise(
+        F.expr(f"({PREC} * tp) DIV (tp + fp)")
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(-1)).otherwise(
+        F.expr(f"({PREC} * tp) DIV (tp + fn)")
+    )
+    out = conf.select(
+        "thr_i",
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        prec.cast("long").alias("precision_scaled"),
+        rec.cast("long").alias("recall_scaled"),
+    ).withColumn(
+        "f1_scaled",
+        F.when(
+            (F.col("precision_scaled") < 0)
+            | (F.col("recall_scaled") < 0)
+            | (F.col("precision_scaled") + F.col("recall_scaled") == 0),
+            F.lit(-1),
+        )
+        .otherwise(
+            F.expr(
+                "(2 * precision_scaled * recall_scaled)"
+                " DIV (precision_scaled + recall_scaled)"
+            )
+        )
+        .cast("long"),
+    )
+    return out.orderBy("thr_i")
+
+
+EVAL_PR_ORACLE_SQL = f"""
+    WITH {_NB_CTES},
+    held AS (
+        SELECT label_pos, nb_llr_scaled
+        FROM final
+        WHERE NOT ({_H15.format(x="doc_id")} % {LM_MOD} = 0)
+    ),
+    rng AS (
+        SELECT CAST(min(nb_llr_scaled) AS BIGINT) AS lo,
+               CAST(max(nb_llr_scaled) AS BIGINT) AS hi
+        FROM held
+    ),
+    grid AS (
+        SELECT CAST(t.i AS BIGINT) AS thr_i,
+               lo + (t.i * (hi - lo)) // {EVAL_BINS} AS threshold
+        FROM rng, range(1, {EVAL_BINS}) AS t(i)
+    ),
+    conf AS (
+        SELECT thr_i, threshold,
+               CAST(sum(CASE WHEN label_pos AND nb_llr_scaled > threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN NOT label_pos AND nb_llr_scaled > threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN label_pos AND NOT nb_llr_scaled > threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN NOT label_pos
+                         AND NOT nb_llr_scaled > threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM held, grid GROUP BY thr_i, threshold
+    ),
+    pr AS (
+        SELECT thr_i, threshold, tp, fp, fn, tn,
+               CASE WHEN tp + fp = 0 THEN -1
+                    ELSE ({PREC} * tp) // (tp + fp) END AS precision_scaled,
+               CASE WHEN tp + fn = 0 THEN -1
+                    ELSE ({PREC} * tp) // (tp + fn) END AS recall_scaled
+        FROM conf
+    )
+    SELECT thr_i, threshold, tp, fp, fn, tn,
+           precision_scaled, recall_scaled,
+           CASE WHEN precision_scaled < 0 OR recall_scaled < 0
+                     OR precision_scaled + recall_scaled = 0 THEN -1
+                ELSE (2 * precision_scaled * recall_scaled)
+                     // (precision_scaled + recall_scaled)
+           END AS f1_scaled
+    FROM pr ORDER BY thr_i
 """
 
 PERPLEXITY_ORACLE_SQL = f"""

@@ -929,3 +929,57 @@ def test_quality_classifier_nb_is_exact_smoothed_nb(spark):
 
     # the gate is a real decision boundary at this sf, not a constant
     assert out["pred_hi"].nunique() == 2
+
+
+def test_classifier_eval_pr_confusion_invariants(spark):
+    """The held-out PR sweep must (a) partition the held-out set into a
+    full confusion matrix at every threshold, (b) shrink tp/fp
+    monotonically as the threshold rises, (c) compute the fixed-point
+    precision/recall/F1 exactly from its own counts, (d) cover the
+    score range strictly between min and max so no threshold is
+    degenerate-by-construction."""
+    from ai_ocr_spark.operators.quality_lm import (
+        EVAL_BINS,
+        LM_MOD,
+        PREC,
+        classifier_eval_pr,
+        quality_classifier_nb,
+    )
+
+    out = classifier_eval_pr(spark, SF).toPandas()
+    assert list(out["thr_i"]) == list(range(1, EVAL_BINS))
+
+    scored = quality_classifier_nb(spark, SF).toPandas()
+    import hashlib
+
+    def h15(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    held = scored[scored["doc_id"].astype(str).map(h15) % LM_MOD != 0]
+    n_held = len(held)
+    lo, hi = held["nb_llr_scaled"].min(), held["nb_llr_scaled"].max()
+
+    prev_tp = prev_fp = None
+    for _, r in out.iterrows():
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n_held
+        assert lo <= r["threshold"] <= hi
+        # exact recomputation from the held-out frame
+        hit = held["nb_llr_scaled"] > r["threshold"]
+        assert r["tp"] == (hit & held["label_pos"]).sum()
+        assert r["fp"] == (hit & ~held["label_pos"]).sum()
+        if prev_tp is not None:
+            assert r["tp"] <= prev_tp and r["fp"] <= prev_fp
+        prev_tp, prev_fp = r["tp"], r["fp"]
+        p, q = r["precision_scaled"], r["recall_scaled"]
+        if r["tp"] + r["fp"] > 0:
+            assert p == (PREC * r["tp"]) // (r["tp"] + r["fp"])
+        else:
+            assert p == -1
+        if r["tp"] + r["fn"] > 0:
+            assert q == (PREC * r["tp"]) // (r["tp"] + r["fn"])
+        else:
+            assert q == -1
+        if p < 0 or q < 0 or p + q == 0:
+            assert r["f1_scaled"] == -1
+        else:
+            assert r["f1_scaled"] == (2 * p * q) // (p + q)
