@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TRAINED Cavnar-Trenkle n-gram language ID over all five gold
         # labels, integer rank distances (new in r4)
         "text_langid_ngram": TS.text_langid_ngram,
+        # ftfy-style mojibake detect+repair: UTF-8-read-as-latin-1
+        # signature, byte-exact inverse transcode (new in r4)
+        "text_fix_mojibake": TS.text_fix_mojibake,
         # the data-repetition schedule (epochs per source under a
         # smoothed token budget, LLaMA-table shape) (new in r4)
         "sample_mix_epochs": CU.sample_mix_epochs,
@@ -551,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_nb": QL.NB_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "text_langid_ngram": TS.LANGID_NGRAM_ORACLE_SQL,
+        "text_fix_mojibake": TS.MOJIBAKE_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
         "pipeline_resume_snapshot": RT.RESUME_SNAPSHOT_ORACLE_SQL,

@@ -862,3 +862,109 @@ def _langid_ngram_oracle_sql() -> str:
 
 
 LANGID_NGRAM_ORACLE_SQL = _langid_ngram_oracle_sql()
+
+
+# --- mojibake detection + repair (ftfy-style encoding fix) -------------------
+
+# Deterministic non-ASCII seed phrases per language label — the fixture
+# text is pure ASCII, so (exactly like text_pii_scrub seeds emails and
+# text_langid_ngram seeds function words) both engines append the same
+# phrase before the corruption step. de/fr/es exercise 2-byte UTF-8
+# sequences, zh 3-byte ones; en stays ASCII so the corruption step is a
+# provable no-op on single-byte text.
+MOJIBAKE_SEEDS = {
+    "de": " Grüße in Übergröße",
+    "fr": " café crème à côté",
+    "es": " señal número año",
+    "zh": " 数据管道处理",
+    "en": "",
+}
+
+# UTF-8-read-as-latin-1 signature: a lead-byte char (U+00C2-U+00F4)
+# immediately followed by a continuation-byte char (U+0080-U+00BF, the
+# C1-control block no real text contains). Escaped \uXXXX forms keep the
+# pattern source ASCII; Java and RE2 both honor them.
+_MOJI_LEAD_RE = "[\\u00C2-\\u00F4][\\u0080-\\u00BF]"
+# repair re-encodes through latin-1, which only exists for chars <=
+# U+00FF — genuine multibyte text (uncorrupted zh) must never enter the
+# repair branch or ANSI encode/decode would throw
+_NON_LATIN1_RE = "[^\\u0000-\\u00FF]"
+
+
+def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and repair UTF-8-decoded-as-latin-1 mojibake (the ftfy
+    pass every web-crawl pipeline runs: a page whose bytes were UTF-8
+    but whose transport said ISO-8859-1 arrives as 'cafÃ©').
+
+    Corruption is injected deterministically (doc_id % 3 == 0 rows take
+    decode(encode(seeded, UTF-8), ISO-8859-1) — total, byte-exact);
+    detection is the classic lead+continuation signature guarded by a
+    latin-1-cleanliness check so genuine CJK text can never enter the
+    repair branch; repair inverts through ISO-8859-1 (bijective on
+    chars <= U+00FF) and is byte-exact: repaired text equals the
+    pre-corruption string bit-for-bit, which the twin pins via
+    fixed_head plus the char-count collapse arithmetic
+    (n_chars_in = UTF-8 byte count of the original for corrupted rows).
+
+    All JVM expressions — detection is two regexps, repair two
+    charset transcodes; scan-speed, zero shuffles, scale-free.
+    """
+    docs = _docs(spark, sf_dir)
+    seed = F.lit("")
+    for lang, phrase in MOJIBAKE_SEEDS.items():
+        seed = F.when(F.col("lang") == lang, F.lit(phrase)).otherwise(seed)
+    seeded = F.concat(F.coalesce(F.col("text"), F.lit("")), seed)
+    corrupt = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.decode(F.encode(seeded, "UTF-8"), "ISO-8859-1"),
+    ).otherwise(seeded)
+    detected = corrupt.rlike(_MOJI_LEAD_RE) & ~corrupt.rlike(_NON_LATIN1_RE)
+    fixed = F.when(
+        detected, F.decode(F.encode(corrupt, "ISO-8859-1"), "UTF-8")
+    ).otherwise(corrupt)
+    return docs.select(
+        "doc_id",
+        detected.alias("mojibake_detected"),
+        F.length(corrupt).cast("long").alias("n_chars_in"),
+        (F.length(corrupt) - F.length(fixed)).cast("long").alias("n_bytes_collapsed"),
+        (fixed == seeded).alias("repair_ok"),
+        F.substring(fixed, 1, 80).alias("fixed_head"),
+        F.substring(
+            fixed, F.greatest(F.length(fixed) - 39, F.lit(1)), F.lit(40)
+        ).alias("fixed_tail"),
+    )
+
+
+def _mojibake_oracle_sql() -> str:
+    seed_case = " ".join(
+        f"WHEN '{lang}' THEN '{phrase}'"
+        for lang, phrase in MOJIBAKE_SEEDS.items()
+        if phrase
+    )
+    # the twin never builds the corrupted string: repair is an exact
+    # inverse, so every output is byte arithmetic over the ORIGINAL
+    # seeded text (strlen = UTF-8 byte count = corrupted char count)
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   coalesce(text, '')
+                     || CASE lang {seed_case} ELSE '' END AS seeded,
+                   doc_id % 3 = 0 AS corrupted
+            FROM documents
+        )
+        SELECT doc_id,
+               corrupted AND strlen(seeded) <> length(seeded)
+                   AS mojibake_detected,
+               CAST(CASE WHEN corrupted THEN strlen(seeded)
+                         ELSE length(seeded) END AS BIGINT) AS n_chars_in,
+               CAST(CASE WHEN corrupted THEN strlen(seeded) - length(seeded)
+                         ELSE 0 END AS BIGINT) AS n_bytes_collapsed,
+               true AS repair_ok,
+               substr(seeded, 1, 80) AS fixed_head,
+               substr(seeded, greatest(length(seeded) - 39, 1), 40)
+                   AS fixed_tail
+        FROM s
+    """
+
+
+MOJIBAKE_ORACLE_SQL = _mojibake_oracle_sql()

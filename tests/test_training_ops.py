@@ -983,3 +983,28 @@ def test_classifier_eval_pr_confusion_invariants(spark):
             assert r["f1_scaled"] == -1
         else:
             assert r["f1_scaled"] == (2 * p * q) // (p + q)
+
+
+def test_mojibake_repair_is_byte_exact_and_detection_is_tight(spark):
+    from ai_ocr_spark.operators.textstats import text_fix_mojibake
+
+    out = text_fix_mojibake(spark, SF01).toPandas().set_index("doc_id")
+    docs = (
+        spark.read.parquet(f"{SF01}/documents.parquet")
+        .select("doc_id", "lang")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    j = out.join(docs)
+    # repair restores the pre-corruption string on EVERY row
+    assert j["repair_ok"].all()
+    # detection fires exactly on corrupted rows with non-ASCII seeds
+    seeded_nonascii = j["lang"].isin(["de", "fr", "es", "zh"])
+    corrupted = (j.index % 3) == 0
+    assert (j["mojibake_detected"] == (corrupted & seeded_nonascii)).all()
+    # corrupted non-ASCII rows genuinely expanded: repair collapsed >0 bytes
+    hit = j[j["mojibake_detected"]]
+    assert len(hit) > 0
+    assert (hit["n_bytes_collapsed"] > 0).all()
+    # untouched rows collapsed nothing
+    assert (j.loc[~j["mojibake_detected"], "n_bytes_collapsed"] == 0).all()
