@@ -171,6 +171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # growing pages dir — anti-join resume, idempotent no-op third
         # run, lineage run_ids through the manifest (new in r4)
         "pipeline_resume_snapshot": RT.pipeline_resume_snapshot,
+        # the publish side of the crawl loop: extraction exported as
+        # WET conversion records (pure-SQL writer), re-ingested through
+        # the kernel record walker, byte-identical canon (new in r4)
+        "pipeline_wet_roundtrip": RT.pipeline_wet_roundtrip,
         # the north rule's lineage/metrics table value-checked: metrics
         # re-keyed on the deterministic size-bucket half of the skew
         # key x content kind, two injected fault families (new in r4)
@@ -558,6 +562,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
         "pipeline_resume_snapshot": RT.RESUME_SNAPSHOT_ORACLE_SQL,
+        "pipeline_wet_roundtrip": RT.WET_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

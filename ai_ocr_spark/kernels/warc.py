@@ -63,11 +63,15 @@ _REC_MAX = 64 * 1024 * 1024
 _TAIL_KEEP = 8
 
 
+_RESPONSE_ONLY = frozenset({"response"})
+
+
 def _parse_core(
     stream: bytes,
     final: bool,
     max_records: int | None = None,
     max_record_bytes: int | None = _REC_MAX,
+    want_types: frozenset[str] = _RESPONSE_ONLY,
 ) -> tuple[list[dict], int, str | None]:
     """Parse COMPLETE records from a stream prefix.
 
@@ -128,12 +132,15 @@ def _parse_core(
         # skip the record-terminating blank lines
         while stream.startswith(CRLF, i):
             i += 2
-        if headers.get("warc-type") == "response":
+        rtype = headers.get("warc-type")
+        if rtype in want_types:
             out.append(
                 {
                     "url": headers.get("warc-target-uri", ""),
                     "date": headers.get("warc-date", ""),
-                    "body": _http_body(payload),
+                    # response payloads are HTTP messages (body after the
+                    # header block); conversion/WET payloads ARE the body
+                    "body": _http_body(payload) if rtype == "response" else payload,
                 }
             )
             if max_records is not None and len(out) >= max_records:
@@ -190,3 +197,25 @@ def first_response_body(stream: bytes) -> bytes:
     Stops scanning at the first response record."""
     recs = parse_warc(stream, first_only=True)
     return recs[0]["body"] if recs else b""
+
+
+def parse_wet(stream: bytes) -> list[dict]:
+    """WET stream -> [{url, date, text}] for every `conversion` record
+    (the WARC record type WET extracts ship as — one text/plain payload
+    per source page). Same never-raise contract as parse_warc; payload
+    bytes are the extracted text verbatim, decoded as the UTF-8 the
+    writer emitted (replace, not raise, on alien bytes)."""
+    recs, _, _ = _parse_core(
+        stream,
+        final=True,
+        max_record_bytes=None,
+        want_types=frozenset({"conversion"}),
+    )
+    return [
+        {
+            "url": r["url"],
+            "date": r["date"],
+            "text": r["body"].decode("utf-8", "replace"),
+        }
+        for r in recs
+    ]

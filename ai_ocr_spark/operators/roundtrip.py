@@ -534,3 +534,118 @@ RESUME_SNAPSHOT_ORACLE_SQL = """
     FROM m
     GROUP BY 1
 """
+
+
+# --- WET export + re-ingest round-trip ----------------------------------------
+
+WET_BUCKET = 32  # pages per WET stream file
+
+
+def pipeline_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publish side of the crawl loop: extraction output exported as
+    WET (WARC/1.0 `conversion` records — the text extracts Common Crawl
+    actually ships), then re-ingested and verified against the raw-text
+    canon.
+
+    The WRITER is a pure SQL projection — the WET record is assembled
+    with JVM concat/encode expressions (Content-Length is the UTF-8
+    byte count via length(encode(...))), records are grouped into
+    WET_BUCKET-page streams with one doc_id-ordered collect_list per
+    bucket (bounded: WET_BUCKET pages per group). No Python writes a
+    byte. The READER is kernels.warc.parse_wet in one mapInPandas pass,
+    so the re-ingest exercises the same length-delimited record walker
+    the WARC response path uses — payloads whose text contains
+    'WARC/' lookalikes cannot confuse it.
+
+    At 100 TB the bucket key is the shard the export writes (one
+    stream per output file); the single shuffle here is that exact
+    exchange. Oracle: recovered (rec_idx, url, text) must equal the
+    whitespace-canonical documents text — byte-identical through
+    extract -> serialize -> parse."""
+    from pyspark.sql import types as T
+
+    from ..pipeline import extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, run_id="wet", num_partitions=8)
+    doc_id = F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long")
+    text_b = F.encode(F.col("main_text"), "UTF-8")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col("url"),
+        F.lit(
+            "\r\nWARC-Date: 2025-03-01T00:00:00Z"
+            "\r\nContent-Type: text/plain\r\nContent-Length: "
+        ),
+        F.length(text_b).cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("main_text"),
+        F.lit("\r\n\r\n"),
+    )
+    streams = (
+        out.select(
+            F.floor(doc_id / WET_BUCKET).cast("long").alias("bucket"),
+            F.struct(doc_id.alias("doc_id"), rec.alias("rec")).alias("r"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("r")), lambda s: s["rec"]
+                    ),
+                    "",
+                ),
+                "UTF-8",
+            ).alias("stream")
+        )
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("rec_idx", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("wet_text", T.StringType()),
+        ]
+    )
+
+    def reingest(batches):
+        import pandas as pd
+
+        from ai_ocr_spark.kernels.warc import parse_wet
+
+        for pdf in batches:
+            rows = []
+            for stream in pdf["stream"]:
+                for k, r in enumerate(parse_wet(bytes(stream))):
+                    rows.append(
+                        {"rec_idx": k, "url": r["url"], "wet_text": r["text"]}
+                    )
+            yield pd.DataFrame(rows, columns=["rec_idx", "url", "wet_text"])
+
+    back = streams.select("stream").mapInPandas(reingest, schema)
+    return back.select(
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("rec_idx"),
+        "url",
+        "wet_text",
+        (F.col("wet_text") != "").alias("nonempty"),
+    )
+
+
+WET_ORACLE_SQL = f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(floor(doc_id / {WET_BUCKET}) AS BIGINT) AS bucket,
+               'https://' || source || '.example.com/doc/' || doc_id AS url,
+               {_CANON} AS canon
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+                AS BIGINT) AS rec_idx,
+           url,
+           canon AS wet_text,
+           canon <> '' AS nonempty
+    FROM c
+"""

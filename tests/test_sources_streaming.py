@@ -404,3 +404,59 @@ def test_stream_session_windows_match_batch_islands(spark):
         e = grp["session_end"].shift(1).dropna()
         s = grp["session_start"].iloc[1:]
         assert (s.values >= e.values).all()
+
+
+def test_wet_parse_selects_conversion_records_only():
+    from ai_ocr_spark.kernels.warc import parse_warc, parse_wet
+
+    wet = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: u1\r\n"
+        b"WARC-Date: d\r\nContent-Length: 11\r\n\r\nline1\nWARC/\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u2\r\n"
+        b"Content-Length: 20\r\n\r\nHTTP/1.1 200 OK\r\n\r\nab\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: u3\r\n"
+        b"Content-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    recs = parse_wet(wet)
+    # conversion records only; a payload containing a 'WARC/' lookalike
+    # cannot desync the length-delimited walker
+    assert [(r["url"], r["text"]) for r in recs] == [
+        ("u1", "line1\nWARC/"),
+        ("u3", ""),
+    ]
+    # the response path is unchanged: it still sees only u2
+    assert [r["url"] for r in parse_warc(wet)] == ["u2"]
+
+
+def test_wet_roundtrip_recovers_canonical_text(spark):
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.operators.roundtrip import pipeline_wet_roundtrip
+
+    sf = "/root/testdata/sf0.001"
+    out = pipeline_wet_roundtrip(spark, sf).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n = docs.count()
+    assert len(out) == n  # every page re-ingested exactly once
+    assert out["doc_id"].is_unique
+    # byte-identical canon per url (the north-rule invariant through
+    # extract -> WET serialize -> parse)
+    canon = docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.replace(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit("\u00a0"),
+                    F.lit(" "),
+                ),
+                r"\s+",
+                " ",
+            )
+        ).alias("canon"),
+    ).toPandas()
+    j = out.merge(canon, on="doc_id")
+    assert (
+        j["wet_text"].str.encode("utf-8") == j["canon"].str.encode("utf-8")
+    ).all()
