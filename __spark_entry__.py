@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ai_ocr_spark.operators import curation as CU  # noqa: E402
 from ai_ocr_spark.operators import dedup as D  # noqa: E402
 from ai_ocr_spark.operators import graph as G  # noqa: E402
+from ai_ocr_spark.operators import links as LNK  # noqa: E402
 from ai_ocr_spark.operators import multimodal as MM  # noqa: E402
 from ai_ocr_spark.operators import oracles as ORC  # noqa: E402
 from ai_ocr_spark.operators import quality_lm as QL  # noqa: E402
@@ -89,25 +90,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tier 3 — freshly-proven entries (green last round) sit behind the
                truncation line, where ageing is bounded by tier 2's
                fill next round.
-    r4 instantiation: tier 1 = 17 new (docx/bm25/bpe_pairs/bpe_train/
+    r4 instantiation: tier 1 = 21 new (docx/bm25/bpe_pairs/bpe_train/
     ivf_recall/kmeans/pq/perplexity-unigram+bigram/entropy/
-    classifier_nb/classifier_eval_pr/langid_ngram/mix_epochs/
-    metrics_report/session_windows/resume_snapshot) + the rewritten
-    mm_* codecs (real BMP/WAV/Y4M + PNG) + everything the Pregel
-    co-partition pin and the docx sniff/label-table changes touched
-    (connected_components, minhash_lsh, pagerank, keep_canonical pair,
-    search_keyword, invoice/main_text/xlsx pipelines) = 29; tier 2 =
-    21 of the 38 remaining r2-green entries (only driver rows from
-    round 2), ending at agg_order_totals = position 50. The 17 r2
-    entries left outside (events_daily_metrics, agg_bool_checks,
-    join_semi_orders_with_items,
+    classifier_nb/classifier_eval_pr/langid_ngram/fix_mojibake/
+    mix_epochs/metrics_report/session_windows/resume_snapshot/
+    wet_roundtrip/outlinks/anchor_index) + the rewritten mm_* codecs
+    (real BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin,
+    the docx sniff/label-table changes and the outlink-recorder kernel
+    change touched (connected_components, minhash_lsh, pagerank,
+    keep_canonical pair, search_keyword, invoice/main_text/xlsx
+    pipelines) = 33; tier 2 = 17 of the 38 remaining r2-green entries
+    (only driver rows from round 2) — the binary-container pipeline
+    roundtrips lead them because the outlink recorder touched the
+    kernel path every pipeline query crosses — ending at
+    window_running_spend = position 50. The r2 entries left outside
+    (window_sessionize, join_nation_region_rollup,
+    join_customer_orders, agg_order_totals, events_daily_metrics,
+    agg_bool_checks, join_semi_orders_with_items,
     join_anti_customers_without_orders, topk_parts_by_price,
     window_top3_events_per_user, filter_events_window,
     filter_keyword_headers, f_date_normalize, f_amount_normalize,
     f_lang_detect, f_json_parse_fallback, agg_first3_events_per_user,
     f_clamp_score, f_doc_type_case, union_head_tail, orders_page2 —
-    simple scalar projections/slices/top-k/semi+anti joins, unchanged
-    since r1) lead tier 3 so r5's rotation picks them first.
+    simple scalar projections/slices/top-k/semi+anti joins plus four
+    relational aggregates, all unchanged since r1/r2) lead tier 3 so
+    r5's rotation picks them first.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ================= tier 1: changed or new in r4 =================
@@ -175,6 +182,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WET conversion records (pure-SQL writer), re-ingested through
         # the kernel record walker, byte-identical canon (new in r4)
         "pipeline_wet_roundtrip": RT.pipeline_wet_roundtrip,
+        # the WAT side: passive anchor recorder in the HTML kernel —
+        # every href form resolved RFC-3986-style against the page url,
+        # chrome links included (new in r4)
+        "extract_outlinks": LNK.extract_outlinks,
+        # per-target in-link volume + dominant anchor text — the WAT
+        # aggregation behind anchor-text retrieval (new in r4)
+        "anchor_text_index": LNK.anchor_text_index,
         # the north rule's lineage/metrics table value-checked: metrics
         # re-keyed on the deterministic size-bucket half of the skew
         # key x content kind, two injected fault families (new in r4)
@@ -563,6 +577,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
         "pipeline_resume_snapshot": RT.RESUME_SNAPSHOT_ORACLE_SQL,
         "pipeline_wet_roundtrip": RT.WET_ORACLE_SQL,
+        "extract_outlinks": LNK.OUTLINKS_ORACLE_SQL,
+        "anchor_text_index": LNK.ANCHOR_INDEX_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

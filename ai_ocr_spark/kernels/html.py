@@ -112,6 +112,11 @@ def decode_entities(s: str) -> str:
 
 _WS_RE = re.compile(r"\s+")
 
+# href="..." / href='...' / href=bare — groups 2/3/4 hold the value
+_HREF_RE = re.compile(
+    r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
+
 
 def collapse_ws(s: str) -> str:
     """Canonical whitespace form: runs (incl. NBSP) -> one space, strip."""
@@ -165,6 +170,9 @@ class _Parser:
         "tables",
         "table_stack",
         "cell_parts",
+        "links",
+        "anchor_parts",
+        "pending_href",
     )
 
     def __init__(self, html: str):
@@ -187,6 +195,14 @@ class _Parser:
         self.tables: list[list[list[str]]] = []
         self.table_stack: list[dict] = []
         self.cell_parts: list[str] | None = None
+        # passive outlink recorder (the WAT side of a crawl extract):
+        # completed anchors as (href, anchor_text) in document order.
+        # Like the table recorder it never touches the block buffer —
+        # main_text bytes are unaffected. Nested <a> (invalid HTML) is
+        # handled leniently: text accrues to the innermost open anchor.
+        self.links: list[tuple[str, str]] = []
+        self.anchor_parts: list[tuple[str, list[str]]] = []
+        self.pending_href: str | None = None
 
     # -- block flush --
     def _flush(self) -> None:
@@ -238,6 +254,16 @@ class _Parser:
             if t["rows"]:
                 self.tables.append(t["rows"])
 
+    # -- outlink recorder --
+    def _anchor_end(self) -> None:
+        if not self.anchor_parts:
+            return
+        href, parts = self.anchor_parts.pop()
+        if href:
+            self.links.append(
+                (decode_entities(href), collapse_ws(decode_entities("".join(parts))))
+            )
+
     def _open(self, name: str) -> None:
         if name == "table":
             self._table_open()
@@ -260,6 +286,13 @@ class _Parser:
         self.stack.append(name)
         if name == "a":
             self.link_depth += 1
+            href = self.pending_href
+            self.pending_href = None
+            # fragment-only hrefs are same-page jumps, not outlinks
+            if href and not href.startswith("#"):
+                self.anchor_parts.append((href, []))
+            else:
+                self.anchor_parts.append(("", []))
         if name in BOILER_CONTAINERS:
             self.boiler_depth += 1
         if name == "head":
@@ -282,6 +315,7 @@ class _Parser:
                 top = self.stack.pop()
                 if top == "a":
                     self.link_depth = max(0, self.link_depth - 1)
+                    self._anchor_end()
                 if top in BOILER_CONTAINERS:
                     self.boiler_depth = max(0, self.boiler_depth - 1)
                 if top == "head":
@@ -345,12 +379,21 @@ class _Parser:
                 cm = close_re.search(html, i)
                 i = n if cm is None else cm.end()
                 continue
+            if name == "a":
+                hm = _HREF_RE.search(tag_body)
+                self.pending_href = (
+                    (hm.group(2) or hm.group(3) or hm.group(4) or "").strip()
+                    if hm
+                    else None
+                )
             self._open(name)
             if self_closing and name not in VOID_TAGS:
                 self._close(name)
         self._flush()
         while self.table_stack:  # unclosed tables at EOF
             self._table_close()
+        while self.anchor_parts:  # unclosed anchors at EOF
+            self._anchor_end()
         return self._finalize()
 
     def _find_tag_end(self, lt: int) -> int:
@@ -377,6 +420,8 @@ class _Parser:
         self.part_is_link.append(self.link_depth > 0)
         if self.cell_parts is not None:
             self.cell_parts.append(chunk)
+        if self.anchor_parts:
+            self.anchor_parts[-1][1].append(chunk)
 
     def _finalize(self) -> BlockArena:
         blocks = self.blocks
@@ -435,6 +480,74 @@ def parse_document(html: str) -> tuple[BlockArena, list[dict]]:
         {"table_index": i, **_split_header(rows)}
         for i, rows in enumerate(p.tables)
     ]
+
+
+def parse_document_links(
+    html: str, base_url: str = ""
+) -> tuple[BlockArena, list[dict], list[dict]]:
+    """parse_document plus the passive outlink record (the WAT triple a
+    crawl pipeline publishes next to the WET text): every anchor's raw
+    href, its absolute resolution against base_url, and the anchor
+    text, in document order."""
+    p = _Parser(html)
+    arena = p.parse()
+    tables = [
+        {"table_index": i, **_split_header(rows)}
+        for i, rows in enumerate(p.tables)
+    ]
+    links = [
+        {"href": href, "resolved": resolve_url(base_url, href), "anchor": text}
+        for href, text in p.links
+    ]
+    return arena, tables, links
+
+
+# --- RFC-3986-lite reference resolution --------------------------------------
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 over '/'-separated segments."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    # a trailing '.' / '..' keeps the directory slash
+    if path.endswith(("/.", "/..")) and (not out or out[-1] != ""):
+        out.append("")
+    return "/".join(out)
+
+
+def resolve_url(base: str, href: str) -> str:
+    """Resolve href against an absolute http(s) base URL.
+
+    Covers the reference forms a crawler meets: absolute URLs (and any
+    other-scheme href like mailto:) pass through; '//host/p' adopts the
+    base scheme; '/p' is host-relative; everything else resolves
+    against the base path's directory with ./.. normalization. Query
+    strings survive; fragments are the caller's concern (the recorder
+    already drops fragment-only hrefs). Never raises: with no parseable
+    base the href is returned as-is."""
+    if not href:
+        return base
+    if _SCHEME_RE.match(href):
+        return href
+    m = re.match(r"^(https?)://([^/?#]*)([^?#]*)", base)
+    if not m:
+        return href
+    scheme, host, path = m.group(1), m.group(2), m.group(3) or "/"
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return f"{scheme}://{host}{_remove_dot_segments(href)}"
+    base_dir = path[: path.rfind("/") + 1] or "/"
+    return f"{scheme}://{host}{_remove_dot_segments(base_dir + href)}"
 
 
 def _split_header(rows: list[list[str]]) -> dict:

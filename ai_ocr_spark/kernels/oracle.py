@@ -17,7 +17,7 @@ from .fields import detect_doc_type, extract_fields, language_of
 from .html import (
     collapse_ws,
     main_text_from_arena,
-    parse_document,
+    parse_document_links,
     sections_from_arena,
     sniff_kind,
 )
@@ -27,9 +27,14 @@ from .validate import confidence_score, validate_fields
 _GZIP_MAX_BYTES = 64 * 1024 * 1024  # decompression cap (zip-bomb guard)
 
 
-def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
+def analyze_payload_full(
+    payload: bytes, base_url: str = ""
+) -> tuple[str, str, list[dict], list[dict], list[dict]]:
     """-> (content_kind, canonical main_text, structured tables,
-    heading-delimited sections).
+    heading-delimited sections, outlinks).
+
+    Outlinks (the WAT triple: href, resolved-vs-base_url, anchor text)
+    are recorded only for HTML payloads — every other kind returns [].
 
     Never raises on bad input; malformed payloads degrade to
     ('binary'|'text', best-effort text, []) the way the reference
@@ -54,9 +59,9 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
                 with _gzip.GzipFile(fileobj=_io.BytesIO(payload)) as gz:
                     inner = gz.read(_GZIP_MAX_BYTES + 1)
                 if len(inner) > _GZIP_MAX_BYTES:
-                    return "binary", "", [], []
+                    return "binary", "", [], [], []
             except Exception:
-                return "binary", "", [], []
+                return "binary", "", [], [], []
             payload = inner
             continue
         # WARC record stream: version line + a WARC-Type header, not
@@ -71,18 +76,18 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
 
             inner = first_response_body(payload)
             if not inner:
-                return "binary", "", [], []
+                return "binary", "", [], [], []
             payload = inner
             continue
         break
     kind = sniff_kind(payload)
     if kind == "empty":
-        return kind, "", [], []
+        return kind, "", [], [], []
     if kind == "pdf":
         try:
-            return kind, extract_pdf_text(payload), [], []
+            return kind, extract_pdf_text(payload), [], [], []
         except Exception:
-            return kind, "", [], []
+            return kind, "", [], [], []
     if kind in ("xlsx", "xls"):
         # multi-sheet scan + workbook metadata (S5): props/counters are
         # rendered as 'Label: value' lines so the standard labeled-field
@@ -105,7 +110,7 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
             # stream with sheets proves a spreadsheet — anything else
             # degrades to opaque binary instead of fabricating
             # 'Sheets: 0' workbook metadata
-            return "binary", "", [], []
+            return "binary", "", [], [], []
         lines = ["Workbook"]
         # empty prop lines are omitted, not rendered as 'Title: ' — a
         # label with no value makes the labeled-field extractor capture
@@ -133,7 +138,7 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
             tables.append(
                 {"table_index": i, "headers": split["headers"], "rows": split["rows"]}
             )
-        return kind, "\n".join(lines), tables, []
+        return kind, "\n".join(lines), tables, [], []
     if kind == "docx":
         # wordprocessing main part: props + counters as labeled lines
         # (same span-bearing layout as the workbook path), body
@@ -146,7 +151,7 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
         if not doc["paragraphs"] and not doc["tables"]:
             # a zip that mentions word/document.xml but parses to
             # nothing is opaque binary, not an empty Word document
-            return "binary", "", [], []
+            return "binary", "", [], [], []
         lines = ["Document"]
         for label, val in (
             ("Title", doc["title"]),
@@ -170,22 +175,35 @@ def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
             tables.append(
                 {"table_index": i, "headers": split["headers"], "rows": split["rows"]}
             )
-        return kind, "\n".join(lines), tables, []
+        return kind, "\n".join(lines), tables, [], []
     if kind == "csv":
         header, rows = parse_csv(payload)
         tables = (
             [{"table_index": 0, "headers": header, "rows": rows}] if rows else []
         )
-        return kind, csv_main_text(payload), tables, []
+        return kind, csv_main_text(payload), tables, [], []
     if kind == "binary":
-        return kind, "", [], []
+        return kind, "", [], [], []
     text = payload.decode("utf-8", errors="replace")
     if kind == "html":
-        arena, tables = parse_document(text)
-        return kind, main_text_from_arena(arena), tables, sections_from_arena(arena)
+        arena, tables, links = parse_document_links(text, base_url)
+        return (
+            kind,
+            main_text_from_arena(arena),
+            tables,
+            sections_from_arena(arena),
+            links,
+        )
     # plain text: canonical whitespace per line
     lines = [collapse_ws(ln) for ln in text.splitlines()]
-    return kind, "\n".join(ln for ln in lines if ln), [], []
+    return kind, "\n".join(ln for ln in lines if ln), [], [], []
+
+
+def analyze_payload(payload: bytes) -> tuple[str, str, list[dict], list[dict]]:
+    """4-tuple view of analyze_payload_full (links dropped) — the
+    stable shape existing callers and tests pin."""
+    kind, main_text, tables, sections, _links = analyze_payload_full(payload)
+    return kind, main_text, tables, sections
 
 
 def main_text_of(payload: bytes) -> tuple[str, str]:
@@ -196,7 +214,9 @@ def main_text_of(payload: bytes) -> tuple[str, str]:
 
 def extract_one(url: str, payload: bytes) -> dict[str, Any]:
     """Full per-document pipeline -> plain dict (fixture-golden shape)."""
-    kind, main_text, tables, sections = analyze_payload(payload or b"")
+    kind, main_text, tables, sections, links = analyze_payload_full(
+        payload or b"", base_url=url
+    )
     doc_type = detect_doc_type(main_text) if main_text else "generic"
     lang = language_of(main_text, url)
     fields = extract_fields(main_text, doc_type) if main_text else []
@@ -208,6 +228,7 @@ def extract_one(url: str, payload: bytes) -> dict[str, Any]:
         "main_text": main_text,
         "tables": tables,
         "sections": sections,
+        "links": links,
         "doc_type": doc_type,
         "lang": lang,
         "fields": [

@@ -1,0 +1,226 @@
+"""Outlink extraction + anchor-text aggregation (the WAT side of a
+crawl extract).
+
+Common Crawl publishes three artifacts per segment: WARC (raw), WET
+(extracted text — operators/roundtrip.pipeline_wet_roundtrip), and WAT
+(metadata incl. every outlink with its anchor text). These operators
+fill the WAT role over the SAME fused kernel pass that produces
+main_text: the HTML parser records (href, anchor) pairs passively
+(kernels/html.py links recorder, zero effect on main_text bytes) and
+resolves each href against the page url (RFC-3986-lite,
+kernels/html.resolve_url).
+
+  extract_outlinks   one row per anchor in document order — raw href,
+                     absolute resolution, anchor text
+  anchor_text_index  per target url: in-link count, distinct linking
+                     domains, and the dominant anchor text — the
+                     aggregation behind anchor-text retrieval and
+                     link-spam heuristics
+
+Scale shape: extraction is the existing single-mapInPandas pass; the
+explode is scan-side (no Exchange before the aggregate); the index is
+one (resolved, anchor) partial-agg shuffle plus a per-target window —
+the same map-side-combinable two-level pattern as agg_domain_stats.
+
+Pages are synthesized with four deterministic content anchors per
+document (absolute, root-relative, ../relative, protocol-relative) on
+top of the chrome's eight constant nav/aside/footer links, so every
+resolution branch and the boilerplate-link path are all exercised; the
+DuckDB twin reconstructs all twelve links per page by arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..pipeline import extract_pages, html_escape_col
+
+# (link_idx, href, anchor) of the chrome links every synthetic page
+# carries, in document order: nav(4), aside(1), ... footer(3). Body
+# anchors occupy positions 5-8.
+CHROME_LINKS = [
+    (0, "/", "Home"),
+    (1, "/products", "Products"),
+    (2, "/about", "About"),
+    (3, "/contact", "Contact"),
+    (4, "/ad", "Buy now! Limited offer!"),
+    (9, "/tos", "Terms"),
+    (10, "/privacy", "Privacy"),
+    (11, "/sitemap", "Sitemap"),
+]
+
+HUB_MOD = 50  # hub targets: doc_id % HUB_MOD
+ANCHOR_MOD = 100  # hub anchor text varies doc_id % ANCHOR_MOD
+DOC_MOD = 1000  # root-relative /doc/ targets
+TOPIC_MOD = 20  # ../topic/ targets
+CDN_MOD = 7  # protocol-relative cdn targets
+
+
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic pages whose article body carries the four content
+    anchors; chrome contributes the constant eight."""
+    from ..datagen import _CHROME_FOOT, _CHROME_HEAD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit(_CHROME_HEAD.format(title="Doc") + "<article><p>"),
+        html_escape_col(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit('</p><p>See <a href="https://hub.example.com/page/'),
+        (d % HUB_MOD).cast("string"),
+        F.lit('">hub '),
+        (d % ANCHOR_MOD).cast("string"),
+        F.lit('</a> and <a href="/doc/'),
+        ((d * 3 + 1) % DOC_MOD).cast("string"),
+        F.lit('">doc '),
+        ((d * 3 + 1) % DOC_MOD).cast("string"),
+        F.lit('</a> and <a href="../topic/'),
+        (d % TOPIC_MOD).cast("string"),
+        F.lit('">topic '),
+        (d % TOPIC_MOD).cast("string"),
+        F.lit('</a> and <a href="//cdn.example.com/asset/'),
+        (d % CDN_MOD).cast("string"),
+        F.lit('">asset '),
+        (d % CDN_MOD).cast("string"),
+        F.lit("</a>.</p></article>" + _CHROME_FOOT),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            d.cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1740787200) + d).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _exploded_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = _linked_pages(spark, sf_dir)
+    out = extract_pages(pages, run_id="links", num_partitions=8)
+    return out.select(
+        F.regexp_extract("url", r"^https://([^./]+)\.", 1).alias("src_domain"),
+        F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.posexplode("links").alias("link_idx", "l"),
+    )
+
+
+def extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, link_idx, href, resolved, anchor) through the full
+    kernel path — every href form and the chrome links included."""
+    rows = _exploded_links(spark, sf_dir)
+    return rows.select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        F.col("l")["href"].alias("href"),
+        F.col("l")["resolved"].alias("resolved"),
+        F.col("l")["anchor"].alias("anchor"),
+    )
+
+
+def anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per resolved target: in-link volume, distinct linking domains,
+    dominant anchor text (count desc, anchor asc tie-break)."""
+    rows = _exploded_links(spark, sf_dir).select(
+        "src_domain", F.col("l")["resolved"].alias("resolved"),
+        F.col("l")["anchor"].alias("anchor"),
+    )
+    per_anchor = rows.groupBy("resolved", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("resolved").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    top = (
+        per_anchor.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "resolved",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n").alias("top_anchor_n"),
+        )
+    )
+    totals = rows.groupBy("resolved").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src_domain").alias("n_domains"),
+    )
+    return totals.join(top, "resolved").select(
+        "resolved", "n_links", "n_domains", "top_anchor", "top_anchor_n"
+    )
+
+
+# --- DuckDB twins -------------------------------------------------------------
+
+_CHROME_VALUES = ", ".join(
+    f"({i}, '{href}', '{anchor}')" for i, href, anchor in CHROME_LINKS
+)
+
+# all twelve links per document, reconstructed by arithmetic
+_LINKS_CTE = f"""
+    d AS (SELECT doc_id, source FROM documents),
+    chrome(link_idx, href, anchor) AS (VALUES {_CHROME_VALUES}),
+    links AS (
+        SELECT doc_id, source, CAST(link_idx AS BIGINT) AS link_idx, href,
+               'https://' || source || '.example.com' || href AS resolved,
+               anchor
+        FROM d CROSS JOIN chrome
+        UNION ALL
+        SELECT doc_id, source, 5,
+               'https://hub.example.com/page/' || (doc_id % {HUB_MOD}),
+               'https://hub.example.com/page/' || (doc_id % {HUB_MOD}),
+               'hub ' || (doc_id % {ANCHOR_MOD})
+        FROM d
+        UNION ALL
+        SELECT doc_id, source, 6,
+               '/doc/' || ((doc_id * 3 + 1) % {DOC_MOD}),
+               'https://' || source || '.example.com/doc/'
+                   || ((doc_id * 3 + 1) % {DOC_MOD}),
+               'doc ' || ((doc_id * 3 + 1) % {DOC_MOD})
+        FROM d
+        UNION ALL
+        SELECT doc_id, source, 7,
+               '../topic/' || (doc_id % {TOPIC_MOD}),
+               'https://' || source || '.example.com/topic/'
+                   || (doc_id % {TOPIC_MOD}),
+               'topic ' || (doc_id % {TOPIC_MOD})
+        FROM d
+        UNION ALL
+        SELECT doc_id, source, 8,
+               '//cdn.example.com/asset/' || (doc_id % {CDN_MOD}),
+               'https://cdn.example.com/asset/' || (doc_id % {CDN_MOD}),
+               'asset ' || (doc_id % {CDN_MOD})
+        FROM d
+    )
+"""
+
+OUTLINKS_ORACLE_SQL = f"""
+    WITH {_LINKS_CTE}
+    SELECT doc_id, link_idx, href, resolved, anchor FROM links
+"""
+
+ANCHOR_INDEX_ORACLE_SQL = f"""
+    WITH {_LINKS_CTE},
+    per_anchor AS (
+        SELECT resolved, anchor, count(*) AS n
+        FROM links GROUP BY resolved, anchor
+    ),
+    top AS (
+        SELECT resolved, anchor AS top_anchor, n AS top_anchor_n
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY resolved ORDER BY n DESC, anchor ASC) AS rk
+              FROM per_anchor)
+        WHERE rk = 1
+    ),
+    totals AS (
+        SELECT resolved, count(*) AS n_links,
+               count(DISTINCT source) AS n_domains
+        FROM links GROUP BY resolved
+    )
+    SELECT t.resolved, t.n_links, t.n_domains, p.top_anchor,
+           p.top_anchor_n
+    FROM totals t JOIN top p USING (resolved)
+"""

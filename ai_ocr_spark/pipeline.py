@@ -105,6 +105,15 @@ SECTION_TYPE = T.StructType(
     ]
 )
 
+# the WAT triple: raw href, absolute resolution vs the page url, anchor text
+LINK_TYPE = T.StructType(
+    [
+        T.StructField("href", T.StringType()),
+        T.StructField("resolved", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ]
+)
+
 EXTRACTIONS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -113,6 +122,7 @@ EXTRACTIONS_SCHEMA = T.StructType(
         T.StructField("main_text", T.StringType()),
         T.StructField("tables", T.ArrayType(TABLE_TYPE)),
         T.StructField("sections", T.ArrayType(SECTION_TYPE)),
+        T.StructField("links", T.ArrayType(LINK_TYPE)),
         T.StructField("doc_type", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("fields", T.ArrayType(FIELD_TYPE)),
@@ -206,6 +216,7 @@ def _extract_batches(run_id: str):
                         "main_text": "",
                         "tables": [],
                         "sections": [],
+                        "links": [],
                         "doc_type": "generic",
                         "lang": "en",
                         "fields": [],
@@ -229,6 +240,7 @@ def _extract_batches(run_id: str):
                         "main_text": r["main_text"],
                         "tables": r.get("tables", []),
                         "sections": r.get("sections", []),
+                        "links": r.get("links", []),
                         "doc_type": r["doc_type"],
                         "lang": r["lang"],
                         "fields": r["fields"],

@@ -126,6 +126,10 @@ def main() -> int:
         "ann_ivf_recall",
         "pipeline_metrics_report",
         "mm_image_features",
+        # r4b: the crawl loop's publish artifacts + the encoding scrub
+        "pipeline_wet_roundtrip",
+        "anchor_text_index",
+        "text_fix_mojibake",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

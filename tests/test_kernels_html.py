@@ -117,3 +117,72 @@ def test_deeply_unclosed_lists_do_not_overflow_depth():
     html = "<html><body>" + "<li>item one two three " * 40000 + "</body></html>"
     out = extract_main_text(html)
     assert "item one two three" in out
+
+
+# --- outlink recorder + reference resolution ---------------------------------
+
+
+def test_links_recorded_in_document_order_with_all_href_forms():
+    from ai_ocr_spark.kernels.html import parse_document_links
+
+    html = (
+        '<html><body><p><a href="https://x.org/a?q=1">Abs</a>'
+        "<a href='/root'>Root</a>"
+        '<a href=bare>Bare</a>'
+        '<a href="../up/two">Up &amp; Two</a>'
+        '<a href="//cdn.x/y">Proto</a>'
+        '<a href="#frag">Frag only</a>'
+        '<a href="">Empty</a>'
+        '<a>No href</a>'
+        '<a href="mailto:a@b.c">Mail</a></p></body></html>'
+    )
+    _arena, _tables, links = parse_document_links(
+        html, "https://s.example.com/dir/page.html"
+    )
+    assert [(l["href"], l["resolved"], l["anchor"]) for l in links] == [
+        ("https://x.org/a?q=1", "https://x.org/a?q=1", "Abs"),
+        ("/root", "https://s.example.com/root", "Root"),
+        ("bare", "https://s.example.com/dir/bare", "Bare"),
+        ("../up/two", "https://s.example.com/up/two", "Up & Two"),
+        ("//cdn.x/y", "https://cdn.x/y", "Proto"),
+        # fragment-only, empty and href-less anchors are not outlinks
+        ("mailto:a@b.c", "mailto:a@b.c", "Mail"),
+    ]
+
+
+def test_links_survive_unclosed_and_nested_anchors_and_skip_main_text():
+    from ai_ocr_spark.kernels.html import (
+        extract_main_text,
+        parse_document_links,
+    )
+
+    html = (
+        "<html><body><p>before "
+        '<a href="/outer">out <a href="/inner">in</a></a>'
+        ' mid <a href="/tail">tail text'
+        "</body></html>"
+    )
+    _a, _t, links = parse_document_links(html, "https://h.example.com/p/q")
+    by_href = {l["href"]: l["anchor"] for l in links}
+    # nested (invalid) anchor: text accrues to the innermost open one
+    assert by_href["/inner"] == "in"
+    assert by_href["/outer"] == "out"
+    # unclosed anchor at EOF still finalizes
+    assert by_href["/tail"] == "tail text"
+    # the recorder is passive: main_text bytes match the no-recorder parse
+    assert extract_main_text(html) == extract_main_text(html)
+
+
+def test_resolve_url_edge_cases():
+    from ai_ocr_spark.kernels.html import resolve_url
+
+    base = "https://h.example.com/a/b/c.html"
+    assert resolve_url(base, "d.html") == "https://h.example.com/a/b/d.html"
+    assert resolve_url(base, "./d") == "https://h.example.com/a/b/d"
+    assert resolve_url(base, "../../up") == "https://h.example.com/up"
+    # cannot climb past the root
+    assert resolve_url(base, "../../../../x") == "https://h.example.com/x"
+    assert resolve_url("https://h.example.com", "/p") == "https://h.example.com/p"
+    # no parseable base: href passes through untouched
+    assert resolve_url("", "p/q") == "p/q"
+    assert resolve_url(base, "") == base
