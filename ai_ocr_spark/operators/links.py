@@ -224,3 +224,136 @@ ANCHOR_INDEX_ORACLE_SQL = f"""
            p.top_anchor_n
     FROM totals t JOIN top p USING (resolved)
 """
+
+
+# --- robots.txt politeness gate over the discovered frontier -----------------
+
+
+def filter_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate the extracted outlink frontier through per-domain robots.txt
+    (the politeness pass between WAT discovery and the next crawl wave).
+
+    A deterministic robots.txt is synthesized per source domain
+    (User-agent: *, an unconditional `Disallow: /ad`, `Disallow: /doc/`
+    for every 5th domain, `Disallow: /topic/` + `Allow: /topic/1` for
+    every 3rd, plus a Crawl-delay). The Spark side PARSES the text
+    generically — line split, rule extraction, Google-spec longest-match
+    with Allow winning length ties — all as array expressions over a
+    broadcast |domains|-row rules table, so the frontier side is
+    shuffle-free. Foreign hosts with no robots.txt pass (allowed, no
+    delay). The DuckDB twin reconstructs every verdict by arithmetic
+    from the synthesis rule, so the generic parser+matcher is
+    value-checked end to end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long")
+    robots_txt = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /ad"),
+        F.when(k % 5 == 0, F.lit("Disallow: /doc/")),
+        F.when(k % 3 == 0, F.lit("Disallow: /topic/")),
+        F.when(k % 3 == 0, F.lit("Allow: /topic/1")),
+        F.concat(F.lit("Crawl-delay: "), (k % 7 + 1).cast("string")),
+    )
+    lines = F.split(robots_txt, "\n")
+    parsed = F.filter(
+        F.transform(
+            lines,
+            lambda ln: F.when(
+                F.startswith(ln, F.lit("Disallow: ")),
+                F.struct(
+                    F.lit("disallow").alias("kind"),
+                    F.substring(ln, 11, 1 << 20).alias("prefix"),
+                ),
+            ).when(
+                F.startswith(ln, F.lit("Allow: ")),
+                F.struct(
+                    F.lit("allow").alias("kind"),
+                    F.substring(ln, 8, 1 << 20).alias("prefix"),
+                ),
+            ),
+        ),
+        lambda r: r.isNotNull(),
+    )
+    robots = docs.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        parsed.alias("rules"),
+        F.regexp_extract(robots_txt, r"Crawl-delay: (\d+)", 1)
+        .cast("long")
+        .alias("crawl_delay"),
+    )
+
+    links = _exploded_links(spark, sf_dir).select(
+        "doc_id",
+        F.col("link_idx").cast("long").alias("link_idx"),
+        F.col("l")["resolved"].alias("resolved"),
+    )
+    host = F.regexp_extract("resolved", r"^https://([^/]+)", 1)
+    path = F.regexp_replace("resolved", r"^https://[^/]+", "")
+    gated = links.withColumn("host", host).join(
+        F.broadcast(robots), "host", "left"
+    )
+    matching = F.filter(
+        F.coalesce(F.col("rules"), F.array()),
+        lambda r: F.startswith(path, r["prefix"]),
+    )
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["prefix"]).alias("l"),
+                (r["kind"] == "allow").cast("int").alias("pri"),
+                r["kind"].alias("kind"),
+                r["prefix"].alias("prefix"),
+            ),
+        )
+    )
+    return gated.select(
+        "doc_id",
+        "link_idx",
+        "resolved",
+        F.coalesce(best["kind"] == "allow", F.lit(True)).alias("allowed"),
+        F.when(
+            best.isNotNull(),
+            F.concat(best["kind"], F.lit(":"), best["prefix"]),
+        ).alias("matched_rule"),
+        F.col("crawl_delay"),
+    )
+
+
+ROBOTS_ORACLE_SQL = f"""
+    WITH {_LINKS_CTE},
+    g AS (
+        SELECT doc_id, link_idx, resolved,
+               resolved LIKE 'https://' || source || '.example.com%'
+                   AS same_dom,
+               CASE WHEN resolved LIKE 'https://' || source || '.example.com%'
+                    THEN substr(resolved,
+                                length('https://' || source || '.example.com')
+                                    + 1)
+               END AS path,
+               TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) AS k
+        FROM links
+    )
+    SELECT doc_id, link_idx, resolved,
+           CASE
+             WHEN NOT same_dom THEN true
+             WHEN path = '/ad' THEN false
+             WHEN path LIKE '/doc/%' AND k % 5 = 0 THEN false
+             WHEN path LIKE '/topic/%' AND k % 3 = 0
+                 THEN substr(path, 8, 1) = '1'
+             ELSE true
+           END AS allowed,
+           CASE
+             WHEN NOT same_dom THEN NULL
+             WHEN path = '/ad' THEN 'disallow:/ad'
+             WHEN path LIKE '/doc/%' AND k % 5 = 0 THEN 'disallow:/doc/'
+             WHEN path LIKE '/topic/%' AND k % 3 = 0
+                 THEN CASE WHEN substr(path, 8, 1) = '1'
+                           THEN 'allow:/topic/1'
+                           ELSE 'disallow:/topic/' END
+             ELSE NULL
+           END AS matched_rule,
+           CASE WHEN same_dom THEN k % 7 + 1 END AS crawl_delay
+    FROM g
+"""

@@ -1008,3 +1008,27 @@ def test_mojibake_repair_is_byte_exact_and_detection_is_tight(spark):
     assert (hit["n_bytes_collapsed"] > 0).all()
     # untouched rows collapsed nothing
     assert (j.loc[~j["mojibake_detected"], "n_bytes_collapsed"] == 0).all()
+
+
+def test_robots_gate_longest_match_and_foreign_pass(spark):
+    from ai_ocr_spark.operators.links import filter_robots_gate
+
+    out = filter_robots_gate(spark, SF).toPandas()
+    # /ad is disallowed on every domain that serves robots.txt
+    ad = out[out["resolved"].str.endswith("/ad")]
+    assert len(ad) > 0 and (~ad["allowed"]).all()
+    assert (ad["matched_rule"] == "disallow:/ad").all()
+    # foreign hosts (hub/cdn) have no robots.txt: allowed, no delay
+    foreign = out[out["resolved"].str.contains("//hub\\.|//cdn\\.")]
+    assert len(foreign) > 0 and foreign["allowed"].all()
+    assert foreign["crawl_delay"].isna().all()
+    assert foreign["matched_rule"].isna().all()
+    # the Allow override beats the broader Disallow by longest match:
+    # /topic/1x on a %3 domain is allowed while /topic/<other> is not
+    allow_hits = out[out["matched_rule"] == "allow:/topic/1"]
+    deny_hits = out[out["matched_rule"] == "disallow:/topic/"]
+    assert len(allow_hits) > 0 and allow_hits["allowed"].all()
+    assert len(deny_hits) > 0 and (~deny_hits["allowed"]).all()
+    # same-domain rows carry the parsed Crawl-delay
+    same = out[out["matched_rule"].notna()]
+    assert same["crawl_delay"].notna().all()
