@@ -128,6 +128,60 @@ class SnapshotTable:
         )
         shutil.rmtree(os.path.join(self.root, snap_dir), ignore_errors=True)
 
+    # -- maintenance ----------------------------------------------------------
+
+    def compact(self, spark: SparkSession, run_id: str | None = None) -> dict:
+        """Rewrite the committed snapshots into ONE (the small-files
+        maintenance pass — Iceberg's rewrite_data_files + expire_snapshots
+        in a single move). A 10^12-row table appended by thousands of
+        incremental runs accumulates thousands of snapshot dirs; every
+        read then unions thousands of parquet listings and the resume
+        anti-join scans them all. Compaction reads the union once,
+        writes a single snapshot, and swaps the manifest entries in one
+        atomic commit.
+
+        Crash/concurrency contract (same as append): data lands first,
+        the manifest replace is the only commit point, so readers see
+        either the full old snapshot list or the compacted one — never
+        a gap. Snapshots committed by a concurrent append AFTER the
+        compaction read are preserved: the commit removes exactly the
+        entries it compacted, keeps everything newer. Old data dirs are
+        removed only after the commit. The compacted entry records the
+        source run_ids under `compacted_from` so lineage survives."""
+        import shutil
+
+        sources = self.snapshots()
+        if len(sources) <= 1:
+            return {}
+        df = spark.read.parquet(
+            *[os.path.join(self.root, s["dir"]) for s in sources]
+        )
+        run_id = run_id or uuid.uuid4().hex[:12]
+        snap_dir = f"snap-{run_id}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(os.path.join(self.root, snap_dir))
+        compacted = {s["dir"] for s in sources}
+
+        def commit(manifest: dict) -> dict:
+            entry = {
+                "id": max((s["id"] for s in manifest["snapshots"]), default=-1)
+                + 1,
+                "dir": snap_dir,
+                "run_id": run_id,
+                "committed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                "compacted_from": [s["run_id"] for s in sources],
+            }
+            manifest["snapshots"][:] = [entry] + [
+                s for s in manifest["snapshots"] if s["dir"] not in compacted
+            ]
+            return entry
+
+        entry = self._with_manifest_lock(commit)
+        for d in compacted:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        return entry
+
     # -- resume -------------------------------------------------------------------
 
     def pending(self, spark: SparkSession, input_df: DataFrame, key: str = "url") -> DataFrame:

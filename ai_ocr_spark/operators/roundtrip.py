@@ -649,3 +649,89 @@ WET_ORACLE_SQL = f"""
            canon <> '' AS nonempty
     FROM c
 """
+
+
+# --- snapshot compaction (small-files maintenance) round-trip -----------------
+
+COMPACT_SPLITS = 5  # incremental appends before the maintenance pass
+
+
+def catalog_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot compaction value-checked: the small-files maintenance
+    pass a 10^12-row table needs after thousands of incremental
+    appends (Iceberg rewrite_data_files + expire_snapshots; here the
+    SnapshotTable equivalent, catalog.py compact()).
+
+    COMPACT_SPLITS doc_id-sliced appends build a snapshot-per-run
+    table; compact() rewrites them into one snapshot in a single
+    atomic manifest commit and records the source run_ids as lineage.
+    The checked output is the per-source content aggregate AFTER
+    compaction plus the measured manifest state (snapshots before /
+    after, lineage count, post-compaction resume backlog) — a
+    compaction that lost or duplicated ONE row, dropped a lineage id,
+    or broke the resume anti-join flips the hash against the twin's
+    reconstruction straight from documents."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import SnapshotTable
+
+    stage = tempfile.mkdtemp(prefix="compact_snap_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        tbl = SnapshotTable(os.path.join(stage, "docs"))
+        for k in range(COMPACT_SPLITS):
+            tbl.append(
+                docs.filter(F.col("doc_id") % COMPACT_SPLITS == k),
+                run_id=f"inc-{k}",
+            )
+        n_before = len(tbl.snapshots())
+        entry = tbl.compact(spark, run_id="maint")
+        n_after = len(tbl.snapshots())
+        n_lineage = len(entry.get("compacted_from", []))
+        # resume must see a fully-committed table after the rewrite
+        n_pending = tbl.pending(spark, docs).count()
+        out = (
+            tbl.read(spark)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.min("doc_id").cast("long").alias("min_doc"),
+                F.max("doc_id").cast("long").alias("max_doc"),
+            )
+            .withColumn("n_snapshots_before", F.lit(n_before).cast("long"))
+            .withColumn("n_snapshots_after", F.lit(n_after).cast("long"))
+            .withColumn("n_compacted_from", F.lit(n_lineage).cast("long"))
+            .withColumn("n_pending_after", F.lit(n_pending).cast("long"))
+        )
+        rows = out.collect()  # materialize before the staging dir vanishes
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+COMPACT_ORACLE_SQL = f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc,
+           CAST({COMPACT_SPLITS} AS BIGINT) AS n_snapshots_before,
+           CAST(1 AS BIGINT) AS n_snapshots_after,
+           CAST({COMPACT_SPLITS} AS BIGINT) AS n_compacted_from,
+           CAST(0 AS BIGINT) AS n_pending_after
+    FROM documents
+    GROUP BY source
+"""

@@ -195,3 +195,48 @@ def test_metrics_backfill_after_partial_commit(spark, pages_parquet, tmp_path):
     runs = {s["run_id"] for s in SnapshotTable(f"{out_root}/metrics").snapshots()}
     assert runs == {"crashed", "healer"}
     assert met.agg(F.sum("n_docs")).collect()[0][0] == 240
+
+
+def test_compact_preserves_content_lineage_and_newer_snapshots(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.catalog import SnapshotTable
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+    )
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    for k in range(4):
+        tbl.append(docs.filter(F.col("doc_id") % 4 == k), run_id=f"inc-{k}")
+    assert len(tbl.snapshots()) == 4
+
+    entry = tbl.compact(spark, run_id="maint")
+    snaps = tbl.snapshots()
+    assert len(snaps) == 1 and snaps[0]["dir"] == entry["dir"]
+    # lineage of the rewritten snapshots survives
+    assert entry["compacted_from"] == [f"inc-{k}" for k in range(4)]
+    # content is identical: every row exactly once
+    got = sorted(r["doc_id"] for r in tbl.read(spark).collect())
+    assert got == list(range(100))
+    # resume sees a fully-committed table
+    assert tbl.pending(spark, docs).count() == 0
+    # old data dirs are gone; a second compact is a no-op
+    import os
+
+    dirs = [
+        d for d in os.listdir(tbl.root) if d.startswith("snap-")
+    ]
+    assert dirs == [entry["dir"]]
+    assert tbl.compact(spark) == {}
+
+    # an append AFTER compaction coexists with the compacted snapshot
+    tbl.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        ),
+        run_id="inc-late",
+    )
+    assert len(tbl.snapshots()) == 2
+    assert tbl.read(spark).count() == 110
