@@ -94,18 +94,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ivf_recall/kmeans/pq/perplexity-unigram+bigram/entropy/
     classifier_nb/classifier_eval_pr/langid_ngram/fix_mojibake/
     mix_epochs/metrics_report/session_windows/resume_snapshot/
-    wet_roundtrip/outlinks/anchor_index/robots_gate/compact) + the
+    wet_roundtrip/outlinks/anchor_index/robots_gate/compact/
+    crawl_delta) + the
     rewritten mm_* codecs
     (real BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin,
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 35; tier 2 = 15 of the 38 remaining r2-green entries
+    pipelines) = 36; tier 2 = 14 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    q1_pricing_summary = position 50. The r2 entries left outside
-    (agg_keyword_score_argmax, window_running_spend,
+    ann_ivf_topk = position 50. The r2 entries left outside
+    (q1_pricing_summary, agg_keyword_score_argmax, window_running_spend,
     window_sessionize, join_nation_region_rollup,
     join_customer_orders, agg_order_totals, events_daily_metrics,
     agg_bool_checks, join_semi_orders_with_items,
@@ -196,6 +197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle-free probe; twin rebuilds verdicts by arithmetic
         # (new in r4)
         "filter_robots_gate": LNK.filter_robots_gate,
+        # re-crawl change detection: fingerprint-keyed full outer
+        # join over two crawl snapshots -> unchanged/changed/gone/new
+        # verdicts that decide which fraction re-runs the kernels
+        # (new in r4)
+        "crawl_delta_report": D.crawl_delta_report,
         # snapshot compaction (small-files maintenance): N incremental
         # appends rewritten to one snapshot in one atomic commit,
         # lineage preserved, content + resume backlog value-checked
@@ -593,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_index": LNK.ANCHOR_INDEX_ORACLE_SQL,
         "filter_robots_gate": LNK.ROBOTS_ORACLE_SQL,
         "catalog_compact_roundtrip": RT.COMPACT_ORACLE_SQL,
+        "crawl_delta_report": ORC.crawl_delta_report(),
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

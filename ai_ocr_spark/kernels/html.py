@@ -495,8 +495,9 @@ def parse_document_links(
         {"table_index": i, **_split_header(rows)}
         for i, rows in enumerate(p.tables)
     ]
+    parts = _split_base(base_url)
     links = [
-        {"href": href, "resolved": resolve_url(base_url, href), "anchor": text}
+        {"href": href, "resolved": _resolve_with(parts, base_url, href), "anchor": text}
         for href, text in p.links
     ]
     return arena, tables, links
@@ -524,6 +525,34 @@ def _remove_dot_segments(path: str) -> str:
     return "/".join(out)
 
 
+_BASE_RE = re.compile(r"^(https?)://([^/?#]*)([^?#]*)")
+
+
+def _split_base(base: str) -> tuple[str, str, str] | None:
+    """base url -> (scheme, host, directory-path) or None; parsed ONCE
+    per document (parse_document_links), not once per link."""
+    m = _BASE_RE.match(base)
+    if not m:
+        return None
+    path = m.group(3) or "/"
+    return m.group(1), m.group(2), path[: path.rfind("/") + 1] or "/"
+
+
+def _resolve_with(parts: tuple[str, str, str] | None, base: str, href: str) -> str:
+    if not href:
+        return base
+    if _SCHEME_RE.match(href):
+        return href
+    if parts is None:
+        return href
+    scheme, host, base_dir = parts
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return f"{scheme}://{host}{_remove_dot_segments(href)}"
+    return f"{scheme}://{host}{_remove_dot_segments(base_dir + href)}"
+
+
 def resolve_url(base: str, href: str) -> str:
     """Resolve href against an absolute http(s) base URL.
 
@@ -534,20 +563,7 @@ def resolve_url(base: str, href: str) -> str:
     strings survive; fragments are the caller's concern (the recorder
     already drops fragment-only hrefs). Never raises: with no parseable
     base the href is returned as-is."""
-    if not href:
-        return base
-    if _SCHEME_RE.match(href):
-        return href
-    m = re.match(r"^(https?)://([^/?#]*)([^?#]*)", base)
-    if not m:
-        return href
-    scheme, host, path = m.group(1), m.group(2), m.group(3) or "/"
-    if href.startswith("//"):
-        return f"{scheme}:{href}"
-    if href.startswith("/"):
-        return f"{scheme}://{host}{_remove_dot_segments(href)}"
-    base_dir = path[: path.rfind("/") + 1] or "/"
-    return f"{scheme}://{host}{_remove_dot_segments(base_dir + href)}"
+    return _resolve_with(_split_base(base), base, href)
 
 
 def _split_header(rows: list[list[str]]) -> dict:

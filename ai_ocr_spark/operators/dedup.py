@@ -750,3 +750,73 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_jaccard",
         )
     )
+
+
+# --- crawl-delta report (re-crawl change detection) ---------------------------
+
+DELTA_GONE_MOD = 11  # every 11th url vanishes from the re-crawl
+DELTA_CHANGED_MOD = 7  # every 7th page's content changes
+DELTA_NEW_MOD = 13  # every 13th doc spawns a brand-new url
+
+
+def crawl_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change detection between two crawl snapshots of the same sites —
+    the monthly-refresh primitive next to dedup_incremental_lsh: which
+    urls are unchanged (skip re-processing), changed (re-extract),
+    gone (tombstone), new (full pipeline).
+
+    Crawl A is the documents table; crawl B is derived from it
+    deterministically (every DELTA_GONE_MOD-th url dropped, every
+    DELTA_CHANGED_MOD-th page's text mutated, every DELTA_NEW_MOD-th
+    doc contributing a brand-new url), so both engines build the
+    identical snapshots. Verdicts compare content FINGERPRINTS
+    (md5 of the canonical text form — the same content-addressed key
+    dedup_exact shuffles on), never the texts: at 10^12 urls the full
+    outer join moves two 16-byte-key columns, not page bodies, and the
+    statuses drive exactly which fraction of the fleet re-runs the
+    expensive kernel stage. One url-keyed shuffle; map-side combine
+    does not apply (keys unique) but partial pruning via the status
+    filter pushes down when a consumer asks only for e.g. 'changed'."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    d = F.col("doc_id")
+    a = docs.select(
+        url.alias("url"), TX.md5_hex(TX.norm_text(F.col("text"))).alias("fp_a")
+    )
+    changed_text = F.when(
+        d % DELTA_CHANGED_MOD == 0,
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" updated "),
+            d.cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    b = (
+        docs.filter(d % DELTA_GONE_MOD != 0)
+        .select(
+            url.alias("url"),
+            TX.md5_hex(TX.norm_text(changed_text)).alias("fp_b"),
+        )
+        .unionByName(
+            docs.filter(d % DELTA_NEW_MOD == 0).select(
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example.com/doc/new-"), d.cast("string"),
+                ).alias("url"),
+                TX.md5_hex(
+                    F.concat(F.lit("fresh "), d.cast("string"))
+                ).alias("fp_b"),
+            )
+        )
+    )
+    j = a.join(b, "url", "full_outer")
+    status = (
+        F.when(F.col("fp_b").isNull(), F.lit("gone"))
+        .when(F.col("fp_a").isNull(), F.lit("new"))
+        .when(F.col("fp_a") == F.col("fp_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", "fp_a", "fp_b", status.alias("status"))

@@ -1445,3 +1445,37 @@ def text_chunk_windows() -> str:
                    least(k * {S} + {W}, n_tok)), ' ') AS chunk_text
         FROM ex
     """
+
+
+def crawl_delta_report() -> str:
+    from .dedup import DELTA_CHANGED_MOD, DELTA_GONE_MOD, DELTA_NEW_MOD
+
+    b_norm = (
+        r"trim(regexp_replace(lower(coalesce(text, '') || ' updated ' "
+        r"|| doc_id), '\s+', ' ', 'g'))"
+    )
+    return f"""
+        WITH a AS (
+            SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                       AS url,
+                   md5({NORM}) AS fp_a
+            FROM documents
+        ),
+        b AS (
+            SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                       AS url,
+                   md5(CASE WHEN doc_id % {DELTA_CHANGED_MOD} = 0
+                            THEN {b_norm} ELSE {NORM} END) AS fp_b
+            FROM documents WHERE doc_id % {DELTA_GONE_MOD} <> 0
+            UNION ALL
+            SELECT 'https://' || source || '.example.com/doc/new-' || doc_id,
+                   md5('fresh ' || doc_id)
+            FROM documents WHERE doc_id % {DELTA_NEW_MOD} = 0
+        )
+        SELECT coalesce(a.url, b.url) AS url, fp_a, fp_b,
+               CASE WHEN fp_b IS NULL THEN 'gone'
+                    WHEN fp_a IS NULL THEN 'new'
+                    WHEN fp_a = fp_b THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.url = b.url
+    """

@@ -126,10 +126,13 @@ def main() -> int:
         "ann_ivf_recall",
         "pipeline_metrics_report",
         "mm_image_features",
-        # r4b: the crawl loop's publish artifacts + the encoding scrub
+        # r4b: the crawl loop's publish artifacts + the encoding scrub,
+        # the robots frontier gate and the re-crawl delta join
         "pipeline_wet_roundtrip",
         "anchor_text_index",
         "text_fix_mojibake",
+        "filter_robots_gate",
+        "crawl_delta_report",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

@@ -1032,3 +1032,35 @@ def test_robots_gate_longest_match_and_foreign_pass(spark):
     # same-domain rows carry the parsed Crawl-delay
     same = out[out["matched_rule"].notna()]
     assert same["crawl_delay"].notna().all()
+
+
+def test_crawl_delta_statuses_partition_the_url_space(spark):
+    from ai_ocr_spark.operators.dedup import (
+        DELTA_CHANGED_MOD,
+        DELTA_GONE_MOD,
+        DELTA_NEW_MOD,
+        crawl_delta_report,
+    )
+
+    out = crawl_delta_report(spark, SF01).toPandas()
+    assert out["url"].is_unique
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").toPandas()
+    n = len(docs)
+    ids = docs["doc_id"]
+    exp_gone = (ids % DELTA_GONE_MOD == 0).sum()
+    exp_changed = (
+        (ids % DELTA_CHANGED_MOD == 0) & (ids % DELTA_GONE_MOD != 0)
+    ).sum()
+    exp_new = (ids % DELTA_NEW_MOD == 0).sum()
+    by = out["status"].value_counts().to_dict()
+    assert by.get("gone", 0) == exp_gone
+    assert by.get("changed", 0) == exp_changed
+    assert by.get("new", 0) == exp_new
+    assert by.get("unchanged", 0) == n - exp_gone - exp_changed
+    # fingerprints present exactly where the snapshot has the url
+    assert out.loc[out["status"] == "gone", "fp_b"].isna().all()
+    assert out.loc[out["status"] == "new", "fp_a"].isna().all()
+    assert (
+        out.loc[out["status"] == "unchanged", "fp_a"]
+        == out.loc[out["status"] == "unchanged", "fp_b"]
+    ).all()
