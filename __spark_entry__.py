@@ -95,18 +95,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier_nb/classifier_eval_pr/langid_ngram/fix_mojibake/
     mix_epochs/metrics_report/session_windows/resume_snapshot/
     wet_roundtrip/outlinks/anchor_index/robots_gate/compact/
-    crawl_delta) + the
+    crawl_delta/cdx_index) + the
     rewritten mm_* codecs
     (real BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin,
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 36; tier 2 = 14 of the 38 remaining r2-green entries
+    pipelines) = 37; tier 2 = 13 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    ann_ivf_topk = position 50. The r2 entries left outside
-    (q1_pricing_summary, agg_keyword_score_argmax, window_running_spend,
+    ann_cosine_topk = position 50. The r2 entries left outside
+    (ann_ivf_topk, q1_pricing_summary, agg_keyword_score_argmax,
+    window_running_spend,
     window_sessionize, join_nation_region_rollup,
     join_customer_orders, agg_order_totals, events_daily_metrics,
     agg_bool_checks, join_semi_orders_with_items,
@@ -185,6 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # WET conversion records (pure-SQL writer), re-ingested through
         # the kernel record walker, byte-identical canon (new in r4)
         "pipeline_wet_roundtrip": RT.pipeline_wet_roundtrip,
+        # the CDX capture index over the WET export: per-record byte
+        # offset + length via a bucket-keyed running sum — one ranged
+        # read per page instead of a stream scan (new in r4)
+        "warc_cdx_index": RT.warc_cdx_index,
         # the WAT side: passive anchor recorder in the HTML kernel —
         # every href form resolved RFC-3986-style against the page url,
         # chrome links included (new in r4)
@@ -600,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_robots_gate": LNK.ROBOTS_ORACLE_SQL,
         "catalog_compact_roundtrip": RT.COMPACT_ORACLE_SQL,
         "crawl_delta_report": ORC.crawl_delta_report(),
+        "warc_cdx_index": RT.CDX_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

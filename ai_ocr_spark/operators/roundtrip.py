@@ -14,7 +14,7 @@ plain strings — no float formatting divergence).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..pipeline import extract_pages
@@ -540,6 +540,29 @@ RESUME_SNAPSHOT_ORACLE_SQL = """
 
 WET_BUCKET = 32  # pages per WET stream file
 
+# WET record layout, shared by the writer and the CDX index twin:
+# rec = WET_HDR1 + url + WET_HDR2 + digits(content_length) + CRLF2
+#       + main_text + CRLF2
+WET_HDR1 = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "
+WET_HDR2 = (
+    "\r\nWARC-Date: 2025-03-01T00:00:00Z"
+    "\r\nContent-Type: text/plain\r\nContent-Length: "
+)
+
+
+def _wet_record_expr(url, main_text):
+    """The WET conversion record as ONE JVM string expression —
+    Content-Length is the UTF-8 byte count of the text."""
+    return F.concat(
+        F.lit(WET_HDR1),
+        url,
+        F.lit(WET_HDR2),
+        F.length(F.encode(main_text, "UTF-8")).cast("string"),
+        F.lit("\r\n\r\n"),
+        main_text,
+        F.lit("\r\n\r\n"),
+    )
+
 
 def pipeline_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The publish side of the crawl loop: extraction output exported as
@@ -569,19 +592,7 @@ def pipeline_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(spark, sf_dir)
     out = extract_pages(pages, run_id="wet", num_partitions=8)
     doc_id = F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long")
-    text_b = F.encode(F.col("main_text"), "UTF-8")
-    rec = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
-        F.col("url"),
-        F.lit(
-            "\r\nWARC-Date: 2025-03-01T00:00:00Z"
-            "\r\nContent-Type: text/plain\r\nContent-Length: "
-        ),
-        F.length(text_b).cast("string"),
-        F.lit("\r\n\r\n"),
-        F.col("main_text"),
-        F.lit("\r\n\r\n"),
-    )
+    rec = _wet_record_expr(F.col("url"), F.col("main_text"))
     streams = (
         out.select(
             F.floor(doc_id / WET_BUCKET).cast("long").alias("bucket"),
@@ -734,4 +745,80 @@ COMPACT_ORACLE_SQL = f"""
            CAST(0 AS BIGINT) AS n_pending_after
     FROM documents
     GROUP BY source
+"""
+
+
+# --- CDX index over the WET export ---------------------------------------------
+
+
+def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDX capture index — Common Crawl's fourth artifact next to
+    WARC/WAT/WET: per record, the (filename, byte offset, record
+    length) triple that makes a multi-GB stream randomly accessible
+    (fetch ONE page = one ranged read, never a stream scan).
+
+    Offsets come from a running byte sum over the records of each
+    bucket stream in doc_id order — the same distributed
+    prefix-sum-within-shard shape as sample_pack_sequences, one
+    bucket-keyed window, no global exchange. Record byte lengths are
+    computed from the shared WET record layout (WET_HDR1/WET_HDR2), so
+    the DuckDB twin reconstructs every offset arithmetically; the
+    random-access property itself (slice stream[offset : offset+len],
+    parse exactly that record) is pinned by
+    tests/test_sources_streaming.py."""
+    from ..pipeline import extract_pages, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, run_id="cdx", num_partitions=8)
+    doc_id = F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long")
+    rec = _wet_record_expr(F.col("url"), F.col("main_text"))
+    rows = out.select(
+        F.floor(doc_id / WET_BUCKET).cast("long").alias("bucket"),
+        doc_id.alias("doc_id"),
+        "url",
+        F.length(F.encode(rec, "UTF-8")).cast("long").alias("rec_len"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return rows.select(
+        F.concat(
+            F.lit("wet-"), F.lpad(F.col("bucket").cast("string"), 5, "0"),
+            F.lit(".warc"),
+        ).alias("filename"),
+        "doc_id",
+        "url",
+        F.coalesce(F.sum("rec_len").over(w), F.lit(0))
+        .cast("long")
+        .alias("offset"),
+        "rec_len",
+    )
+
+
+CDX_ORACLE_SQL = f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(floor(doc_id / {WET_BUCKET}) AS BIGINT) AS bucket,
+               'https://' || source || '.example.com/doc/' || doc_id AS url,
+               {_CANON} AS canon
+        FROM documents
+    ),
+    r AS (
+        SELECT bucket, doc_id, url,
+               CAST({len(WET_HDR1)} + strlen(url) + {len(WET_HDR2)}
+                    + length(CAST(strlen(canon) AS VARCHAR))
+                    + 4 + strlen(canon) + 4 AS BIGINT) AS rec_len
+        FROM c
+    )
+    SELECT 'wet-' || lpad(CAST(bucket AS VARCHAR), 5, '0') || '.warc'
+               AS filename,
+           doc_id, url,
+           CAST(coalesce(sum(rec_len) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS offset,
+           rec_len
+    FROM r
 """

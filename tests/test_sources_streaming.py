@@ -460,3 +460,50 @@ def test_wet_roundtrip_recovers_canonical_text(spark):
     assert (
         j["wet_text"].str.encode("utf-8") == j["canon"].str.encode("utf-8")
     ).all()
+
+
+def test_cdx_offsets_enable_random_access(spark):
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.kernels.warc import parse_wet
+    from ai_ocr_spark.operators.roundtrip import (
+        WET_BUCKET,
+        _wet_record_expr,
+        warc_cdx_index,
+    )
+    from ai_ocr_spark.pipeline import extract_pages, pages_from_documents
+
+    sf = "/root/testdata/sf0.001"
+    cdx = warc_cdx_index(spark, sf).toPandas()
+    # rebuild the physical streams exactly as the WET writer does
+    out = extract_pages(
+        pages_from_documents(spark, sf), run_id="cdxtest", num_partitions=8
+    )
+    doc_id = F.regexp_extract("url", r"doc/(\d+)$", 1).cast("long")
+    rec = _wet_record_expr(F.col("url"), F.col("main_text"))
+    rows = (
+        out.select(
+            F.floor(doc_id / WET_BUCKET).cast("long").alias("bucket"),
+            doc_id.alias("doc_id"),
+            rec.alias("rec"),
+        )
+        .toPandas()
+        .sort_values(["bucket", "doc_id"])
+    )
+    streams = {
+        b: "".join(g["rec"]).encode("utf-8")
+        for b, g in rows.groupby("bucket")
+    }
+    assert len(cdx) == len(rows)
+    # every (offset, rec_len) is a ranged read that parses to EXACTLY
+    # its own record — the random-access property CDX exists for
+    for r in cdx.itertuples():
+        b = int(r.filename.split("-")[1].split(".")[0])
+        sl = streams[b][r.offset : r.offset + r.rec_len]
+        got = parse_wet(sl)
+        assert len(got) == 1 and got[0]["url"] == r.url
+    # offsets tile each stream exactly: sum of lengths = stream size
+    by_file = cdx.groupby("filename")["rec_len"].sum()
+    for fname, total in by_file.items():
+        b = int(fname.split("-")[1].split(".")[0])
+        assert total == len(streams[b])
