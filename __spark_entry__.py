@@ -95,18 +95,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier_nb/classifier_eval_pr/langid_ngram/fix_mojibake/
     mix_epochs/metrics_report/session_windows/resume_snapshot/
     wet_roundtrip/outlinks/anchor_index/robots_gate/compact/
-    crawl_delta/cdx_index) + the
+    crawl_delta/cdx_index/frontier_topk) + the
     rewritten mm_* codecs
     (real BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin,
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 37; tier 2 = 13 of the 38 remaining r2-green entries
+    pipelines) = 38; tier 2 = 12 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    ann_cosine_topk = position 50. The r2 entries left outside
-    (ann_ivf_topk, q1_pricing_summary, agg_keyword_score_argmax,
+    dedup_embedding_lsh = position 50. The r2 entries left outside
+    (ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
+    agg_keyword_score_argmax,
     window_running_spend,
     window_sessionize, join_nation_region_rollup,
     join_customer_orders, agg_order_totals, events_daily_metrics,
@@ -207,6 +208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verdicts that decide which fraction re-runs the kernels
         # (new in r4)
         "crawl_delta_report": D.crawl_delta_report,
+        # the crawl-loop capstone: discovered targets -> robots gate ->
+        # seen anti-join -> in-link-ranked next wave; composes three
+        # oracle-checked ops, composition itself value-checked
+        # (new in r4)
+        "crawl_frontier_topk": LNK.crawl_frontier_topk,
         # snapshot compaction (small-files maintenance): N incremental
         # appends rewritten to one snapshot in one atomic commit,
         # lineage preserved, content + resume backlog value-checked
@@ -606,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "catalog_compact_roundtrip": RT.COMPACT_ORACLE_SQL,
         "crawl_delta_report": ORC.crawl_delta_report(),
         "warc_cdx_index": RT.CDX_ORACLE_SQL,
+        "crawl_frontier_topk": LNK.FRONTIER_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -357,3 +357,101 @@ ROBOTS_ORACLE_SQL = f"""
            CASE WHEN same_dom THEN k % 7 + 1 END AS crawl_delay
     FROM g
 """
+
+
+# --- frontier selection: the next crawl wave ----------------------------------
+
+FRONTIER_K = 20
+
+
+def crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-loop capstone: pick the next wave. Discovered targets
+    (extract_outlinks) pass the robots gate, drop everything already
+    crawled (anti-join against the corpus' own urls — the same J5
+    anti-join shape the resume path uses), and rank by in-link volume
+    with a deterministic tie-break. This composes three independently
+    oracle-checked operators, and the composition itself is
+    value-checked.
+
+    Scale shape: the gate probe is broadcast (plan-pinned), the seen
+    anti-join and the score aggregate both key on the target url (one
+    shuffle each with map-side combine), and the top-K compiles to
+    TakeOrderedAndProject — the rank window runs AFTER the limit, over
+    a FRONTIER_K-row frame, so no unbounded single-partition stage
+    exists."""
+    gate = filter_robots_gate(spark, sf_dir).filter(F.col("allowed"))
+    seen = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("resolved")
+    )
+    cand = gate.select("doc_id", "resolved").join(seen, "resolved", "left_anti")
+    scored = cand.groupBy("resolved").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("doc_id").alias("n_src_docs"),
+    )
+    top = scored.orderBy(
+        F.desc("n_inlinks"), F.asc("resolved")
+    ).limit(FRONTIER_K)
+    w = Window.orderBy(F.desc("n_inlinks"), F.asc("resolved"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "resolved", "n_inlinks", "n_src_docs")
+
+
+# the robots verdict over every link, shared by the frontier twin —
+# the same arithmetic CASE the gate oracle uses
+_GATED_LINKS_CTE = f"""
+    {_LINKS_CTE},
+    g AS (
+        SELECT doc_id, link_idx, resolved,
+               resolved LIKE 'https://' || source || '.example.com%'
+                   AS same_dom,
+               CASE WHEN resolved LIKE 'https://' || source || '.example.com%'
+                    THEN substr(resolved,
+                                length('https://' || source || '.example.com')
+                                    + 1)
+               END AS path,
+               TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) AS k
+        FROM links
+    ),
+    verdicts AS (
+        SELECT doc_id, link_idx, resolved,
+               CASE
+                 WHEN NOT same_dom THEN true
+                 WHEN path = '/ad' THEN false
+                 WHEN path LIKE '/doc/%' AND k % 5 = 0 THEN false
+                 WHEN path LIKE '/topic/%' AND k % 3 = 0
+                     THEN substr(path, 8, 1) = '1'
+                 ELSE true
+               END AS allowed
+        FROM g
+    )
+"""
+
+FRONTIER_ORACLE_SQL = f"""
+    WITH {_GATED_LINKS_CTE},
+    seen AS (
+        SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                   AS resolved
+        FROM documents
+    ),
+    cand AS (
+        SELECT v.doc_id, v.resolved
+        FROM verdicts v
+        WHERE v.allowed
+          AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.resolved = v.resolved)
+    ),
+    scored AS (
+        SELECT resolved, count(*) AS n_inlinks,
+               count(DISTINCT doc_id) AS n_src_docs
+        FROM cand GROUP BY resolved
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_inlinks DESC, resolved ASC)
+                AS BIGINT) AS rank,
+           resolved, n_inlinks, n_src_docs
+    FROM scored
+    ORDER BY n_inlinks DESC, resolved ASC
+    LIMIT {FRONTIER_K}
+"""

@@ -133,6 +133,8 @@ def main() -> int:
         "text_fix_mojibake",
         "filter_robots_gate",
         "crawl_delta_report",
+        "warc_cdx_index",
+        "crawl_frontier_topk",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

@@ -1064,3 +1064,29 @@ def test_crawl_delta_statuses_partition_the_url_space(spark):
         out.loc[out["status"] == "unchanged", "fp_a"]
         == out.loc[out["status"] == "unchanged", "fp_b"]
     ).all()
+
+
+def test_frontier_topk_excludes_seen_and_disallowed(spark):
+    from ai_ocr_spark.operators.links import (
+        FRONTIER_K,
+        crawl_frontier_topk,
+        filter_robots_gate,
+    )
+
+    top = crawl_frontier_topk(spark, SF01).toPandas()
+    assert len(top) == FRONTIER_K
+    assert list(top["rank"]) == list(range(1, FRONTIER_K + 1))
+    # ranking is by in-link volume with a deterministic tie-break
+    pairs = list(zip(-top["n_inlinks"], top["resolved"]))
+    assert pairs == sorted(pairs)
+    # nothing already crawled may appear
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").toPandas()
+    seen = {
+        f"https://{s}.example.com/doc/{i}"
+        for s, i in zip(docs["source"], docs["doc_id"])
+    }
+    assert not (set(top["resolved"]) & seen)
+    # nothing robots-disallowed may appear
+    gate = filter_robots_gate(spark, SF01).toPandas()
+    blocked = set(gate.loc[~gate["allowed"], "resolved"])
+    assert not (set(top["resolved"]) & blocked)
