@@ -95,18 +95,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier_nb/classifier_eval_pr/langid_ngram/fix_mojibake/
     mix_epochs/metrics_report/session_windows/resume_snapshot/
     wet_roundtrip/outlinks/anchor_index/robots_gate/compact/
-    crawl_delta/cdx_index/frontier_topk) + the
+    crawl_delta/cdx_index/frontier_topk/dsir_select) + the
     rewritten mm_* codecs
     (real BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin,
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 38; tier 2 = 12 of the 38 remaining r2-green entries
+    pipelines) = 39; tier 2 = 11 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    dedup_embedding_lsh = position 50. The r2 entries left outside
-    (ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
+    dedup_embedding_cosine = position 50. The r2 entries left outside
+    (dedup_embedding_lsh, ann_cosine_topk, ann_ivf_topk,
+    q1_pricing_summary,
     agg_keyword_score_argmax,
     window_running_spend,
     window_sessionize, join_nation_region_rollup,
@@ -166,6 +167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
+        # DSIR-shaped selection: hashed n-gram buckets make the whole
+        # model a broadcast DSIR_B-row table — shuffle-free scoring,
+        # exact tie-broken keep quota (new in r4)
+        "sample_dsir_select": QL.sample_dsir_select,
         # TRAINED Cavnar-Trenkle n-gram language ID over all five gold
         # labels, integer rank distances (new in r4)
         "text_langid_ngram": TS.text_langid_ngram,
@@ -600,6 +605,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity_bigram": QL.BIGRAM_ORACLE_SQL,
         "quality_classifier_nb": QL.NB_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
+        "sample_dsir_select": QL.DSIR_ORACLE_SQL,
         "text_langid_ngram": TS.LANGID_NGRAM_ORACLE_SQL,
         "text_fix_mojibake": TS.MOJIBAKE_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,

@@ -825,3 +825,217 @@ BIGRAM_ORACLE_SQL = f"""
            coalesce(p.ce2_scaled, {EMPTY_CE}) AS ce2_scaled
     FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
+
+
+# --- DSIR: data selection via importance resampling ---------------------------
+
+DSIR_B = 64  # hashed n-gram feature buckets (the paper's 10k, scaled down)
+DSIR_KEEP_NUM, DSIR_KEEP_DEN = 3, 10  # keep ceil(3/10) of the corpus
+
+
+def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023): pick the raw-crawl
+    subset whose hashed n-gram distribution matches a target corpus.
+
+    The third member of the learned-selection family: perplexity gates
+    score against ONE clean LM, the NB classifier discriminates with
+    token-level weights — DSIR's defining trick is the HASHED feature
+    space: unigrams + bigrams hash into DSIR_B buckets, so the entire
+    model (target distribution p, raw distribution q, and the
+    per-bucket log ratio lambda_b = ln p_b - ln q_b) is a CONSTANT
+    DSIR_B-row table regardless of corpus size. Per-doc importance
+    log-weight = sum over the doc's grams of lambda_bucket(gram); the
+    top ceil(N * DSIR_KEEP_NUM / DSIR_KEEP_DEN) docs by weight are
+    kept, with an exact tie-broken quota.
+
+    All log arithmetic rides the shared 256-entry integer-ln table
+    (bit-exact both engines); add-one smoothing per bucket.
+
+    Scale shape: one gram explode (scan-side), ONE bucket aggregate
+    (DSIR_B groups — map-side combine collapses the corpus to
+    B rows per task), lambda attaches back as a BROADCAST DSIR_B-row
+    table (shuffle-free scoring — the advantage hashed features buy
+    over the NB's Zipf-keyed token join), one doc_id aggregate. The
+    exact quota uses the distinct-score cumulative window (bounded by
+    the fixed-point value space, same argument as the perplexity
+    tertiles) plus a per-score row_number for the boundary ties.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = TX.hash15(F.col("source")) % NB_POS_MOD == 0
+
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id",
+        pos.alias("pos"),
+        F.explode(F.concat(toks, bigrams)).alias("gram"),
+    ).select(
+        "doc_id", "pos", (TX.hash15(F.col("gram")) % DSIR_B).alias("bucket")
+    )
+
+    counts = grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.expr(_iln_sql(f"((ct + 1) * {PREC})", "spark"))
+            - F.expr(_iln_sql(f"((tt + {DSIR_B}) * {PREC})", "spark"))
+            - F.expr(_iln_sql(f"((cr + 1) * {PREC})", "spark"))
+            + F.expr(_iln_sql(f"((tr + {DSIR_B}) * {PREC})", "spark"))
+        ).cast("long").alias("lam"),
+    )
+    perdoc = (
+        grams.select("doc_id", "bucket")
+        .join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam").alias("s"),
+        )
+    )
+    alldocs = (
+        docs.select("doc_id", pos.alias("is_target"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("dsir_logw_scaled"),
+        )
+    )
+
+    quota = docs.agg(
+        F.expr(
+            f"(count(*) * {DSIR_KEEP_NUM} + {DSIR_KEEP_DEN} - 1) "
+            f"DIV {DSIR_KEEP_DEN}"
+        ).alias("q")
+    )
+    dist = alldocs.groupBy("dsir_logw_scaled").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy(F.desc("dsir_logw_scaled")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cut = (
+        dist.withColumn("cum", F.sum("c").over(wcum))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("cum") - F.col("c") < F.col("q"))
+        .select(
+            "dsir_logw_scaled",
+            F.least(F.col("c"), F.col("q") - (F.col("cum") - F.col("c")))
+            .cast("long")
+            .alias("keep_k"),
+        )
+    )
+    wtie = Window.partitionBy("dsir_logw_scaled").orderBy("doc_id")
+    return (
+        alldocs.join(F.broadcast(cut), "dsir_logw_scaled", "left")
+        .withColumn("rn", F.row_number().over(wtie))
+        .select(
+            "doc_id",
+            "is_target",
+            "n_grams",
+            "dsir_logw_scaled",
+            (
+                F.col("keep_k").isNotNull() & (F.col("rn") <= F.col("keep_k"))
+            ).alias("kept"),
+        )
+    )
+
+
+_DSIR_H15G = "CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)"
+
+_DSIR_CTES = f"""tk AS (
+        SELECT doc_id, {_POS} AS pos,
+               list_filter(string_split({_NORM}, ' '), t -> t <> '') AS a
+        FROM documents
+    ),
+    grams0 AS (
+        SELECT doc_id, pos, unnest(a) AS gram FROM tk
+        UNION ALL
+        SELECT doc_id, pos,
+               unnest(list_transform(range(1, len(a)),
+                   i -> a[i] || ' ' || a[i + 1])) AS gram
+        FROM tk WHERE len(a) >= 2
+    ),
+    grams AS (
+        SELECT doc_id, pos, {_DSIR_H15G} % {DSIR_B} AS bucket FROM grams0
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        FROM grams GROUP BY bucket
+    ),
+    totals AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+        FROM counts
+    ),
+    lam AS (
+        SELECT bucket,
+               {_iln_sql(f"((ct + 1) * {PREC})", "duckdb")}
+             - {_iln_sql(f"((tt + {DSIR_B}) * {PREC})", "duckdb")}
+             - {_iln_sql(f"((cr + 1) * {PREC})", "duckdb")}
+             + {_iln_sql(f"((tr + {DSIR_B}) * {PREC})", "duckdb")} AS lam
+        FROM counts CROSS JOIN totals
+    ),
+    perdoc AS (
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(l.lam) AS BIGINT) AS s
+        FROM grams g JOIN lam l USING (bucket)
+        GROUP BY g.doc_id
+    ),
+    alldocs AS (
+        SELECT d.doc_id,
+               {_POS.replace("source", "d.source")} AS is_target,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.s, 0) AS dsir_logw_scaled
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    ),
+    quota AS (
+        SELECT (count(*) * {DSIR_KEEP_NUM} + {DSIR_KEEP_DEN} - 1)
+                   // {DSIR_KEEP_DEN} AS q
+        FROM documents
+    ),
+    dist AS (
+        SELECT dsir_logw_scaled, CAST(count(*) AS BIGINT) AS c
+        FROM alldocs GROUP BY dsir_logw_scaled
+    ),
+    cut AS (
+        SELECT dsir_logw_scaled,
+               CAST(least(c, (SELECT q FROM quota) - (cum - c)) AS BIGINT)
+                   AS keep_k
+        FROM (
+            SELECT dsir_logw_scaled, c,
+                   sum(c) OVER (ORDER BY dsir_logw_scaled DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM dist
+        )
+        WHERE cum - c < (SELECT q FROM quota)
+    ),
+    ranked AS (
+        SELECT a.*, k.keep_k,
+               row_number() OVER (PARTITION BY a.dsir_logw_scaled
+                   ORDER BY a.doc_id) AS rn
+        FROM alldocs a LEFT JOIN cut k USING (dsir_logw_scaled)
+    )"""
+
+DSIR_ORACLE_SQL = f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, is_target, n_grams, dsir_logw_scaled,
+           keep_k IS NOT NULL AND rn <= keep_k AS kept
+    FROM ranked
+"""

@@ -1090,3 +1090,25 @@ def test_frontier_topk_excludes_seen_and_disallowed(spark):
     gate = filter_robots_gate(spark, SF01).toPandas()
     blocked = set(gate.loc[~gate["allowed"], "resolved"])
     assert not (set(top["resolved"]) & blocked)
+
+
+def test_dsir_quota_is_exact_and_selection_is_topk(spark):
+    from ai_ocr_spark.operators.quality_lm import (
+        DSIR_KEEP_DEN,
+        DSIR_KEEP_NUM,
+        sample_dsir_select,
+    )
+
+    out = sample_dsir_select(spark, SF01).toPandas()
+    n = len(out)
+    quota = -(-n * DSIR_KEEP_NUM // DSIR_KEEP_DEN)
+    kept = out[out["kept"]]
+    assert len(kept) == quota  # EXACT quota, ties resolved
+    # kept set is precisely the top of the (score desc, doc_id asc) order
+    ordered = out.sort_values(
+        ["dsir_logw_scaled", "doc_id"], ascending=[False, True]
+    )
+    assert set(ordered.head(quota)["doc_id"]) == set(kept["doc_id"])
+    # every doc scored: grams counted, BIGINT weights
+    assert (out["n_grams"] > 0).all()
+    assert out["dsir_logw_scaled"].dtype.kind == "i"
