@@ -86,7 +86,10 @@ class SnapshotTable:
 
         def commit(manifest: dict) -> dict:
             entry = {
-                "id": len(manifest["snapshots"]),
+                # max+1, NOT len: after a compaction shrinks the list,
+                # len-based ids would collide with the compacted entry
+                "id": max((s["id"] for s in manifest["snapshots"]), default=-1)
+                + 1,
                 "dir": snap_dir,
                 "run_id": run_id,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -130,7 +133,12 @@ class SnapshotTable:
 
     # -- maintenance ----------------------------------------------------------
 
-    def compact(self, spark: SparkSession, run_id: str | None = None) -> dict:
+    def compact(
+        self,
+        spark: SparkSession,
+        run_id: str | None = None,
+        expire_old: bool = False,
+    ) -> dict:
         """Rewrite the committed snapshots into ONE (the small-files
         maintenance pass — Iceberg's rewrite_data_files + expire_snapshots
         in a single move). A 10^12-row table appended by thousands of
@@ -141,13 +149,22 @@ class SnapshotTable:
         atomic commit.
 
         Crash/concurrency contract (same as append): data lands first,
-        the manifest replace is the only commit point, so readers see
-        either the full old snapshot list or the compacted one — never
-        a gap. Snapshots committed by a concurrent append AFTER the
-        compaction read are preserved: the commit removes exactly the
-        entries it compacted, keeps everything newer. Old data dirs are
-        removed only after the commit. The compacted entry records the
-        source run_ids under `compacted_from` so lineage survives."""
+        the manifest replace is the only commit point, so a reader
+        OPENING the table sees either the full old snapshot list or the
+        compacted one — never a gap. Snapshots committed by a
+        concurrent append AFTER the compaction read are preserved: the
+        commit removes exactly the entries it compacted, keeps
+        everything newer. The compacted entry records the source
+        run_ids under `compacted_from` so lineage survives.
+
+        The old data dirs become unreferenced after the commit but are
+        DELETED only with expire_old=True: a reader that captured the
+        pre-compaction manifest may still be mid-scan over them
+        (Iceberg splits this into rewrite_data_files + a later
+        expire_snapshots behind a grace period for exactly that
+        reason). Default keeps them as harmless orphans — the same
+        state a crashed append leaves — for a later maintenance-window
+        expiry."""
         import shutil
 
         sources = self.snapshots()
@@ -178,8 +195,9 @@ class SnapshotTable:
             return entry
 
         entry = self._with_manifest_lock(commit)
-        for d in compacted:
-            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        if expire_old:
+            for d in compacted:
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
         return entry
 
     # -- resume -------------------------------------------------------------------

@@ -112,10 +112,25 @@ def decode_entities(s: str) -> str:
 
 _WS_RE = re.compile(r"\s+")
 
-# href="..." / href='...' / href=bare — groups 2/3/4 hold the value
-_HREF_RE = re.compile(
-    r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+# attribute tokenizer: name = "..." | '...' | bare. Quoted values are
+# consumed atomically, so an 'href=' INSIDE another attribute's quoted
+# value can never be mistaken for the real href, and a data-href /
+# xlink:href name never matches the plain 'href' lookup.
+_ATTR_RE = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))"""
 )
+
+
+def _extract_href(tag_body: str) -> str | None:
+    for m in _ATTR_RE.finditer(tag_body):
+        if m.group(1).lower() == "href":
+            v = m.group(3)
+            if v is None:
+                v = m.group(4)
+            if v is None:
+                v = m.group(5) or ""
+            return v.strip()
+    return None
 
 
 def collapse_ws(s: str) -> str:
@@ -380,12 +395,7 @@ class _Parser:
                 i = n if cm is None else cm.end()
                 continue
             if name == "a":
-                hm = _HREF_RE.search(tag_body)
-                self.pending_href = (
-                    (hm.group(2) or hm.group(3) or hm.group(4) or "").strip()
-                    if hm
-                    else None
-                )
+                self.pending_href = _extract_href(tag_body)
             self._open(name)
             if self_closing and name not in VOID_TAGS:
                 self._close(name)

@@ -777,11 +777,10 @@ def crawl_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive kernel stage. One url-keyed shuffle; map-side combine
     does not apply (keys unique) but partial pruning via the status
     filter pushes down when a consumer asks only for e.g. 'changed'."""
+    from ..pipeline import doc_url_expr
+
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
-        F.col("doc_id").cast("string"),
-    )
+    url = doc_url_expr()
     d = F.col("doc_id")
     a = docs.select(
         url.alias("url"), TX.md5_hex(TX.norm_text(F.col("text"))).alias("fp_a")

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..pipeline import extract_pages, html_escape_col
+from ..pipeline import doc_ts_expr, doc_url_expr, extract_pages, html_escape_col
 
 # (link_idx, href, anchor) of the chrome links every synthetic page
 # carries, in document order: nav(4), aside(1), ... footer(3). Body
@@ -86,13 +86,8 @@ def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</a>.</p></article>" + _CHROME_FOOT),
     )
     return docs.select(
-        F.concat(
-            F.lit("https://"),
-            F.col("source"),
-            F.lit(".example.com/doc/"),
-            d.cast("string"),
-        ).alias("url"),
-        F.timestamp_seconds(F.lit(1740787200) + d).alias("warc_ts"),
+        doc_url_expr().alias("url"),
+        doc_ts_expr().alias("warc_ts"),
         F.encode(html, "UTF-8").alias("html"),
         F.col("text"),
         F.col("lang"),
@@ -297,33 +292,37 @@ def filter_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("rules"), F.array()),
         lambda r: F.startswith(path, r["prefix"]),
     )
+    # the max element CARRIES the final payload (allowed, rule), so the
+    # winning rule is computed by exactly ONE array_max expression and
+    # the output projection only dereferences struct fields — building
+    # allowed/matched_rule as separate expressions would inline the
+    # whole filter+transform+array_max matcher once per output column
+    # (the CollapseProject/codegen tax CLAUDE.md documents; measured 4x
+    # here before this shape)
     best = F.array_max(
         F.transform(
             matching,
             lambda r: F.struct(
                 F.length(r["prefix"]).alias("l"),
                 (r["kind"] == "allow").cast("int").alias("pri"),
-                r["kind"].alias("kind"),
-                r["prefix"].alias("prefix"),
+                (r["kind"] == "allow").alias("allowed"),
+                F.concat(r["kind"], F.lit(":"), r["prefix"]).alias("rule"),
             ),
         )
     )
     return gated.select(
+        "doc_id", "link_idx", "resolved", "crawl_delay", best.alias("b")
+    ).select(
         "doc_id",
         "link_idx",
         "resolved",
-        F.coalesce(best["kind"] == "allow", F.lit(True)).alias("allowed"),
-        F.when(
-            best.isNotNull(),
-            F.concat(best["kind"], F.lit(":"), best["prefix"]),
-        ).alias("matched_rule"),
+        F.coalesce(F.col("b")["allowed"], F.lit(True)).alias("allowed"),
+        F.col("b")["rule"].alias("matched_rule"),
         F.col("crawl_delay"),
     )
 
 
-ROBOTS_ORACLE_SQL = f"""
-    WITH {_LINKS_CTE},
-    g AS (
+_ROBOTS_G_SQL = """g AS (
         SELECT doc_id, link_idx, resolved,
                resolved LIKE 'https://' || source || '.example.com%'
                    AS same_dom,
@@ -334,16 +333,24 @@ ROBOTS_ORACLE_SQL = f"""
                END AS path,
                TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) AS k
         FROM links
-    )
+    )"""
+
+# the ONE definition of the allowed verdict, shared by the gate oracle
+# and the frontier oracle so a rule fix can never diverge between them
+_ALLOWED_CASE = """CASE
+                 WHEN NOT same_dom THEN true
+                 WHEN path = '/ad' THEN false
+                 WHEN path LIKE '/doc/%' AND k % 5 = 0 THEN false
+                 WHEN path LIKE '/topic/%' AND k % 3 = 0
+                     THEN substr(path, 8, 1) = '1'
+                 ELSE true
+               END"""
+
+ROBOTS_ORACLE_SQL = f"""
+    WITH {_LINKS_CTE},
+    {_ROBOTS_G_SQL}
     SELECT doc_id, link_idx, resolved,
-           CASE
-             WHEN NOT same_dom THEN true
-             WHEN path = '/ad' THEN false
-             WHEN path LIKE '/doc/%' AND k % 5 = 0 THEN false
-             WHEN path LIKE '/topic/%' AND k % 3 = 0
-                 THEN substr(path, 8, 1) = '1'
-             ELSE true
-           END AS allowed,
+           {_ALLOWED_CASE} AS allowed,
            CASE
              WHEN NOT same_dom THEN NULL
              WHEN path = '/ad' THEN 'disallow:/ad'
@@ -381,10 +388,7 @@ def crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists."""
     gate = filter_robots_gate(spark, sf_dir).filter(F.col("allowed"))
     seen = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("resolved")
+        doc_url_expr().alias("resolved")
     )
     cand = gate.select("doc_id", "resolved").join(seen, "resolved", "left_anti")
     scored = cand.groupBy("resolved").agg(
@@ -400,35 +404,16 @@ def crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "resolved", "n_inlinks", "n_src_docs")
 
 
-# the robots verdict over every link, shared by the frontier twin —
-# the same arithmetic CASE the gate oracle uses
 _GATED_LINKS_CTE = f"""
     {_LINKS_CTE},
-    g AS (
-        SELECT doc_id, link_idx, resolved,
-               resolved LIKE 'https://' || source || '.example.com%'
-                   AS same_dom,
-               CASE WHEN resolved LIKE 'https://' || source || '.example.com%'
-                    THEN substr(resolved,
-                                length('https://' || source || '.example.com')
-                                    + 1)
-               END AS path,
-               TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) AS k
-        FROM links
-    ),
+    {_ROBOTS_G_SQL},
     verdicts AS (
         SELECT doc_id, link_idx, resolved,
-               CASE
-                 WHEN NOT same_dom THEN true
-                 WHEN path = '/ad' THEN false
-                 WHEN path LIKE '/doc/%' AND k % 5 = 0 THEN false
-                 WHEN path LIKE '/topic/%' AND k % 3 = 0
-                     THEN substr(path, 8, 1) = '1'
-                 ELSE true
-               END AS allowed
+               {_ALLOWED_CASE} AS allowed
         FROM g
     )
 """
+
 
 FRONTIER_ORACLE_SQL = f"""
     WITH {_GATED_LINKS_CTE},

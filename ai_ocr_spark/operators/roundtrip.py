@@ -690,15 +690,12 @@ def catalog_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = tempfile.mkdtemp(prefix="compact_snap_")
     try:
+        from ..pipeline import doc_url_expr
+
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id",
             "source",
-            F.concat(
-                F.lit("https://"),
-                F.col("source"),
-                F.lit(".example.com/doc/"),
-                F.col("doc_id").cast("string"),
-            ).alias("url"),
+            doc_url_expr().alias("url"),
             F.col("n_chars").cast("long").alias("n_chars"),
         )
         tbl = SnapshotTable(os.path.join(stage, "docs"))

@@ -885,10 +885,24 @@ MOJIBAKE_SEEDS = {
 # C1-control block no real text contains). Escaped \uXXXX forms keep the
 # pattern source ASCII; Java and RE2 both honor them.
 _MOJI_LEAD_RE = "[\\u00C2-\\u00F4][\\u0080-\\u00BF]"
-# repair re-encodes through latin-1, which only exists for chars <=
-# U+00FF — genuine multibyte text (uncorrupted zh) must never enter the
-# repair branch or ANSI encode/decode would throw
-_NON_LATIN1_RE = "[^\\u0000-\\u00FF]"
+# STRICTLY-valid UTF-8 sequences viewed as latin-1 chars (RFC 3629
+# table: no overlongs, no surrogates, <= U+10FFFF). The detection guard
+# strips every such sequence and requires the remainder to be pure
+# ASCII — that makes the repair branch provably total: the latin-1
+# re-encoding of a detected string is by construction a valid UTF-8
+# byte stream, so ANSI F.decode(..., 'UTF-8') can never throw, even on
+# adversarial text that merely LOOKS mojibake-ish (e.g. one real
+# lead+continuation pair next to a lone latin-1 'ß').
+_MOJI_SEQ_RE = (
+    "([\\u00C2-\\u00DF][\\u0080-\\u00BF]"
+    "|\\u00E0[\\u00A0-\\u00BF][\\u0080-\\u00BF]"
+    "|[\\u00E1-\\u00EC\\u00EE\\u00EF][\\u0080-\\u00BF]{2}"
+    "|\\u00ED[\\u0080-\\u009F][\\u0080-\\u00BF]"
+    "|\\u00F0[\\u0090-\\u00BF][\\u0080-\\u00BF]{2}"
+    "|[\\u00F1-\\u00F3][\\u0080-\\u00BF]{3}"
+    "|\\u00F4[\\u0080-\\u008F][\\u0080-\\u00BF]{2})"
+)
+_NON_ASCII_RE = "[^\\u0000-\\u007F]"
 
 
 def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,8 +913,11 @@ def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corruption is injected deterministically (doc_id % 3 == 0 rows take
     decode(encode(seeded, UTF-8), ISO-8859-1) — total, byte-exact);
     detection is the classic lead+continuation signature guarded by a
-    latin-1-cleanliness check so genuine CJK text can never enter the
-    repair branch; repair inverts through ISO-8859-1 (bijective on
+    strict-UTF-8-sequence check (every non-ASCII char must belong to an
+    RFC 3629-valid sequence) so neither genuine CJK text nor
+    mojibake-lookalike latin-1 text can enter the repair branch — which
+    makes the branch provably total under ANSI; repair inverts through
+    ISO-8859-1 (bijective on
     chars <= U+00FF) and is byte-exact: repaired text equals the
     pre-corruption string bit-for-bit, which the twin pins via
     fixed_head plus the char-count collapse arithmetic
@@ -918,7 +935,9 @@ def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0,
         F.decode(F.encode(seeded, "UTF-8"), "ISO-8859-1"),
     ).otherwise(seeded)
-    detected = corrupt.rlike(_MOJI_LEAD_RE) & ~corrupt.rlike(_NON_LATIN1_RE)
+    detected = corrupt.rlike(_MOJI_LEAD_RE) & ~F.regexp_replace(
+        corrupt, _MOJI_SEQ_RE, ""
+    ).rlike(_NON_ASCII_RE)
     fixed = F.when(
         detected, F.decode(F.encode(corrupt, "ISO-8859-1"), "UTF-8")
     ).otherwise(corrupt)

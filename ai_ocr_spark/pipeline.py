@@ -396,17 +396,31 @@ def html_escape_col(c):
     return F.replace(c, F.lit(">"), F.lit("&gt;"))
 
 
+def doc_url_expr() -> "Column":
+    """The synthetic page url over a documents frame — the ONE
+    definition every consumer (pages, outlink pages, crawl-delta urls,
+    compaction roundtrip, frontier seen-set) must share, so a url
+    format change cannot leave one of them silently building a
+    different url space than the pipeline produces."""
+    return F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def doc_ts_expr() -> "Column":
+    """The synthetic page warc_ts over a documents frame."""
+    return F.timestamp_seconds(F.lit(1740787200) + F.col("doc_id"))
+
+
 def doc_page_exprs() -> "tuple[Column, Column, Column]":
     """(url, warc_ts, html) expressions over a documents frame — the
     ONE definition of the synthetic page shape. Shared by
     pages_from_documents and the metrics-report fault injector so a
     chrome/url change can't leave a consumer silently measuring a page
     shape the pipeline no longer produces."""
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
-        F.col("doc_id").cast("string"),
-    )
-    warc_ts = F.timestamp_seconds(F.lit(1740787200) + F.col("doc_id"))
+    url = doc_url_expr()
+    warc_ts = doc_ts_expr()
     html_str = F.concat(
         F.lit(_DOC_CHROME_HEAD + "<article><p>"),
         html_escape_col(F.coalesce(F.col("text"), F.lit(""))),

@@ -169,8 +169,36 @@ def test_links_survive_unclosed_and_nested_anchors_and_skip_main_text():
     assert by_href["/outer"] == "out"
     # unclosed anchor at EOF still finalizes
     assert by_href["/tail"] == "tail text"
-    # the recorder is passive: main_text bytes match the no-recorder parse
-    assert extract_main_text(html) == extract_main_text(html)
+    # the recorder is passive: this link-dense block classifies as
+    # boilerplate exactly as it did before the recorder existed
+    assert extract_main_text(html) == ""
+    # and a content-dominant block keeps its exact bytes with the
+    # anchor text inline
+    content = (
+        "<html><body><p>seven plain words before the link "
+        '<a href="/x">x</a> and seven more plain words after</p>'
+        "</body></html>"
+    )
+    assert extract_main_text(content) == (
+        "seven plain words before the link x and seven more plain words after"
+    )
+
+
+def test_href_attribute_tokenizer_ignores_lookalikes():
+    from ai_ocr_spark.kernels.html import parse_document_links
+
+    def hrefs(a_tag):
+        _, _, links = parse_document_links(
+            f"<html><body><p>{a_tag}</p></body></html>", "https://h.x/a/b"
+        )
+        return [l["href"] for l in links]
+
+    # a data-href attribute is NOT an href
+    assert hrefs('<a data-href="/tracked">x</a>') == []
+    # an 'href=' INSIDE another attribute's quoted value is not the href
+    assert hrefs('<a title="see href=foo" href="/real">x</a>') == ["/real"]
+    # a valueless attribute before the real href does not derail it
+    assert hrefs('<a download href="/dl">x</a>') == ["/dl"]
 
 
 def test_resolve_url_edge_cases():

@@ -211,7 +211,7 @@ def test_compact_preserves_content_lineage_and_newer_snapshots(spark, tmp_path):
         tbl.append(docs.filter(F.col("doc_id") % 4 == k), run_id=f"inc-{k}")
     assert len(tbl.snapshots()) == 4
 
-    entry = tbl.compact(spark, run_id="maint")
+    entry = tbl.compact(spark, run_id="maint", expire_old=True)
     snaps = tbl.snapshots()
     assert len(snaps) == 1 and snaps[0]["dir"] == entry["dir"]
     # lineage of the rewritten snapshots survives
@@ -221,7 +221,7 @@ def test_compact_preserves_content_lineage_and_newer_snapshots(spark, tmp_path):
     assert got == list(range(100))
     # resume sees a fully-committed table
     assert tbl.pending(spark, docs).count() == 0
-    # old data dirs are gone; a second compact is a no-op
+    # expire_old=True removed the rewritten dirs; a second compact is a no-op
     import os
 
     dirs = [
@@ -230,7 +230,8 @@ def test_compact_preserves_content_lineage_and_newer_snapshots(spark, tmp_path):
     assert dirs == [entry["dir"]]
     assert tbl.compact(spark) == {}
 
-    # an append AFTER compaction coexists with the compacted snapshot
+    # an append AFTER compaction coexists with the compacted snapshot,
+    # and snapshot ids stay unique (max+1, not len-based)
     tbl.append(
         spark.range(100, 110).select(
             F.col("id").alias("doc_id"),
@@ -240,3 +241,31 @@ def test_compact_preserves_content_lineage_and_newer_snapshots(spark, tmp_path):
     )
     assert len(tbl.snapshots()) == 2
     assert tbl.read(spark).count() == 110
+    ids = [s["id"] for s in tbl.snapshots()]
+    assert len(ids) == len(set(ids))
+    assert max(ids) > entry["id"]
+
+
+def test_compact_default_keeps_old_dirs_for_inflight_readers(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.catalog import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t2"))
+    for k in range(2):
+        tbl.append(
+            spark.range(10).select((F.col("id") + 100 * k).alias("doc_id")),
+            run_id=f"inc-{k}",
+        )
+    old_dirs = [s["dir"] for s in tbl.snapshots()]
+    # a reader captured the pre-compaction manifest
+    import os
+
+    pre_paths = [os.path.join(tbl.root, d) for d in old_dirs]
+    tbl.compact(spark, run_id="maint")  # default: rewrite, do NOT expire
+    # the old dirs still exist (unreferenced orphans), so the in-flight
+    # reader's scan cannot hit FileNotFound
+    assert all(os.path.isdir(p) for p in pre_paths)
+    # but new readers see only the compacted snapshot
+    assert [s["run_id"] for s in tbl.snapshots()] == ["maint"]
+    assert tbl.read(spark).count() == 20

@@ -1112,3 +1112,44 @@ def test_dsir_quota_is_exact_and_selection_is_topk(spark):
     # every doc scored: grams counted, BIGINT weights
     assert (out["n_grams"] > 0).all()
     assert out["dsir_logw_scaled"].dtype.kind == "i"
+
+
+def test_mojibake_guard_rejects_lookalikes_without_throwing(spark):
+    """The review's adversarial case: text with one REAL
+    lead+continuation pair plus a lone latin-1 char passes the naive
+    pair signature but its latin-1 re-encoding is NOT valid UTF-8 --
+    the strict-sequence guard must classify it undetected (and thus
+    never decode it) instead of throwing under ANSI."""
+    from pyspark.sql import functions as F
+
+    from ai_ocr_spark.operators.textstats import (
+        _MOJI_LEAD_RE,
+        _MOJI_SEQ_RE,
+        _NON_ASCII_RE,
+    )
+
+    rows_in = [
+        (0, "\u00c2\u00bc cup of \u00df"),  # valid pair + lone latin-1
+        (1, "caf\u00c3\u00a9"),  # genuine mojibake of 'cafe-acute'
+        (2, "\u00e0\u0080\u0080 overlong"),  # overlong 3-byte form
+        (3, "\u00ed\u00a0\u0080 surrogate"),  # encoded UTF-16 surrogate
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, corrupt string")
+    detected = F.col("corrupt").rlike(_MOJI_LEAD_RE) & ~F.regexp_replace(
+        F.col("corrupt"), _MOJI_SEQ_RE, ""
+    ).rlike(_NON_ASCII_RE)
+    fixed = F.when(
+        detected,
+        F.decode(F.encode(F.col("corrupt"), "ISO-8859-1"), "UTF-8"),
+    ).otherwise(F.col("corrupt"))
+    rows = (
+        df.select("doc_id", detected.alias("det"), fixed.alias("fixed"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    # only the genuinely-valid mojibake row is detected and repaired;
+    # lookalike, overlong and surrogate rows pass through UNTOUCHED and
+    # the query completes without an ANSI decode error
+    assert [r["det"] for r in rows] == [False, True, False, False]
+    assert rows[1]["fixed"] == "caf\u00e9"
+    assert rows[0]["fixed"] == rows_in[0][1]
