@@ -95,18 +95,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     classifier_nb/classifier_eval_pr/langid_ngram/fix_mojibake/
     mix_epochs/metrics_report/session_windows/resume_snapshot/
     wet_roundtrip/outlinks/anchor_index/robots_gate/compact/
-    crawl_delta/cdx_index/frontier_topk/dsir_select) + the
+    crawl_delta/cdx_index/frontier_topk/dsir_select/dsir_eval) + the
     rewritten mm_* codecs
     (real BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin,
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 39; tier 2 = 11 of the 38 remaining r2-green entries
+    pipelines) = 40; tier 2 = 10 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    dedup_embedding_cosine = position 50. The r2 entries left outside
-    (dedup_embedding_lsh, ann_cosine_topk, ann_ivf_topk,
+    dedup_ngram_jaccard = position 50. The r2 entries left outside
+    (dedup_embedding_cosine, dedup_embedding_lsh, ann_cosine_topk,
+    ann_ivf_topk,
     q1_pricing_summary,
     agg_keyword_score_argmax,
     window_running_spend,
@@ -171,6 +172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # model a broadcast DSIR_B-row table — shuffle-free scoring,
         # exact tie-broken keep quota (new in r4)
         "sample_dsir_select": QL.sample_dsir_select,
+        # per-source kept fraction + target-enrichment factor — the
+        # measured number that says the resampling moved the mixture
+        # toward the target (new in r4)
+        "dsir_eval_report": QL.dsir_eval_report,
         # TRAINED Cavnar-Trenkle n-gram language ID over all five gold
         # labels, integer rank distances (new in r4)
         "text_langid_ngram": TS.text_langid_ngram,
@@ -606,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_nb": QL.NB_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,
+        "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,
         "text_langid_ngram": TS.LANGID_NGRAM_ORACLE_SQL,
         "text_fix_mojibake": TS.MOJIBAKE_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,

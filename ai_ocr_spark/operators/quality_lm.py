@@ -1039,3 +1039,87 @@ DSIR_ORACLE_SQL = f"""
            keep_k IS NOT NULL AND rn <= keep_k AS kept
     FROM ranked
 """
+
+
+def dsir_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured honesty for the DSIR gate (the role classifier_eval_pr
+    plays for the NB classifier and ann_ivf_recall for IVF): per
+    source, how the selection actually moved the mixture. Reports kept
+    counts, the PREC-scaled kept fraction, and the PREC-scaled
+    enrichment of target-provenance documents among the kept set vs
+    the corpus base rate — the number that says whether importance
+    resampling pulled the mixture TOWARD the target distribution or
+    just shuffled it.
+
+    One aggregate over the (already one-pass) selection output plus a
+    broadcast one-row corpus base-rate frame; truncating division
+    touches only non-negative counts."""
+    sel = sample_dsir_select(spark, sf_dir)
+    base = sel.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.col("is_target").cast("long")).alias("n_tgt_all"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept_all"),
+        F.sum((F.col("is_target") & F.col("kept")).cast("long")).alias(
+            "n_tgt_kept_all"
+        ),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    per_src = (
+        sel.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+    )
+    return per_src.crossJoin(F.broadcast(base)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.expr(f"(n_kept * {PREC}) DIV n_docs").cast("long").alias(
+            "kept_frac_scaled"
+        ),
+        # enrichment = (kept-target share) / (corpus-target share),
+        # PREC-scaled: ((ntk/nk) / (nta/na)) * PREC as pure integers
+        F.expr(
+            f"CASE WHEN n_kept_all > 0 AND n_tgt_all > 0 THEN "
+            f"(n_tgt_kept_all * n_all * {PREC}) "
+            f"DIV (n_kept_all * n_tgt_all) ELSE -1 END"
+        ).cast("long").alias("target_enrichment_scaled"),
+    )
+
+
+DSIR_EVAL_ORACLE_SQL = f"""
+    WITH {_DSIR_CTES},
+    sel AS (
+        SELECT r.doc_id, r.is_target,
+               r.keep_k IS NOT NULL AND r.rn <= r.keep_k AS kept
+        FROM ranked r
+    ),
+    base AS (
+        SELECT count(*) AS n_all,
+               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tgt_all,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept_all,
+               CAST(sum(CASE WHEN is_target AND kept THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tgt_kept_all
+        FROM sel
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN s.kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST((sum(CASE WHEN s.kept THEN 1 ELSE 0 END) * {PREC})
+                // count(*) AS BIGINT) AS kept_frac_scaled,
+           CAST(CASE WHEN (SELECT n_kept_all FROM base) > 0
+                      AND (SELECT n_tgt_all FROM base) > 0 THEN
+                ((SELECT n_tgt_kept_all FROM base)
+                 * (SELECT n_all FROM base) * {PREC})
+                // ((SELECT n_kept_all FROM base)
+                    * (SELECT n_tgt_all FROM base))
+                ELSE -1 END AS BIGINT) AS target_enrichment_scaled
+    FROM sel s JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""

@@ -1153,3 +1153,28 @@ def test_mojibake_guard_rejects_lookalikes_without_throwing(spark):
     assert [r["det"] for r in rows] == [False, True, False, False]
     assert rows[1]["fixed"] == "caf\u00e9"
     assert rows[0]["fixed"] == rows_in[0][1]
+
+
+def test_dsir_eval_report_accounting_is_consistent(spark):
+    from ai_ocr_spark.operators.quality_lm import (
+        DSIR_KEEP_DEN,
+        DSIR_KEEP_NUM,
+        dsir_eval_report,
+        sample_dsir_select,
+    )
+
+    rep = dsir_eval_report(spark, SF01).toPandas()
+    sel = sample_dsir_select(spark, SF01).toPandas()
+    n = len(sel)
+    # per-source kept counts sum to the exact global quota
+    assert rep["n_kept"].sum() == -(-n * DSIR_KEEP_NUM // DSIR_KEEP_DEN)
+    assert rep["n_docs"].sum() == n
+    # the enrichment factor is one global PREC-scaled integer on every row
+    assert rep["target_enrichment_scaled"].nunique() == 1
+    e = rep["target_enrichment_scaled"].iloc[0]
+    kept = sel[sel["kept"]]
+    expect = (
+        kept["is_target"].sum() * n * 1_000_000
+        // (len(kept) * sel["is_target"].sum())
+    )
+    assert e == expect
