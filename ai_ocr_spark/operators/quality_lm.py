@@ -860,7 +860,12 @@ def sample_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed-point value space, same argument as the perplexity
     tertiles) plus a per-score row_number for the boundary ties.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # testdata parquet is ONE split (CLAUDE.md footgun): repartition to
+    # width BEFORE the gram explode or the md5-per-gram hashing — the
+    # op's dominant cost, and it feeds both the bucket aggregate and
+    # the per-doc score — runs as a single task
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     pos = TX.hash15(F.col("source")) % NB_POS_MOD == 0
 
     toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
@@ -1082,11 +1087,14 @@ def dsir_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_frac_scaled"
         ),
         # enrichment = (kept-target share) / (corpus-target share),
-        # PREC-scaled: ((ntk/nk) / (nta/na)) * PREC as pure integers
+        # PREC-scaled. Reduce FIRST: (ntk*PREC DIV nk) * na DIV nta —
+        # the naive ntk*na*PREC numerator multiplies two corpus-sized
+        # counts and overflows BIGINT near 10^7 docs; this form keeps
+        # every intermediate linear in one count (x PREC)
         F.expr(
             f"CASE WHEN n_kept_all > 0 AND n_tgt_all > 0 THEN "
-            f"(n_tgt_kept_all * n_all * {PREC}) "
-            f"DIV (n_kept_all * n_tgt_all) ELSE -1 END"
+            f"(((n_tgt_kept_all * {PREC}) DIV n_kept_all) * n_all) "
+            f"DIV n_tgt_all ELSE -1 END"
         ).cast("long").alias("target_enrichment_scaled"),
     )
 
@@ -1115,10 +1123,10 @@ DSIR_EVAL_ORACLE_SQL = f"""
                 // count(*) AS BIGINT) AS kept_frac_scaled,
            CAST(CASE WHEN (SELECT n_kept_all FROM base) > 0
                       AND (SELECT n_tgt_all FROM base) > 0 THEN
-                ((SELECT n_tgt_kept_all FROM base)
-                 * (SELECT n_all FROM base) * {PREC})
-                // ((SELECT n_kept_all FROM base)
-                    * (SELECT n_tgt_all FROM base))
+                ((((SELECT n_tgt_kept_all FROM base) * {PREC})
+                  // (SELECT n_kept_all FROM base))
+                 * (SELECT n_all FROM base))
+                // (SELECT n_tgt_all FROM base)
                 ELSE -1 END AS BIGINT) AS target_enrichment_scaled
     FROM sel s JOIN documents d USING (doc_id)
     GROUP BY d.source

@@ -781,10 +781,9 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return rows.select(
-        F.concat(
-            F.lit("wet-"), F.lpad(F.col("bucket").cast("string"), 5, "0"),
-            F.lit(".warc"),
-        ).alias("filename"),
+        # %09d pads but NEVER truncates (lpad would silently truncate a
+        # >9-digit bucket onto a colliding filename at 10^12-doc scale)
+        F.format_string("wet-%09d.warc", F.col("bucket")).alias("filename"),
         "doc_id",
         "url",
         F.coalesce(F.sum("rec_len").over(w), F.lit(0))
@@ -809,8 +808,7 @@ CDX_ORACLE_SQL = f"""
                     + 4 + strlen(canon) + 4 AS BIGINT) AS rec_len
         FROM c
     )
-    SELECT 'wet-' || lpad(CAST(bucket AS VARCHAR), 5, '0') || '.warc'
-               AS filename,
+    SELECT printf('wet-%09d.warc', bucket) AS filename,
            doc_id, url,
            CAST(coalesce(sum(rec_len) OVER (
                PARTITION BY bucket ORDER BY doc_id

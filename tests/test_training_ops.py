@@ -1174,7 +1174,7 @@ def test_dsir_eval_report_accounting_is_consistent(spark):
     e = rep["target_enrichment_scaled"].iloc[0]
     kept = sel[sel["kept"]]
     expect = (
-        kept["is_target"].sum() * n * 1_000_000
-        // (len(kept) * sel["is_target"].sum())
+        kept["is_target"].sum() * 1_000_000 // len(kept) * n
+        // sel["is_target"].sum()
     )
     assert e == expect
