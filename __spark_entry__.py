@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                truncation line, where ageing is bounded by tier 2's
                fill next round.
     r4 instantiation: tier 1 = 21 new (docx/bm25/bpe_pairs/bpe_train/
-    ivf_recall/kmeans/pq/perplexity-unigram+bigram/entropy/
+    bpe_encode/ivf_recall/kmeans/pq/perplexity-unigram+bigram/entropy/
     classifier_nb/classifier_eval_pr/langid_ngram/fix_mojibake/
     mix_epochs/metrics_report/session_windows/resume_snapshot/
     wet_roundtrip/outlinks/anchor_index/robots_gate/compact/
@@ -101,12 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 40; tier 2 = 10 of the 38 remaining r2-green entries
+    pipelines) = 41; tier 2 = 9 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    dedup_ngram_jaccard = position 50. The r2 entries left outside
-    (dedup_embedding_cosine, dedup_embedding_lsh, ann_cosine_topk,
+    text_dup_fraction = position 50. The r2 entries left outside
+    (dedup_ngram_jaccard,
+    dedup_embedding_cosine, dedup_embedding_lsh, ann_cosine_topk,
     ann_ivf_topk,
     q1_pricing_summary,
     agg_keyword_score_argmax,
@@ -140,6 +141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fold-merge JVM-side, twin replays merges with replace-first
         # recursive CTEs (new in r4)
         "tokenizer_bpe_train": TOK.tokenizer_bpe_train,
+        # the encode half of the tokenizer story: the trained merge
+        # table applied per document — distinct words fold once
+        # (Heaps-law sublinear), lengths join back Zipf-skew-split,
+        # per-doc token counts + chars/token compression (new in r4)
+        "tokenizer_bpe_encode": TOK.tokenizer_bpe_encode,
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
@@ -270,6 +276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": D.dedup_exact,
         "dedup_simhash": D.dedup_simhash,
         "text_dup_fraction": D.text_dup_fraction,
+        # -- the driver's 50-entry truncation line falls HERE --
+        # (bpe_encode's tier-1 insert pushed dedup_ngram_jaccard out;
+        # it leads the r5 rotation)
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_embedding_lsh": SIM.dedup_embedding_lsh,
@@ -602,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_topk": SRCH.BM25_ORACLE_SQL,
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,
+        "tokenizer_bpe_encode": TOK.BPE_ENCODE_ORACLE_SQL,
         "ann_ivf_recall": ORC.ann_ivf_recall(),
         "embedding_kmeans": SIM.KMEANS_ORACLE_SQL,
         "ann_pq_topk": SIM.PQ_ORACLE_SQL,

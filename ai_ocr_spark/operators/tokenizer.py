@@ -108,45 +108,30 @@ BPE_ORACLE_SQL = f"""
 BPE_ROUNDS = 4
 
 
-def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE TRAINING, not just round one: BPE_ROUNDS greedy merge rounds
-    over the word-frequency vocabulary, returning the learned merge
-    table (round, left symbol, right symbol, corpus pair count) — the
-    artifact a tokenizer trainer actually emits.
+def _fold_merge(sym, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of (left, right) into
+    one symbol, as a JVM-side left fold over a symbol array — standard
+    BPE merge semantics, property-pinned equal to replace-first
+    iteration in tests/test_property.py."""
+    lm, rm, mm = F.lit(left), F.lit(right), F.lit(left + right)
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == lm) & (x == rm),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mm)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
 
-    Distributed shape per round (everything after the first aggregate
-    is VOCABULARY-sized; the corpus is read exactly once, like
-    tokenizer_bpe_pairs):
 
-      vocab(word -> freq, persisted)            [the one corpus shuffle]
-      explode adjacent SYMBOL pairs, weight n   [vocab-sized]
-      argmax (count DESC, pair ASC)             [TakeOrderedAndProject,
-                                                 ONE row to the driver
-                                                 per round — the same
-                                                 bounded collect the
-                                                 pagerank loop makes]
-      fold-merge the winner into every word     [F.aggregate: JVM-side
-                                                 left fold, greedy
-                                                 left-to-right non-
-                                                 overlapping — standard
-                                                 BPE semantics; no
-                                                 Python, no shuffle]
-
-    The DuckDB twin recomputes every round INDEPENDENTLY (its own
-    argmax CTEs; Spark's collected winners never leak into the oracle
-    text), replaying each merge with a replace-first recursive CTE —
-    leftmost-first single replacement iterated to fixpoint is provably
-    the same greedy non-overlapping merge as the left fold.
-
-    At real tokenizer scale (30k+ merges) trainers keep incremental
-    pair-delta structures instead of recounting; the per-round recount
-    here is the honest distributed baseline and each round is bounded
-    by Heaps-law vocabulary size, not corpus size.
-
-    The reference has no tokenizer stage (hosted-API LLM calls,
-    langchain_extractor.py); this exists for the training-data engine
-    the north rule targets.
-    """
+def _train_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """The BPE_ROUNDS training loop shared by tokenizer_bpe_train (which
+    returns the merge table) and tokenizer_bpe_encode (which applies it).
+    One corpus shuffle builds the word-frequency vocabulary; every round
+    after that is vocabulary-sized, and the only driver traffic is ONE
+    argmax row per round."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("w")).filter(
         F.col("w") != ""
@@ -195,22 +180,53 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         left, right = top[0]["pair"].split(" ")
         merges.append((rnd, left, right, int(top[0]["cnt"])))
-        lm, rm, mm = F.lit(left), F.lit(right), F.lit(left + right)
-        folded = F.aggregate(
-            F.split(F.col("ws"), " "),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == lm)
-                & (x == rm),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(mm)
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
+        folded = _fold_merge(F.split(F.col("ws"), " "), left, right)
         cur = cur.select(F.array_join(folded, " ").alias("ws"), "n")
 
     vocab.unpersist()
+    return merges
+
+
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING, not just round one: BPE_ROUNDS greedy merge rounds
+    over the word-frequency vocabulary, returning the learned merge
+    table (round, left symbol, right symbol, corpus pair count) — the
+    artifact a tokenizer trainer actually emits.
+
+    Distributed shape per round (everything after the first aggregate
+    is VOCABULARY-sized; the corpus is read exactly once, like
+    tokenizer_bpe_pairs):
+
+      vocab(word -> freq, persisted)            [the one corpus shuffle]
+      explode adjacent SYMBOL pairs, weight n   [vocab-sized]
+      argmax (count DESC, pair ASC)             [TakeOrderedAndProject,
+                                                 ONE row to the driver
+                                                 per round — the same
+                                                 bounded collect the
+                                                 pagerank loop makes]
+      fold-merge the winner into every word     [F.aggregate: JVM-side
+                                                 left fold, greedy
+                                                 left-to-right non-
+                                                 overlapping — standard
+                                                 BPE semantics; no
+                                                 Python, no shuffle]
+
+    The DuckDB twin recomputes every round INDEPENDENTLY (its own
+    argmax CTEs; Spark's collected winners never leak into the oracle
+    text), replaying each merge with a replace-first recursive CTE —
+    leftmost-first single replacement iterated to fixpoint is provably
+    the same greedy non-overlapping merge as the left fold.
+
+    At real tokenizer scale (30k+ merges) trainers keep incremental
+    pair-delta structures instead of recounting; the per-round recount
+    here is the honest distributed baseline and each round is bounded
+    by Heaps-law vocabulary size, not corpus size.
+
+    The reference has no tokenizer stage (hosted-API LLM calls,
+    langchain_extractor.py); this exists for the training-data engine
+    the north rule targets.
+    """
+    merges = _train_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rnd long, left_sym string, right_sym string, cnt long"
     ).orderBy("rnd")
@@ -218,15 +234,20 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_train_oracle_sql() -> str:
     """Unrolled DuckDB twin: per round, an argmax CTE + a replace-first
-    recursive rewrite CTE. Static text — nothing from the Spark run."""
+    recursive rewrite CTE. Static text — nothing from the Spark run.
+
+    Every non-recursive CTE is MATERIALIZED: the scalar subqueries on
+    t{k} inside each recursive rw{k} otherwise re-derive the entire
+    upstream chain per recursion step — measured 558s -> 0.3s on the
+    encode twin at sf0.01."""
     parts = [
         f"""
-    WITH RECURSIVE tok AS (
+    WITH RECURSIVE tok AS MATERIALIZED (
         SELECT unnest(string_split(trim(regexp_replace(
                    lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS w
         FROM documents
     ),
-    v0 AS (
+    v0 AS MATERIALIZED (
         SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
                    AS pws,
                count(*) AS n
@@ -244,7 +265,7 @@ def _bpe_train_oracle_sql() -> str:
         )
         parts.append(
             f""",
-    {pk} AS (
+    {pk} AS MATERIALIZED (
         SELECT unnest(list_transform(
                    range(1, length(string_split(trim(pws), ' '))),
                    i -> string_split(trim(pws), ' ')[i] || ' ' ||
@@ -253,7 +274,7 @@ def _bpe_train_oracle_sql() -> str:
         FROM {prev}
         WHERE length(string_split(trim(pws), ' ')) >= 2
     ),
-    {tk} AS (
+    {tk} AS MATERIALIZED (
         SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
         FROM {pk} GROUP BY pair
         ORDER BY cnt DESC, pair ASC LIMIT 1
@@ -272,7 +293,7 @@ def _bpe_train_oracle_sql() -> str:
         FROM {rwk}
         WHERE strpos(pws, (SELECT ' ' || pair || ' ' FROM {tk})) > 0
     ),
-    {vk} AS (
+    {vk} AS MATERIALIZED (
         SELECT pws, n FROM {rwk}
         WHERE strpos(pws, (SELECT ' ' || pair || ' ' FROM {tk})) = 0
     )"""
@@ -288,3 +309,193 @@ def _bpe_train_oracle_sql() -> str:
 
 
 BPE_TRAIN_ORACLE_SQL = _bpe_train_oracle_sql()
+
+
+# --- applying the trained tokenizer (encode the corpus) ----------------------
+
+# Broadcast head size for the encoded-vocabulary join-back. The corpus
+# token stream is Zipf-distributed, so the hottest ENC_HEAD_K words ride
+# a broadcast map and never enter the shuffled join.
+ENC_HEAD_K = 256
+
+
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the BPE_ROUNDS-trained merge table to the corpus — the
+    missing half of the tokenizer story (train -> ENCODE): per document,
+    the token count under the learned tokenizer, next to the raw word
+    and character counts, plus the chars-per-token compression the
+    mixture planner budgets with (sample_token_budget /
+    sample_mix_epochs count whitespace words today; this op is the
+    measured bridge to real-tokenizer budgets).
+
+    Distributed shape — encode the VOCABULARY once, never the corpus:
+
+      corpus -> (doc_id, word) counts          [one shuffle, map-side
+                                                combine]
+      distinct words -> fold-merge chain       [vocabulary-sized
+                                                projection: BPE_ROUNDS
+                                                unrolled JVM-side folds,
+                                                no Python, no shuffle]
+      join encoded lengths back to (doc,word)  [Zipf-skew split: the
+                                                ENC_HEAD_K hottest words
+                                                by corpus frequency join
+                                                as a BROADCAST map; only
+                                                the de-skewed tail takes
+                                                the shuffled equi-join]
+      per-doc integer sums                     [doc_id agg]
+
+    At 10^12 documents with a real 30k-merge tokenizer, re-folding every
+    corpus occurrence would be prohibitive; folding each DISTINCT word
+    once (Heaps-law sublinear) and joining the length back is the same
+    trick tokenizer_bpe_train's pair counting uses. All outputs are
+    exact integers (compression scaled by 1e4 through DIV), so the
+    DuckDB twin — which re-trains the merges independently and replays
+    them with replace-first recursive CTEs — is bit-identical.
+
+    The reference has no tokenizer stage (hosted-API LLM calls,
+    langchain_extractor.py); stated on the engine's own terms.
+    """
+    merges = _train_merges(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    dw = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+
+    vocab = dw.groupBy("w").agg(F.sum("c").alias("n"))
+    sym = F.split(F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " ")
+    for _, left, right, _ in merges:
+        sym = _fold_merge(sym, left, right)
+    enc = vocab.select(
+        "w", "n", F.size(sym).cast("long").alias("ntok")
+    ).persist()
+
+    # Zipf-skew split (the _skew_left_join shape, head keyed by corpus
+    # frequency): hot words broadcast, cold tail shuffles.
+    head = enc.orderBy(F.col("n").desc(), "w").limit(ENC_HEAD_K).select(
+        "w", "ntok"
+    )
+    with_head = dw.join(F.broadcast(head), "w", "left")
+    hot = with_head.filter(F.col("ntok").isNotNull())
+    cold = (
+        with_head.filter(F.col("ntok").isNull())
+        .drop("ntok")
+        .join(enc.select("w", "ntok"), "w", "left")
+    )
+    joined = hot.unionByName(cold)
+
+    out = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("ntok")).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "chars_per_token_e4",
+            F.expr("(n_chars * 10000L) DIV n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Independent DuckDB twin: re-trains the BPE_ROUNDS merges from the
+    corpus (its own argmax CTEs — Spark's collected winners never leak
+    in), replays them over the DISTINCT-word table with replace-first
+    recursive CTEs carrying the original word, then joins the encoded
+    lengths back to per-(doc, word) counts. Static SQL text.
+
+    v0 here includes 1-char words (they must encode to one token) while
+    the train twin's v0 excludes them; the argmax CTEs are unaffected
+    because a 1-symbol word contributes no adjacent pairs."""
+    parts = [
+        """
+    WITH RECURSIVE tok AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents
+    ),
+    dw AS MATERIALIZED (
+        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE w <> '' GROUP BY doc_id, w
+    ),
+    v0 AS MATERIALIZED (
+        SELECT w,
+               ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+                   AS pws,
+               CAST(sum(c) AS BIGINT) AS n
+        FROM dw
+        GROUP BY w
+    )"""
+    ]
+    for k in range(1, BPE_ROUNDS + 1):
+        prev, pk, tk, rwk, vk = (
+            f"v{k - 1}",
+            f"p{k}",
+            f"t{k}",
+            f"rw{k}",
+            f"v{k}",
+        )
+        parts.append(
+            f""",
+    {pk} AS MATERIALIZED (
+        SELECT unnest(list_transform(
+                   range(1, length(string_split(trim(pws), ' '))),
+                   i -> string_split(trim(pws), ' ')[i] || ' ' ||
+                        string_split(trim(pws), ' ')[i + 1])) AS pair,
+               n
+        FROM {prev}
+        WHERE length(string_split(trim(pws), ' ')) >= 2
+    ),
+    {tk} AS MATERIALIZED (
+        SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+        FROM {pk} GROUP BY pair
+        ORDER BY cnt DESC, pair ASC LIMIT 1
+    ),
+    {rwk} AS (
+        SELECT w, pws, n FROM {prev}
+        UNION ALL
+        SELECT w,
+               substr(pws, 1, strpos(pws, (SELECT ' ' || pair || ' '
+                                           FROM {tk})) - 1)
+               || (SELECT ' ' || replace(pair, ' ', '') || ' ' FROM {tk})
+               || substr(pws, strpos(pws, (SELECT ' ' || pair || ' '
+                                           FROM {tk}))
+                              + length((SELECT ' ' || pair || ' '
+                                        FROM {tk}))),
+               n
+        FROM {rwk}
+        WHERE strpos(pws, (SELECT ' ' || pair || ' ' FROM {tk})) > 0
+    ),
+    {vk} AS MATERIALIZED (
+        SELECT w, pws, n FROM {rwk}
+        WHERE strpos(pws, (SELECT ' ' || pair || ' ' FROM {tk})) = 0
+    )"""
+        )
+    parts.append(
+        f""",
+    enc AS MATERIALIZED (
+        SELECT w,
+               CAST(length(string_split(trim(pws), ' ')) AS BIGINT) AS ntok
+        FROM v{BPE_ROUNDS}
+    ),
+    perdoc AS MATERIALIZED (
+        SELECT dw.doc_id,
+               CAST(sum(dw.c) AS BIGINT) AS n_words,
+               CAST(sum(dw.c * length(dw.w)) AS BIGINT) AS n_chars,
+               CAST(sum(dw.c * enc.ntok) AS BIGINT) AS n_tokens
+        FROM dw JOIN enc ON dw.w = enc.w
+        GROUP BY dw.doc_id
+    )
+    SELECT doc_id, n_words, n_chars, n_tokens,
+           (n_chars * 10000) // n_tokens AS chars_per_token_e4
+    FROM perdoc
+    ORDER BY doc_id"""
+    )
+    return "".join(parts)
+
+
+BPE_ENCODE_ORACLE_SQL = _bpe_encode_oracle_sql()

@@ -121,6 +121,7 @@ def main() -> int:
         "text_langid_ngram",
         "tokenizer_bpe_pairs",
         "tokenizer_bpe_train",
+        "tokenizer_bpe_encode",
         "embedding_kmeans",
         "ann_pq_topk",
         "ann_ivf_recall",

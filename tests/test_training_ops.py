@@ -616,6 +616,95 @@ def test_tokenizer_bpe_train_matches_python_bpe(spark):
     assert got == expect
 
 
+def test_tokenizer_bpe_encode_matches_python_bpe(spark):
+    """Per-doc encoded token counts equal a classic Python BPE
+    train+encode: train on the >=2-char vocabulary, then encode EVERY
+    word (1-char words are single tokens) and sum per document."""
+    import re
+    from collections import Counter
+
+    from ai_ocr_spark.operators.tokenizer import (
+        BPE_ROUNDS,
+        tokenizer_bpe_encode,
+    )
+
+    out = (
+        tokenizer_bpe_encode(spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+    def words_of(t):
+        return [
+            w
+            for w in re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ")
+            if w
+        ]
+
+    vocab: Counter = Counter()
+    for t in docs["text"]:
+        vocab.update(w for w in words_of(t) if len(w) >= 2)
+    train = {w: (tuple(w), n) for w, n in vocab.items()}
+    merges = []
+    for _ in range(BPE_ROUNDS):
+        pc: Counter = Counter()
+        for syms, n in train.values():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        (left, right), _cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+        )
+        merges.append((left, right))
+        for w, (syms, n) in list(train.items()):
+            train[w] = (_py_fold_merge(syms, left, right), n)
+
+    def ntok(w):
+        syms = tuple(w)
+        for left, right in merges:
+            syms = _py_fold_merge(syms, left, right)
+        return len(syms)
+
+    rows = []
+    for _, d in docs.iterrows():
+        ws = words_of(d["text"])
+        if not ws:
+            continue
+        rows.append(
+            (
+                d["doc_id"],
+                len(ws),
+                sum(len(w) for w in ws),
+                sum(ntok(w) for w in ws),
+            )
+        )
+    rows.sort()
+    assert len(out) == len(rows)
+    for (_, r), (doc_id, n_words, n_chars, n_tokens) in zip(
+        out.iterrows(), rows
+    ):
+        assert (r["doc_id"], r["n_words"], r["n_chars"], r["n_tokens"]) == (
+            doc_id,
+            n_words,
+            n_chars,
+            n_tokens,
+        )
+        assert r["chars_per_token_e4"] == (n_chars * 10000) // n_tokens
+
+
+def _py_fold_merge(syms, left, right):
+    merged, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            merged.append(left + right)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return tuple(merged)
+
+
 def test_token_entropy_matches_python_bruteforce(spark):
     """entropy_scaled equals an independent Python reimplementation with
     the same integer-ln tables, tracks float entropy to table precision,
