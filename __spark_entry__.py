@@ -101,12 +101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 41; tier 2 = 9 of the 38 remaining r2-green entries
+    pipelines) = 42; tier 2 = 8 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    text_dup_fraction = position 50. The r2 entries left outside
-    (dedup_ngram_jaccard,
+    dedup_simhash = position 50. The r2 entries left outside
+    (text_dup_fraction, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh, ann_cosine_topk,
     ann_ivf_topk,
     q1_pricing_summary,
@@ -250,6 +250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the iteration again — both MUST be inside the window
         "dedup_connected_components": D.dedup_connected_components,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        # the honesty number for the LSH family (same play as
+        # ann_ivf_recall): measured recall vs the exhaustive
+        # inverted-index ground truth + candidate precision (new in r4)
+        "dedup_lsh_recall": D.dedup_lsh_recall,
         # Pregel co-partition pin changed the iteration body (r4)
         "pagerank_link_graph": G.pagerank_link_graph,
         # compositions that execute the changed components path
@@ -275,10 +279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family (unchanged since r2 but two rounds stale)
         "dedup_exact": D.dedup_exact,
         "dedup_simhash": D.dedup_simhash,
-        "text_dup_fraction": D.text_dup_fraction,
         # -- the driver's 50-entry truncation line falls HERE --
-        # (bpe_encode's tier-1 insert pushed dedup_ngram_jaccard out;
-        # it leads the r5 rotation)
+        # (the bpe_encode + lsh_recall tier-1 inserts pushed
+        # text_dup_fraction and dedup_ngram_jaccard out; they lead
+        # the r5 rotation)
+        "text_dup_fraction": D.text_dup_fraction,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_embedding_lsh": SIM.dedup_embedding_lsh,
@@ -742,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         # training-data ops — DuckDB twins generated from shared constants
         "dedup_exact": ORC.dedup_exact(),
         "dedup_minhash_lsh": ORC.dedup_minhash_lsh(),
+        "dedup_lsh_recall": ORC.dedup_lsh_recall(),
         "dedup_incremental_lsh": ORC.dedup_incremental_lsh(),
         "dedup_simhash": ORC.dedup_simhash(),
         "dedup_connected_components": ORC.dedup_connected_components(),

@@ -306,6 +306,96 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- measured LSH recall vs exact ground truth ------------------------------
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honesty number for the minhash family (same play as
+    ann_ivf_recall): measured RECALL of the banded LSH against exact
+    ground truth, plus the candidate-set precision that prices the
+    verify stage.
+
+    Ground truth = every pair with exact 3-gram Jaccard >= 0.5, found
+    via an UN-stop-listed inverted index — exhaustive, because any pair
+    with Jaccard > 0 shares at least one shingle; no O(n^2) cross join.
+    Found = dedup_minhash_lsh's verified output (same shingles, same
+    threshold), which is by construction a subset of the truth set, so
+    recall_e4 = found/truth and candidate_precision_e4 = found/candidates
+    are both exact integer ratios (x10^4 through DIV).
+
+    Scale: the truth side is the expensive half (no stop-list means the
+    hottest shingle key carries its full posting list); this op is a
+    VALIDATION query you run on a sampled slice to tune BANDS x ROWS,
+    not a production pass — the production pass is dedup_minhash_lsh
+    itself. At 10^12 docs you run it on a hash-stable 10^-4 sample
+    (sample_hash_stable) where the same ratios hold in expectation.
+    Singleton frames crossJoin like every one-row aggregate here.
+    """
+    sh = _shingled(spark, sf_dir, 3)
+    inv = sh.select("doc_id", F.explode("shd").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    tcand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    truth = (
+        tcand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((inter / union) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+    banded = _minhash_bands(spark, sf_dir)
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_candidates"))
+    n_found = found.agg(F.count(F.lit(1)).cast("long").alias("n_found_pairs"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_found)
+        .select(
+            "n_true_pairs",
+            "n_lsh_candidates",
+            "n_found_pairs",
+            F.when(F.col("n_true_pairs") == 0, F.lit(10000).cast("long"))
+            .otherwise(
+                F.expr("(n_found_pairs * 10000L) DIV n_true_pairs")
+            )
+            .alias("recall_e4"),
+            F.when(F.col("n_lsh_candidates") == 0, F.lit(10000).cast("long"))
+            .otherwise(
+                F.expr("(n_found_pairs * 10000L) DIV n_lsh_candidates")
+            )
+            .alias("candidate_precision_e4"),
+        )
+    )
+
+
 # --- per-document duplicate-text fraction ------------------------------------
 
 

@@ -117,6 +117,65 @@ def dedup_minhash_lsh() -> str:
     """
 
 
+def dedup_lsh_recall() -> str:
+    """Recall/precision report twin: the band construction is the
+    verbatim _minhash_band_ctes chain; truth is the exhaustive
+    un-stop-listed inverted index at the same shingles + threshold.
+    Every CTE MATERIALIZED — the count subqueries would otherwise
+    re-derive the chain per reference."""
+    return f"""
+        {_minhash_band_ctes()},
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+        ),
+        found AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            SELECT cand.doc_a, cand.doc_b,
+                   len(list_intersect(sa.shd, sb.shd))
+                     / (len(sa.shd) + len(sb.shd)
+                        - len(list_intersect(sa.shd, sb.shd))) AS jaccard
+            FROM cand
+            JOIN s sa ON sa.doc_id = cand.doc_a
+            JOIN s sb ON sb.doc_id = cand.doc_b
+          ) WHERE jaccard >= 0.5
+        ),
+        inv AS MATERIALIZED (
+          SELECT doc_id, u.sh FROM s, unnest(shd) u(sh)
+        ),
+        tcand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        ),
+        truth AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
+            SELECT tcand.doc_a, tcand.doc_b,
+                   len(list_intersect(sa.shd, sb.shd))
+                     / (len(sa.shd) + len(sb.shd)
+                        - len(list_intersect(sa.shd, sb.shd))) AS jaccard
+            FROM tcand
+            JOIN s sa ON sa.doc_id = tcand.doc_a
+            JOIN s sb ON sb.doc_id = tcand.doc_b
+          ) WHERE jaccard >= 0.5
+        ),
+        counts AS MATERIALIZED (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+                 (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_lsh_candidates,
+                 (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found_pairs
+        )
+        SELECT n_true_pairs, n_lsh_candidates, n_found_pairs,
+               CASE WHEN n_true_pairs = 0 THEN CAST(10000 AS BIGINT)
+                    ELSE (n_found_pairs * 10000) // n_true_pairs
+               END AS recall_e4,
+               CASE WHEN n_lsh_candidates = 0 THEN CAST(10000 AS BIGINT)
+                    ELSE (n_found_pairs * 10000) // n_lsh_candidates
+               END AS candidate_precision_e4
+        FROM counts
+    """
+
+
 def dedup_connected_components() -> str:
     """Transitive closure of the minhash pair graph via recursive CTE
     (exact at test scale), labeling each doc with min reachable doc_id.

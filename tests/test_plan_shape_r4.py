@@ -184,6 +184,18 @@ def test_bpe_pairs_vocabulary_shape(spark):
     assert "Join" not in plan  # pure explode/aggregate pipeline
 
 
+def test_bpe_encode_skew_split_shape(spark):
+    """The encode join-back keeps the Zipf-skew split: the ENC_HEAD_K
+    hottest words join as a BROADCAST hash join, no CartesianProduct,
+    and the fold chain stays JVM-side (no Python boundary at all)."""
+    from ai_ocr_spark.operators.tokenizer import tokenizer_bpe_encode
+
+    plan = formatted_plan(tokenizer_bpe_encode(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_perplexity_head_join_broadcasts_and_no_cartesian(spark):
     """The perplexity score join-back keeps the skew split: the hot
     LM head joins as a BROADCAST hash join (the Zipf head never rides

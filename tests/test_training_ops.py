@@ -34,6 +34,25 @@ def test_minhash_finds_near_dups_and_agrees_with_exact_jaccard(spark):
     assert not out.duplicated(["doc_a", "doc_b"]).any()
 
 
+def test_lsh_recall_report_invariants(spark):
+    """found <= candidates, found <= truth (subset by construction),
+    ratios are exact integer DIVs of the counts, and the report agrees
+    with independently-run dedup_minhash_lsh."""
+    from ai_ocr_spark.operators.dedup import dedup_lsh_recall, dedup_minhash_lsh
+
+    r = dedup_lsh_recall(spark, SF01).toPandas().iloc[0]
+    assert r["n_found_pairs"] <= r["n_lsh_candidates"]
+    assert r["n_found_pairs"] <= r["n_true_pairs"]
+    assert r["n_found_pairs"] == len(dedup_minhash_lsh(spark, SF01).toPandas())
+    assert r["recall_e4"] == (r["n_found_pairs"] * 10000) // r["n_true_pairs"]
+    assert (
+        r["candidate_precision_e4"]
+        == (r["n_found_pairs"] * 10000) // r["n_lsh_candidates"]
+    )
+    # sf0.01 has known near-dup pairs — truth must be non-empty
+    assert r["n_true_pairs"] > 0
+
+
 def test_simhash_is_deterministic_and_pairs_are_close(spark):
     from pyspark.sql import functions as F
 
