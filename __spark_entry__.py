@@ -101,12 +101,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 42; tier 2 = 8 of the 38 remaining r2-green entries
+    pipelines) = 43; tier 2 = 7 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    dedup_simhash = position 50. The r2 entries left outside
-    (text_dup_fraction, dedup_ngram_jaccard,
+    dedup_exact = position 50. The r2 entries left outside
+    (dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh, ann_cosine_topk,
     ann_ivf_topk,
     q1_pricing_summary,
@@ -188,6 +188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ftfy-style mojibake detect+repair: UTF-8-read-as-latin-1
         # signature, byte-exact inverse transcode (new in r4)
         "text_fix_mojibake": TS.text_fix_mojibake,
+        # registrable-domain (eTLD+1) extraction under PSL longest-match
+        # semantics — the unit C4/RefinedWeb cap and mix by; pure
+        # codegen projection, suffix table as broadcast-able literal
+        # (new in r4)
+        "url_domain_etld1": TS.url_domain_etld1,
         # the data-repetition schedule (epochs per source under a
         # smoothed token budget, LLaMA-table shape) (new in r4)
         "sample_mix_epochs": CU.sample_mix_epochs,
@@ -278,11 +283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_daily": _stream_events_daily,
         # dedup family (unchanged since r2 but two rounds stale)
         "dedup_exact": D.dedup_exact,
-        "dedup_simhash": D.dedup_simhash,
         # -- the driver's 50-entry truncation line falls HERE --
-        # (the bpe_encode + lsh_recall tier-1 inserts pushed
-        # text_dup_fraction and dedup_ngram_jaccard out; they lead
-        # the r5 rotation)
+        # (the bpe_encode + lsh_recall + etld1 tier-1 inserts pushed
+        # dedup_simhash, text_dup_fraction and dedup_ngram_jaccard
+        # out; they lead the r5 rotation)
+        "dedup_simhash": D.dedup_simhash,
         "text_dup_fraction": D.text_dup_fraction,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
@@ -629,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,
         "text_langid_ngram": TS.LANGID_NGRAM_ORACLE_SQL,
         "text_fix_mojibake": TS.MOJIBAKE_ORACLE_SQL,
+        "url_domain_etld1": TS.URL_ETLD1_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
         "pipeline_resume_snapshot": RT.RESUME_SNAPSHOT_ORACLE_SQL,

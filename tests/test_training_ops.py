@@ -34,6 +34,32 @@ def test_minhash_finds_near_dups_and_agrees_with_exact_jaccard(spark):
     assert not out.duplicated(["doc_a", "doc_b"]).any()
 
 
+def test_url_domain_etld1_psl_semantics(spark):
+    """Every fixture family lands on the PSL rule it was built to
+    exercise: multi-label suffix, private registry, default-rule
+    fallback, and the bare-suffix edge (etld1 NULL)."""
+    from ai_ocr_spark.operators.textstats import url_domain_etld1
+
+    out = url_domain_etld1(spark, SF).toPandas()
+    for _, r in out.iterrows():
+        fam = r["doc_id"] % 6
+        host, suf, e1 = r["host"], r["public_suffix"], r["etld1"]
+        if fam == 0:
+            assert host.startswith("www.blog.") and suf == "co.uk"
+            assert r["known_rule"] and e1 == host.split(".", 2)[2]
+        elif fam == 1:
+            assert suf == "com" and e1 == host.split(".", 1)[1]
+        elif fam == 2:
+            assert suf == "github.io" and e1 == host  # tenant IS etld1
+        elif fam == 3:
+            assert suf == "com.au" and e1 == host.split(".", 2)[2]
+        elif fam == 4:
+            assert suf == "zz" and not r["known_rule"]
+            assert e1 == host.split(".", 1)[1]
+        else:
+            assert host == "co.uk" and suf == "co.uk" and e1 is None
+
+
 def test_lsh_recall_report_invariants(spark):
     """found <= candidates, found <= truth (subset by construction),
     ratios are exact integer DIVs of the counts, and the report agrees
