@@ -101,12 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 43; tier 2 = 7 of the 38 remaining r2-green entries
+    pipelines) = 44; tier 2 = 6 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    dedup_exact = position 50. The r2 entries left outside
-    (dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
+    stream_events_daily = position 50. The r2 entries left outside
+    (dedup_exact, dedup_simhash, text_dup_fraction,
+    dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh, ann_cosine_topk,
     ann_ivf_topk,
     q1_pricing_summary,
@@ -157,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codebooks, map-only encoding, broadcast ADC lookup tables,
         # order-free integer distance sums (new in r4)
         "ann_pq_topk": SIM.ann_pq_topk,
+        # PQ's honesty number as a driver-checked value, mirroring
+        # ann_ivf_recall (new in r4)
+        "ann_pq_recall": SIM.ann_pq_recall,
         # CCNet-style unigram-LM perplexity gate: hash-stable 20% train
         # slice, integer-ln cross-entropy, exact nearest-rank tertile
         # head/middle/tail buckets (new in r4)
@@ -281,12 +285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sections": RT.pipeline_sections,
         "pipeline_table_roundtrip": RT.pipeline_table_roundtrip,
         "stream_events_daily": _stream_events_daily,
+        # -- the driver's 50-entry truncation line falls HERE --
+        # (the bpe_encode/lsh_recall/etld1/pq_recall tier-1 inserts
+        # pushed the r2-stale dedup quartet out; they lead the r5
+        # rotation)
         # dedup family (unchanged since r2 but two rounds stale)
         "dedup_exact": D.dedup_exact,
-        # -- the driver's 50-entry truncation line falls HERE --
-        # (the bpe_encode + lsh_recall + etld1 tier-1 inserts pushed
-        # dedup_simhash, text_dup_fraction and dedup_ngram_jaccard
-        # out; they lead the r5 rotation)
         "dedup_simhash": D.dedup_simhash,
         "text_dup_fraction": D.text_dup_fraction,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -625,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": ORC.ann_ivf_recall(),
         "embedding_kmeans": SIM.KMEANS_ORACLE_SQL,
         "ann_pq_topk": SIM.PQ_ORACLE_SQL,
+        "ann_pq_recall": ORC.ann_pq_recall(),
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "quality_perplexity_bigram": QL.BIGRAM_ORACLE_SQL,

@@ -720,6 +720,32 @@ def ann_ivf_recall() -> str:
         FROM qs LEFT JOIN hits USING (query_id)
     """
 
+def ann_pq_recall() -> str:
+    """Recall@K of the PQ/ADC search vs the exact baseline — the two
+    existing oracles composed as MATERIALIZED CTEs (the PQ twin is a
+    deep chain; inlining it per reference would re-train the
+    codebooks)."""
+    from .similarity import PQ_ORACLE_SQL, PQ_TOP_K
+
+    return f"""
+        WITH exact AS MATERIALIZED ({ann_cosine_topk()}),
+        pq AS MATERIALIZED ({PQ_ORACLE_SQL}),
+        hits AS (
+          SELECT p.query_id, count(*) AS n_hits
+          FROM pq p
+          JOIN exact e ON e.query_id = p.query_id
+                      AND e.neighbor_id = p.neighbor_id
+                      AND e.rk <= {PQ_TOP_K}
+          GROUP BY p.query_id
+        ),
+        qs AS (SELECT DISTINCT query_id FROM pq)
+        SELECT query_id,
+               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(n_hits, 0) / {PQ_TOP_K} AS recall_at_k
+        FROM qs LEFT JOIN hits USING (query_id)
+    """
+
+
 def dedup_embedding_lsh() -> str:
     from .similarity import LSH_COS_THRESHOLD, LSH_TABLES, _hyperplanes
 

@@ -847,3 +847,34 @@ def _pq_oracle_sql() -> str:
 
 
 PQ_ORACLE_SQL = _pq_oracle_sql()
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@K of the PQ/ADC path vs the exact cosine
+    baseline — the same first-class honesty number ann_ivf_recall
+    publishes for IVF. The docstring claim on ann_pq_topk (~0.5 on
+    these synthetic near-uniform embeddings, PQ's worst case) becomes
+    a driver-checked VALUE: at 100x scale you trade PQ_M/PQ_KS against
+    THIS number, per corpus, not against a paper figure.
+
+    Shape: two tiny K-rows-per-query frames, broadcast intersection,
+    one integer division per query — all the heavy lifting already
+    happened (and is cached) inside the two composed queries."""
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    pq = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        pq.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = pq.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits / PQ_TOP_K).alias("recall_at_k"),
+    )
