@@ -101,12 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 44; tier 2 = 6 of the 38 remaining r2-green entries
+    pipelines) = 45; tier 2 = 5 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    stream_events_daily = position 50. The r2 entries left outside
-    (dedup_exact, dedup_simhash, text_dup_fraction,
+    pipeline_table_roundtrip = position 50. The r2 entries left
+    outside (stream_events_daily,
+    dedup_exact, dedup_simhash, text_dup_fraction,
     dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh, ann_cosine_topk,
     ann_ivf_topk,
@@ -238,6 +239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-checked ops, composition itself value-checked
         # (new in r4)
         "crawl_frontier_topk": LNK.crawl_frontier_topk,
+        # politeness scheduling: gated unseen candidates assigned fetch
+        # waves capped at WAVE_PER_HOST per host per wave — one window
+        # PARTITIONED BY HOST, no global sort (new in r4)
+        "crawl_schedule_waves": LNK.crawl_schedule_waves,
         # snapshot compaction (small-files maintenance): N incremental
         # appends rewritten to one snapshot in one atomic commit,
         # lineage preserved, content + resume backlog value-checked
@@ -284,11 +289,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_gzip_roundtrip": RT.pipeline_gzip_roundtrip,
         "pipeline_sections": RT.pipeline_sections,
         "pipeline_table_roundtrip": RT.pipeline_table_roundtrip,
-        "stream_events_daily": _stream_events_daily,
         # -- the driver's 50-entry truncation line falls HERE --
-        # (the bpe_encode/lsh_recall/etld1/pq_recall tier-1 inserts
-        # pushed the r2-stale dedup quartet out; they lead the r5
-        # rotation)
+        # (the five tier-1 inserts this session — bpe_encode,
+        # lsh_recall, etld1, pq_recall, schedule_waves — pushed
+        # stream_events_daily and the r2-stale dedup quartet out;
+        # they lead the r5 rotation)
+        "stream_events_daily": _stream_events_daily,
         # dedup family (unchanged since r2 but two rounds stale)
         "dedup_exact": D.dedup_exact,
         "dedup_simhash": D.dedup_simhash,
@@ -651,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta_report": ORC.crawl_delta_report(),
         "warc_cdx_index": RT.CDX_ORACLE_SQL,
         "crawl_frontier_topk": LNK.FRONTIER_ORACLE_SQL,
+        "crawl_schedule_waves": LNK.SCHEDULE_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

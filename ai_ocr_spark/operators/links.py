@@ -404,6 +404,52 @@ def crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "resolved", "n_inlinks", "n_src_docs")
 
 
+# max fetches per host per politeness wave (small so test-scale waves
+# are non-trivial; production values are crawl-delay-derived)
+WAVE_PER_HOST = 2
+
+
+def crawl_schedule_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling — the step between ranking the frontier
+    and actually fetching it: every gated, unseen candidate URL is
+    assigned a fetch WAVE such that no wave touches the same host more
+    than WAVE_PER_HOST times (Common-Crawl-style per-host budgets;
+    robots crawl-delay would scale WAVE_PER_HOST per host). Within a
+    host, higher in-link-volume targets fetch first, ties broken by
+    url, so the schedule is fully deterministic.
+
+    Scale shape: the candidate aggregate is the frontier's url-keyed
+    shuffle; the schedule itself is ONE window partitioned BY HOST —
+    the politeness key is the partition key, so the wave assignment
+    never sees a single-partition global sort, and host skew is
+    bounded by the crawl's own per-host discovery volume. At 10^12
+    pages the wave column becomes the fetch-shard partition key the
+    fetcher consumes directly."""
+    gate = filter_robots_gate(spark, sf_dir).filter(F.col("allowed"))
+    seen = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        doc_url_expr().alias("resolved")
+    )
+    cand = gate.select("doc_id", "resolved").join(seen, "resolved", "left_anti")
+    scored = cand.groupBy("resolved").agg(
+        F.count(F.lit(1)).alias("n_inlinks")
+    )
+    host = F.regexp_extract(F.col("resolved"), "^[a-z]+://([^/]+)", 1)
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_inlinks"), F.asc("resolved")
+    )
+    slot = F.row_number().over(w) - 1
+    return (
+        scored.withColumn("host", host)
+        .select(
+            "resolved",
+            "host",
+            F.col("n_inlinks").cast("long").alias("n_inlinks"),
+            (slot % WAVE_PER_HOST).cast("long").alias("slot_in_wave"),
+            F.floor(slot / WAVE_PER_HOST).cast("long").alias("wave"),
+        )
+    )
+
+
 _GATED_LINKS_CTE = f"""
     {_LINKS_CTE},
     {_ROBOTS_G_SQL},
@@ -412,6 +458,42 @@ _GATED_LINKS_CTE = f"""
                {_ALLOWED_CASE} AS allowed
         FROM g
     )
+"""
+
+
+SCHEDULE_ORACLE_SQL = f"""
+    WITH {_GATED_LINKS_CTE},
+    seen AS (
+        SELECT 'https://' || source || '.example.com/doc/' || doc_id
+                   AS resolved
+        FROM documents
+    ),
+    cand AS (
+        SELECT v.doc_id, v.resolved
+        FROM verdicts v
+        WHERE v.allowed
+          AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.resolved = v.resolved)
+    ),
+    scored AS (
+        SELECT resolved, CAST(count(*) AS BIGINT) AS n_inlinks
+        FROM cand GROUP BY resolved
+    ),
+    hosted AS (
+        SELECT resolved, n_inlinks,
+               regexp_extract(resolved, '^[a-z]+://([^/]+)', 1) AS host
+        FROM scored
+    ),
+    slotted AS (
+        SELECT resolved, host, n_inlinks,
+               CAST(row_number() OVER (PARTITION BY host
+                    ORDER BY n_inlinks DESC, resolved ASC) - 1
+                    AS BIGINT) AS slot
+        FROM hosted
+    )
+    SELECT resolved, host, n_inlinks,
+           slot % {WAVE_PER_HOST} AS slot_in_wave,
+           slot // {WAVE_PER_HOST} AS wave
+    FROM slotted
 """
 
 

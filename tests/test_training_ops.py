@@ -1226,6 +1226,44 @@ def test_frontier_topk_excludes_seen_and_disallowed(spark):
     assert not (set(top["resolved"]) & blocked)
 
 
+def test_schedule_waves_politeness_invariants(spark):
+    """No (host, wave) exceeds WAVE_PER_HOST; slots are dense per host
+    in (n_inlinks desc, url) order; the scheduled set is exactly the
+    frontier's gated-unseen candidate set."""
+    from ai_ocr_spark.operators.links import (
+        WAVE_PER_HOST,
+        crawl_schedule_waves,
+        filter_robots_gate,
+    )
+
+    out = crawl_schedule_waves(spark, SF01).toPandas()
+    assert len(out) > 0
+    # the politeness cap — THE invariant the op exists for
+    per = out.groupby(["host", "wave"]).size()
+    assert (per <= WAVE_PER_HOST).all()
+    # slots dense + deterministic order within each host
+    for _, g in out.groupby("host"):
+        g = g.sort_values(["wave", "slot_in_wave"]).reset_index(drop=True)
+        assert list(g["wave"] * WAVE_PER_HOST + g["slot_in_wave"]) == list(
+            range(len(g))
+        )
+        pairs = list(zip(-g["n_inlinks"], g["resolved"]))
+        assert pairs == sorted(pairs)
+    # every url's host column matches its url
+    assert (
+        out["resolved"].str.extract(r"^[a-z]+://([^/]+)")[0] == out["host"]
+    ).all()
+    # scheduled set == gated, unseen candidates (nothing dropped/added)
+    gate = filter_robots_gate(spark, SF01).toPandas()
+    allowed = set(gate.loc[gate["allowed"], "resolved"])
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").toPandas()
+    seen = {
+        f"https://{s}.example.com/doc/{i}"
+        for s, i in zip(docs["source"], docs["doc_id"])
+    }
+    assert set(out["resolved"]) == allowed - seen
+
+
 def test_dsir_quota_is_exact_and_selection_is_topk(spark):
     from ai_ocr_spark.operators.quality_lm import (
         DSIR_KEEP_DEN,
