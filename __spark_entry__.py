@@ -101,7 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 45; tier 2 = 5 of the 38 remaining r2-green entries
+    pipelines) = 46; tier 2 = 4 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
@@ -243,6 +243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # waves capped at WAVE_PER_HOST per host per wave — one window
         # PARTITIONED BY HOST, no global sort (new in r4)
         "crawl_schedule_waves": LNK.crawl_schedule_waves,
+        # the other discovery channel: per-source sitemap urlsets built
+        # from the corpus and parsed back (roundtrip contract), new
+        # URLs flagged, recrawl ranked by lastmod recency (new in r4)
+        "sitemap_discover": LNK.sitemap_discover,
         # snapshot compaction (small-files maintenance): N incremental
         # appends rewritten to one snapshot in one atomic commit,
         # lineage preserved, content + resume backlog value-checked
@@ -658,6 +662,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_cdx_index": RT.CDX_ORACLE_SQL,
         "crawl_frontier_topk": LNK.FRONTIER_ORACLE_SQL,
         "crawl_schedule_waves": LNK.SCHEDULE_ORACLE_SQL,
+        "sitemap_discover": LNK.SITEMAP_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,

@@ -404,6 +404,146 @@ def crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "resolved", "n_inlinks", "n_src_docs")
 
 
+# every SITEMAP_NEW_MOD-th doc's sitemap entry advertises an extra
+# not-yet-crawled URL, so the discover path always finds genuinely new work
+SITEMAP_NEW_MOD = 5
+
+
+def sitemap_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER discovery channel next to outlinks: sitemap ingestion.
+    Per source host, a sitemaps.org urlset document is synthesized from
+    the corpus' own pages (loc + lastmod entries, every
+    SITEMAP_NEW_MOD-th doc advertising an additional uncrawled URL) and
+    then parsed BACK — builder and parser are checked against each
+    other, the same roundtrip contract as the WET/CDX artifacts. Each
+    discovered URL is flagged known/new against the crawled corpus and
+    ranked for recrawl within its source by lastmod recency.
+
+    Scale shape: one per-source aggregate builds the XML (sitemaps are
+    host-sized artifacts — bounded by the 50k-entry sitemap spec limit,
+    sharded into sitemap-index files beyond it); parsing is a
+    regexp block-explode at scan speed (no kernel — sitemap XML's
+    rigid shape is regular, unlike HTML); the known/new flag is one
+    url-keyed left join and the recrawl rank windows per source. No
+    per-row Python anywhere."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    url = doc_url_expr()
+    lastmod = F.concat(
+        F.lit("2026-"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+    )
+    ent = F.concat(
+        F.lit("<url><loc>"),
+        url,
+        F.lit("</loc><lastmod>"),
+        lastmod,
+        F.lit("</lastmod></url>"),
+    )
+    new_ent = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2026-01-15</lastmod></url>"),
+    )
+    ents = F.when(
+        F.col("doc_id") % SITEMAP_NEW_MOD == 0, F.array(ent, new_ent)
+    ).otherwise(F.array(ent))
+    entries = docs.select("source", F.explode(ents).alias("ent"))
+    sitemaps = entries.groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+            F.array_join(F.sort_array(F.collect_list("ent")), ""),
+            F.lit("</urlset>"),
+        ).alias("body")
+    )
+    blocks = F.regexp_extract_all(
+        F.col("body"), F.lit("<url>(.*?)</url>"), 1
+    )
+    parsed = sitemaps.select(
+        "source", F.explode(blocks).alias("b")
+    ).select(
+        "source",
+        F.regexp_extract(F.col("b"), "<loc>([^<]+)</loc>", 1).alias("loc"),
+        F.regexp_extract(
+            F.col("b"), "<lastmod>([^<]+)</lastmod>", 1
+        ).alias("lastmod"),
+    )
+    seen = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(doc_url_expr().alias("loc"), F.lit(True).alias("known"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lastmod"), F.asc("loc")
+    )
+    return (
+        parsed.join(seen, "loc", "left")
+        .select(
+            "source",
+            "loc",
+            "lastmod",
+            F.coalesce(F.col("known"), F.lit(False)).alias("known"),
+        )
+        .withColumn("recrawl_rank", F.row_number().over(w).cast("long"))
+    )
+
+
+SITEMAP_ORACLE_SQL = f"""
+    WITH ents AS (
+        SELECT source, u.ent FROM (
+            SELECT source,
+                   CASE WHEN doc_id % {SITEMAP_NEW_MOD} = 0 THEN [
+                     '<url><loc>https://' || source || '.example.com/doc/'
+                       || doc_id || '</loc><lastmod>2026-'
+                       || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || '</lastmod></url>',
+                     '<url><loc>https://' || source || '.example.com/page/'
+                       || doc_id
+                       || '</loc><lastmod>2026-01-15</lastmod></url>'
+                   ] ELSE [
+                     '<url><loc>https://' || source || '.example.com/doc/'
+                       || doc_id || '</loc><lastmod>2026-'
+                       || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || '</lastmod></url>'
+                   ] END AS es
+            FROM documents
+        ), unnest(es) u(ent)
+    ),
+    sitemaps AS (
+        SELECT source,
+               '<?xml version="1.0" encoding="UTF-8"?><urlset>'
+               || string_agg(ent, '' ORDER BY ent) || '</urlset>' AS body
+        FROM ents GROUP BY source
+    ),
+    parsed AS (
+        SELECT source,
+               regexp_extract(u.b, '<loc>([^<]+)</loc>', 1) AS loc,
+               regexp_extract(u.b, '<lastmod>([^<]+)</lastmod>', 1)
+                   AS lastmod
+        FROM sitemaps,
+             unnest(regexp_extract_all(body, '<url>(.*?)</url>', 1)) u(b)
+    ),
+    seen AS (
+        SELECT 'https://' || source || '.example.com/doc/' || doc_id AS loc
+        FROM documents
+    )
+    SELECT p.source, p.loc, p.lastmod,
+           (s.loc IS NOT NULL) AS known,
+           CAST(row_number() OVER (PARTITION BY p.source
+                ORDER BY p.lastmod DESC, p.loc ASC) AS BIGINT)
+               AS recrawl_rank
+    FROM parsed p LEFT JOIN seen s ON s.loc = p.loc
+"""
+
+
 # max fetches per host per politeness wave (small so test-scale waves
 # are non-trivial; production values are crawl-delay-derived)
 WAVE_PER_HOST = 2

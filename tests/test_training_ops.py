@@ -1264,6 +1264,38 @@ def test_schedule_waves_politeness_invariants(spark):
     assert set(out["resolved"]) == allowed - seen
 
 
+def test_sitemap_discover_roundtrip_and_flags(spark):
+    """Parser recovers exactly the builder's entries: one row per doc
+    plus one NEW url per SITEMAP_NEW_MOD-th doc; known flags match the
+    corpus; recrawl ranks are dense per source in (lastmod desc, loc)
+    order."""
+    from ai_ocr_spark.operators.links import SITEMAP_NEW_MOD, sitemap_discover
+
+    out = sitemap_discover(spark, SF01).toPandas()
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").toPandas()
+    n_new = (docs["doc_id"] % SITEMAP_NEW_MOD == 0).sum()
+    assert len(out) == len(docs) + n_new
+    assert (~out["known"]).sum() == n_new
+    assert out.loc[~out["known"], "loc"].str.contains("/page/").all()
+    assert out.loc[out["known"], "loc"].str.contains("/doc/").all()
+    # every crawled url appears exactly once
+    urls = {
+        f"https://{s}.example.com/doc/{i}"
+        for s, i in zip(docs["source"], docs["doc_id"])
+    }
+    assert set(out.loc[out["known"], "loc"]) == urls
+    for _, g in out.groupby("source"):
+        g = g.sort_values("recrawl_rank")
+        assert list(g["recrawl_rank"]) == list(range(1, len(g) + 1))
+        pairs = [(l, loc) for l, loc in zip(g["lastmod"], g["loc"])]
+        assert pairs == sorted(pairs, key=lambda p: (_neg_str(p[0]), p[1]))
+
+
+def _neg_str(s):
+    """Sort key that inverts lexicographic order (for lastmod DESC)."""
+    return tuple(-ord(c) for c in s)
+
+
 def test_dsir_quota_is_exact_and_selection_is_topk(spark):
     from ai_ocr_spark.operators.quality_lm import (
         DSIR_KEEP_DEN,
