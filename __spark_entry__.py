@@ -101,12 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 46; tier 2 = 4 of the 38 remaining r2-green entries
+    pipelines) = 47; tier 2 = 3 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    pipeline_table_roundtrip = position 50. The r2 entries left
-    outside (stream_events_daily,
+    pipeline_gzip_roundtrip = position 50. The r2 entries left
+    outside (pipeline_sections, pipeline_table_roundtrip,
+    stream_events_daily,
     dedup_exact, dedup_simhash, text_dup_fraction,
     dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh, ann_cosine_topk,
@@ -198,6 +199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codegen projection, suffix table as broadcast-able literal
         # (new in r4)
         "url_domain_etld1": TS.url_domain_etld1,
+        # Unicode NFC canonicalization — Spark has no normalize
+        # builtin, so this is a sanctioned Arrow-batched mapInPandas
+        # (stdlib unicodedata) vs DuckDB's utf8proc nfc_normalize;
+        # decomposed fixture prefixes make every class fire (new in r4)
+        "text_nfc_normalize": TS.text_nfc_normalize,
         # the data-repetition schedule (epochs per source under a
         # smoothed token budget, LLaMA-table shape) (new in r4)
         "sample_mix_epochs": CU.sample_mix_epochs,
@@ -291,13 +297,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pdf_roundtrip": RP.pipeline_pdf_roundtrip,
         "pipeline_warc_roundtrip": RT.pipeline_warc_roundtrip,
         "pipeline_gzip_roundtrip": RT.pipeline_gzip_roundtrip,
+        # -- the driver's 50-entry truncation line falls HERE --
+        # (the seven tier-1 inserts this session — bpe_encode,
+        # lsh_recall, etld1, pq_recall, schedule_waves, sitemap,
+        # nfc — pushed sections/table_roundtrip/stream_events_daily
+        # and the r2-stale dedup quartet out; they lead the r5
+        # rotation)
         "pipeline_sections": RT.pipeline_sections,
         "pipeline_table_roundtrip": RT.pipeline_table_roundtrip,
-        # -- the driver's 50-entry truncation line falls HERE --
-        # (the five tier-1 inserts this session — bpe_encode,
-        # lsh_recall, etld1, pq_recall, schedule_waves — pushed
-        # stream_events_daily and the r2-stale dedup quartet out;
-        # they lead the r5 rotation)
         "stream_events_daily": _stream_events_daily,
         # dedup family (unchanged since r2 but two rounds stale)
         "dedup_exact": D.dedup_exact,
@@ -650,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_ngram": TS.LANGID_NGRAM_ORACLE_SQL,
         "text_fix_mojibake": TS.MOJIBAKE_ORACLE_SQL,
         "url_domain_etld1": TS.URL_ETLD1_ORACLE_SQL,
+        "text_nfc_normalize": TS.NFC_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
         "pipeline_resume_snapshot": RT.RESUME_SNAPSHOT_ORACLE_SQL,

@@ -320,6 +320,94 @@ URL_ETLD1_ORACLE_SQL = f"""
 """
 
 
+# Decomposed/NFC-unstable prefixes, one per fixture family, shared
+# verbatim with the oracle SQL so both engines normalize identical
+# inputs: combining acute, combining tilde, the classic long-s
+# double-combining case, a Hangul jamo pair, A + combining ring, and
+# an already-NFC ASCII control row.
+NFC_PREFIXES = [
+    "cafe\u0301",            # e + COMBINING ACUTE -> \u00e9
+    "n\u0303o",              # n + COMBINING TILDE -> \u00f1
+    "\u017f\u0307\u0323",  # long s + dot above + dot below (UAX#15)
+    "\u1100\u1161",         # Hangul jamo pair -> syllable GA
+    "A\u030angstrom",        # A + COMBINING RING -> \u00c5
+    "plain ascii",            # already NFC: the no-op control row
+]
+
+
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step every
+    real multilingual pipeline runs before hashing/dedup (decomposed
+    'e'+COMBINING ACUTE and precomposed 'é' must fingerprint
+    identically or the same page dedups against nothing).
+
+    Spark SQL has NO normalization builtin, so this is one of the few
+    sanctioned Python crossings in the repo: a single Arrow-batched
+    mapInPandas whose kernel is stdlib unicodedata over whole columns
+    — the same boundary contract as the media decoders. Everything
+    around it (fixture synthesis, changed flag, codepoint deltas) is
+    codegen. Fixture rows prepend NFC-unstable prefixes so every
+    normalization class fires, including the no-op ASCII row.
+
+    Cross-engine exactness: DuckDB's utf8proc nfc_normalize and
+    CPython's unicodedata implement the same UCD normalization; the
+    fixture families are pinned by test AND by the driver hash, so a
+    Unicode-version drift between engines would surface as a hash
+    mismatch, not silent corruption. Scale: one Python boundary, no
+    shuffle — scan speed minus the Arrow hop."""
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.element_at(
+            F.array(*[F.lit(p) for p in NFC_PREFIXES]),
+            (F.col("doc_id") % len(NFC_PREFIXES) + 1).cast("int"),
+        ),
+        F.lit(" "),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+    )
+    base = docs.select("doc_id", raw.alias("raw"))
+
+    def _norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["nfc"] = pdf["raw"].map(
+                lambda s: unicodedata.normalize("NFC", s)
+            )
+            yield pdf
+
+    out = base.mapInPandas(_norm, "doc_id long, raw string, nfc string")
+    return out.select(
+        "doc_id",
+        "raw",
+        "nfc",
+        (F.col("raw") != F.col("nfc")).alias("changed"),
+        F.length("raw").cast("long").alias("n_cp_raw"),
+        F.length("nfc").cast("long").alias("n_cp_nfc"),
+    )
+
+
+def _nfc_oracle_sql() -> str:
+    pref = ", ".join("'" + p + "'" for p in NFC_PREFIXES)
+    n = len(NFC_PREFIXES)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   [{pref}][CAST(doc_id % {n} + 1 AS INTEGER)] || ' '
+                     || substr(coalesce(text, ''), 1, 40) AS raw
+            FROM documents
+        )
+        SELECT doc_id, raw, nfc_normalize(raw) AS nfc,
+               raw <> nfc_normalize(raw) AS changed,
+               CAST(length(raw) AS BIGINT) AS n_cp_raw,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_cp_nfc
+        FROM base
+    """
+
+
+NFC_ORACLE_SQL = _nfc_oracle_sql()
+
+
 # Gopher-style quality-gate thresholds (shared with the oracle SQL)
 GOPHER_MIN_TOKENS = 5
 GOPHER_MAX_TOKENS = 50000

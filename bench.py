@@ -136,6 +136,11 @@ def main() -> int:
         "crawl_delta_report",
         "warc_cdx_index",
         "crawl_frontier_topk",
+        # r4c: the crawl loop's scheduling + discovery tail and the
+        # PSL/registrable-domain projection
+        "crawl_schedule_waves",
+        "sitemap_discover",
+        "url_domain_etld1",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

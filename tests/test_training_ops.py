@@ -1264,6 +1264,29 @@ def test_schedule_waves_politeness_invariants(spark):
     assert set(out["resolved"]) == allowed - seen
 
 
+def test_nfc_normalize_families_fire(spark):
+    """Every decomposed fixture family actually composes (changed=True,
+    codepoints shrink) and the ASCII control row is a no-op; outputs
+    match stdlib unicodedata exactly."""
+    import unicodedata
+
+    from ai_ocr_spark.operators.textstats import (
+        NFC_PREFIXES,
+        text_nfc_normalize,
+    )
+
+    out = text_nfc_normalize(spark, SF).toPandas()
+    n = len(NFC_PREFIXES)
+    for _, r in out.iterrows():
+        fam = r["doc_id"] % n
+        assert r["raw"].startswith(NFC_PREFIXES[fam])
+        assert r["nfc"] == unicodedata.normalize("NFC", r["raw"])
+        if fam == n - 1:  # plain ascii control row
+            assert not r["changed"] and r["n_cp_raw"] == r["n_cp_nfc"]
+        else:
+            assert r["changed"] and r["n_cp_nfc"] < r["n_cp_raw"]
+
+
 def test_sitemap_discover_roundtrip_and_flags(spark):
     """Parser recovers exactly the builder's entries: one row per doc
     plus one NEW url per SITEMAP_NEW_MOD-th doc; known flags match the
