@@ -101,12 +101,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 47; tier 2 = 3 of the 38 remaining r2-green entries
+    pipelines) = 48; tier 2 = 2 of the 38 remaining r2-green entries
     (only driver rows from round 2) — the binary-container pipeline
     roundtrips lead them because the outlink recorder touched the
     kernel path every pipeline query crosses — ending at
-    pipeline_gzip_roundtrip = position 50. The r2 entries left
-    outside (pipeline_sections, pipeline_table_roundtrip,
+    pipeline_warc_roundtrip = position 50. The r2 entries left
+    outside (pipeline_gzip_roundtrip,
+    pipeline_sections, pipeline_table_roundtrip,
     stream_events_daily,
     dedup_exact, dedup_simhash, text_dup_fraction,
     dedup_ngram_jaccard,
@@ -170,6 +171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bigram-LM cross-entropy — one Markov order closer to CCNet's
         # KenLM; both Zipf-keyed join-backs skew-split (new in r4)
         "quality_perplexity_bigram": QL.quality_perplexity_bigram,
+        # interpolated Kneser-Ney on the same bigram tables — KenLM-
+        # grade smoothing as exact integer fractions (d=3/4 rational),
+        # absolute discount + continuation backoff (new in r4)
+        "quality_perplexity_kn": QL.quality_perplexity_kn,
         # within-doc unigram entropy (Gopher/Dolma degenerate-text
         # signal), bit-exact via the same integer-ln table (new in r4)
         "text_token_entropy": QL.text_token_entropy,
@@ -296,13 +301,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # binary-container pipelines first (highest-complexity paths)
         "pipeline_pdf_roundtrip": RP.pipeline_pdf_roundtrip,
         "pipeline_warc_roundtrip": RT.pipeline_warc_roundtrip,
-        "pipeline_gzip_roundtrip": RT.pipeline_gzip_roundtrip,
         # -- the driver's 50-entry truncation line falls HERE --
-        # (the seven tier-1 inserts this session — bpe_encode,
+        # (the eight tier-1 inserts this session — bpe_encode,
         # lsh_recall, etld1, pq_recall, schedule_waves, sitemap,
-        # nfc — pushed sections/table_roundtrip/stream_events_daily
-        # and the r2-stale dedup quartet out; they lead the r5
-        # rotation)
+        # nfc, perplexity_kn — pushed gzip/sections/table_roundtrip/
+        # stream_events_daily and the r2-stale dedup quartet out; they
+        # lead the r5 rotation)
+        "pipeline_gzip_roundtrip": RT.pipeline_gzip_roundtrip,
         "pipeline_sections": RT.pipeline_sections,
         "pipeline_table_roundtrip": RT.pipeline_table_roundtrip,
         "stream_events_daily": _stream_events_daily,
@@ -650,6 +655,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "quality_perplexity_bigram": QL.BIGRAM_ORACLE_SQL,
+        "quality_perplexity_kn": QL.KN_ORACLE_SQL,
         "quality_classifier_nb": QL.NB_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,

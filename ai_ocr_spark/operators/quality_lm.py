@@ -670,6 +670,65 @@ def _skew_left_join(
     return hot.unionByName(cold)
 
 
+def _bigram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide (doc_id, w1, bg) bigram stream — the scan-side
+    explode shared by the add-one and Kneser-Ney scorers."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = TX.tokens(F.col("text"))
+    return (
+        docs.select("doc_id", arr.alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("a"), i).alias("w1"),
+                        F.concat(
+                            F.element_at(F.col("a"), i),
+                            F.lit(" "),
+                            F.element_at(F.col("a"), i + 1),
+                        ).alias("bg"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.bg")
+    )
+
+
+def _bigram_lm_tables(
+    spark: SparkSession, sf_dir: str, bigr: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """ONE slice scan builds the (w1, bg, c12) pair table — bg
+    determines w1, so this is bigram-vocabulary-sized — and every
+    derived statistic (c1, continuation counts) comes off it without a
+    second corpus pass. The pair table and the scoring-side bigram
+    frame are persisted+memoized per (session, sf_dir) like the IVF
+    index, shared by quality_perplexity_bigram AND the Kneser-Ney
+    scorer: each skew-split join's hot/cold lanes read the cache
+    instead of re-running the tokenize+explode."""
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    in_slice = TX.hash15(F.col("doc_id").cast("string")) % LM_MOD == 0
+    key = _cache_key(spark, sf_dir, "bigram-lm")
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is None:
+        pc = (
+            bigr.filter(in_slice)
+            .groupBy("w1", "bg")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .persist()
+        )
+        bigr_c = bigr.persist()
+        pc.count()
+        _SHINGLE_CACHE[key] = (pc, bigr_c)
+    else:
+        pc, bigr_c = cached
+    return pc, bigr_c
+
+
 def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM cross-entropy — one Markov order closer to CCNet's
     actual KenLM than the unigram gate: score each document by the mean
@@ -693,52 +752,9 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops. Docs with < 2 tokens have no bigrams -> EMPTY_CE sentinel.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    arr = TX.tokens(F.col("text"))
-    bigr = (
-        docs.select("doc_id", arr.alias("a"))
-        .filter(F.size("a") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("a") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("a"), i).alias("w1"),
-                        F.concat(
-                            F.element_at(F.col("a"), i),
-                            F.lit(" "),
-                            F.element_at(F.col("a"), i + 1),
-                        ).alias("bg"),
-                    ),
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "p.w1", "p.bg")
-    )
+    bigr = _bigram_corpus(spark, sf_dir)
+    pc, bigr_c = _bigram_lm_tables(spark, sf_dir, bigr)
     in_slice = TX.hash15(F.col("doc_id").cast("string")) % LM_MOD == 0
-    # ONE slice scan builds the (w1, bg, c12) pair table — bg determines
-    # w1, so this is bigram-vocabulary-sized — and c1 derives from it as
-    # sum(c12) over w1 without a second corpus pass. The pair table and
-    # the scoring-side bigram frame are persisted+memoized per
-    # (session, sf_dir) like the IVF index: the two skew-split joins'
-    # four hot/cold lanes read the cache instead of re-running the
-    # tokenize+explode four times.
-    from .dedup import _SHINGLE_CACHE, _cache_key
-
-    key = _cache_key(spark, sf_dir, "bigram-lm")
-    cached = _SHINGLE_CACHE.get(key)
-    if cached is None:
-        pc = (
-            bigr.filter(in_slice)
-            .groupBy("w1", "bg")
-            .agg(F.count(F.lit(1)).alias("c12"))
-            .persist()
-        )
-        bigr_c = bigr.persist()
-        pc.count()
-        _SHINGLE_CACHE[key] = (pc, bigr_c)
-    else:
-        pc, bigr_c = cached
     lm_bg = pc.select("bg", "c12")
     lm_c1 = pc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     vrow = (
@@ -772,6 +788,102 @@ def quality_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ce2_scaled"), F.lit(EMPTY_CE)).cast("long").alias(
             "ce2_scaled"
         ),
+    )
+
+
+# Kneser-Ney absolute discount d = KN_D_NUM / KN_D_DEN. 0.75 is the
+# classic Chen-Goodman value; as a rational it keeps every probability
+# an exact integer fraction.
+KN_D_NUM, KN_D_DEN = 3, 4
+
+
+def quality_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram cross-entropy — KenLM-grade
+    smoothing (Chen & Goodman 1999; what CCNet's KenLM actually runs,
+    modulo order), replacing the add-one gate's uniform-prior bias with
+    absolute discounting plus the continuation-probability backoff:
+
+      p(w2|w1) = max(c12 - d, 0)/c1  +  d*N1+(w1 .)/c1 * p_cont(w2)
+      p_cont(w2) = N1+(. w2) / |distinct bigram types|
+
+    With d = 3/4 every probability is the exact integer fraction
+
+      num = max(4*c12 - 3, 0)*NBB + 3*N1c(w1)*N1r(w2)   [>= 1 floor]
+      den = 4 * c1 * NBB
+
+    (unseen w1 backs off to pure continuation num=max(N1r,1), den=NBB;
+    the >=1 floor is the epsilon for bigrams whose w2 never ends a
+    slice bigram — deterministic and documented, not a hidden NaN).
+    lp = iln(den*PREC) - iln(num*PREC) through the shared integer-ln
+    table, so the DuckDB twin is bit-identical with zero rounding.
+
+    Scale shape: identical to quality_perplexity_bigram — the corpus
+    explode is scan-side, ALL THREE join-backs (bg -> c12,
+    w1 -> (c1, N1c), w2 -> N1r) are Zipf-keyed and ride the
+    broadcast-head skew split; NBB is a one-row broadcast. den =
+    4*c1*NBB*PREC stays under BIGINT to ~10^5 distinct-bigram slices
+    per 10^6-count word; past that the product graduates to
+    DECIMAL(38,0) like the other integer-log ops."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bigr = _bigram_corpus(spark, sf_dir)
+    pc, bigr_c = _bigram_lm_tables(spark, sf_dir, bigr)
+
+    lm_bg = pc.select("bg", "c12")
+    lm_c1 = pc.groupBy("w1").agg(
+        F.struct(
+            F.sum("c12").cast("long").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("n1c"),
+        ).alias("c1s")
+    )
+    w2_of = lambda c: F.element_at(F.split(c, " "), 2)
+    lm_w2 = (
+        pc.select(w2_of(F.col("bg")).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n1r"))
+    )
+    nbb_row = pc.agg(F.count(F.lit(1)).cast("long").alias("nbb"))
+
+    rows = bigr_c.withColumn("w2", w2_of(F.col("bg")))
+    joined = _skew_left_join(
+        _skew_left_join(
+            _skew_left_join(rows, lm_bg, "bg", "c12"), lm_c1, "w1", "c1s"
+        ),
+        lm_w2,
+        "w2",
+        "n1r",
+    ).crossJoin(F.broadcast(nbb_row))
+
+    c12f = F.coalesce(F.col("c12"), F.lit(0)).cast("long")
+    n1rf = F.coalesce(F.col("n1r"), F.lit(0)).cast("long")
+    seen = F.col("c1s").isNotNull()
+    num_seen = F.greatest(
+        F.greatest(F.lit(KN_D_DEN) * c12f - F.lit(KN_D_NUM), F.lit(0))
+        * F.col("nbb")
+        + F.lit(KN_D_NUM) * F.col("c1s.n1c") * n1rf,
+        F.lit(1).cast("long"),
+    )
+    den_seen = F.lit(KN_D_DEN) * F.col("c1s.c1") * F.col("nbb")
+    scored = joined.withColumn(
+        "num", F.when(seen, num_seen).otherwise(F.greatest(n1rf, F.lit(1)))
+    ).withColumn(
+        "den", F.when(seen, den_seen).otherwise(F.col("nbb"))
+    ).withColumn(
+        "lp",
+        F.expr(_iln_sql(f"(den * {PREC})", "spark"))
+        - F.expr(_iln_sql(f"(num * {PREC})", "spark")),
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(lp) DIV count(1)").alias("ce_kn_scaled"),
+    )
+    return docs.select("doc_id").join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+            "n_bigrams"
+        ),
+        F.coalesce(F.col("ce_kn_scaled"), F.lit(EMPTY_CE))
+        .cast("long")
+        .alias("ce_kn_scaled"),
     )
 
 
@@ -823,6 +935,72 @@ BIGRAM_ORACLE_SQL = f"""
     SELECT d.doc_id,
            coalesce(p.n_bigrams, 0) AS n_bigrams,
            coalesce(p.ce2_scaled, {EMPTY_CE}) AS ce2_scaled
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+KN_ORACLE_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, string_split({_NORM}, ' ') AS a FROM documents
+    ),
+    bigr AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(a)), i -> a[i])) AS w1,
+               unnest(list_transform(range(1, len(a)),
+                   i -> a[i] || ' ' || a[i + 1])) AS bg
+        FROM tk WHERE len(a) >= 2
+    ),
+    pc AS MATERIALIZED (
+        SELECT w1, bg, CAST(count(*) AS BIGINT) AS c12
+        FROM bigr
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % {LM_MOD} = 0
+        GROUP BY w1, bg
+    ),
+    lm_c1 AS MATERIALIZED (
+        SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1c
+        FROM pc GROUP BY w1
+    ),
+    lm_w2 AS MATERIALIZED (
+        SELECT string_split(bg, ' ')[2] AS w2,
+               CAST(count(*) AS BIGINT) AS n1r
+        FROM pc GROUP BY 1
+    ),
+    nbbt AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nbb FROM pc),
+    nd AS MATERIALIZED (
+        SELECT b.doc_id,
+               CAST(CASE WHEN c.c1 IS NULL
+                    THEN greatest(coalesce(r.n1r, 0), 1)
+                    ELSE greatest(
+                      greatest({KN_D_DEN} * coalesce(g.c12, 0)
+                               - {KN_D_NUM}, 0) * nbbt.nbb
+                      + {KN_D_NUM} * c.n1c * coalesce(r.n1r, 0), 1)
+               END AS BIGINT) AS num,
+               CAST(CASE WHEN c.c1 IS NULL THEN nbbt.nbb
+                    ELSE {KN_D_DEN} * c.c1 * nbbt.nbb
+               END AS BIGINT) AS den
+        FROM bigr b
+        LEFT JOIN pc g ON g.bg = b.bg
+        LEFT JOIN lm_c1 c ON c.w1 = b.w1
+        LEFT JOIN lm_w2 r ON r.w2 = string_split(b.bg, ' ')[2]
+        CROSS JOIN nbbt
+    ),
+    scored AS MATERIALIZED (
+        SELECT doc_id,
+               {_iln_sql(f"(den * {PREC})", "duckdb")}
+               - {_iln_sql(f"(num * {PREC})", "duckdb")} AS lp
+        FROM nd
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(lp) AS BIGINT) // CAST(count(*) AS BIGINT)
+                   AS ce_kn_scaled
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.ce_kn_scaled, {EMPTY_CE}) AS ce_kn_scaled
     FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
 

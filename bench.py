@@ -117,6 +117,7 @@ def main() -> int:
         "search_bm25_topk",
         "quality_perplexity_unigram",
         "quality_perplexity_bigram",
+        "quality_perplexity_kn",
         "text_token_entropy",
         "text_langid_ngram",
         "tokenizer_bpe_pairs",

@@ -1264,6 +1264,105 @@ def test_schedule_waves_politeness_invariants(spark):
     assert set(out["resolved"]) == allowed - seen
 
 
+def test_kn_perplexity_matches_python_bruteforce(spark):
+    """ce_kn_scaled equals an independent Python interpolated-KN
+    implementation using the same integer-ln tables, and KN actually
+    differs from the add-one gate (absolute discounting is not a
+    relabeling)."""
+    import re
+    from collections import Counter, defaultdict
+
+    from ai_ocr_spark.operators.quality_lm import (
+        EMPTY_CE,
+        KN_D_DEN,
+        KN_D_NUM,
+        LM_MOD,
+        quality_perplexity_bigram,
+        quality_perplexity_kn,
+    )
+    from ai_ocr_spark.operators.search import (
+        BM25_LN2,
+        BM25_LN_TABLE,
+        BM25_LNPREC,
+        BM25_PREC,
+    )
+
+    def iln(v: int) -> int:
+        bits = v.bit_length()
+        return (
+            (bits - 1) * BM25_LN2
+            + BM25_LN_TABLE[(v >> max(bits - 9, 0)) - 256]
+            - BM25_LNPREC
+        )
+
+    def toks(t):
+        return [
+            w
+            for w in re.sub(r"\s+", " ", (t or "").lower()).strip().split(" ")
+            if w
+        ]
+
+    import hashlib
+
+    def in_slice(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % LM_MOD == 0
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    c12: Counter = Counter()
+    for _, d in docs.iterrows():
+        if not in_slice(d["doc_id"]):
+            continue
+        a = toks(d["text"])
+        for i in range(len(a) - 1):
+            c12[(a[i], a[i + 1])] += 1
+    c1: Counter = Counter()
+    n1c: Counter = Counter()
+    n1r: Counter = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1c[w1] += 1
+        n1r[w2] += 1
+    nbb = len(c12)
+
+    def lp(w1, w2):
+        if w1 not in c1:
+            num, den = max(n1r.get(w2, 0), 1), nbb
+        else:
+            num = max(
+                max(KN_D_DEN * c12.get((w1, w2), 0) - KN_D_NUM, 0) * nbb
+                + KN_D_NUM * n1c[w1] * n1r.get(w2, 0),
+                1,
+            )
+            den = KN_D_DEN * c1[w1] * nbb
+        return iln(den * BM25_PREC) - iln(num * BM25_PREC)
+
+    out = quality_perplexity_kn(spark, SF).toPandas().set_index("doc_id")
+    for _, d in docs.iterrows():
+        a = toks(d["text"])
+        r = out.loc[d["doc_id"]]
+        if len(a) < 2:
+            assert r["n_bigrams"] == 0 and r["ce_kn_scaled"] == EMPTY_CE
+            continue
+        lps = [lp(a[i], a[i + 1]) for i in range(len(a) - 1)]
+        assert r["n_bigrams"] == len(lps)
+        total = sum(lps)
+        assert r["ce_kn_scaled"] == total // len(lps)
+    # KN is a genuinely different score from add-one, not a relabeling
+    addone = (
+        quality_perplexity_bigram(spark, SF).toPandas().set_index("doc_id")
+    )
+    diff = (
+        out.loc[out["n_bigrams"] > 0, "ce_kn_scaled"]
+        != addone.loc[addone["n_bigrams"] > 0, "ce2_scaled"]
+    )
+    assert diff.any()
+
+
 def test_nfc_normalize_families_fire(spark):
     """Every decomposed fixture family actually composes (changed=True,
     codepoints shrink) and the ASCII control row is a no-op; outputs
