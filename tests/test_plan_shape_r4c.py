@@ -59,6 +59,19 @@ def test_etld1_is_pure_projection(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
 
 
+def test_kn_joins_keep_skew_split_and_no_cartesian(spark):
+    """All three KN join-backs ride the broadcast-head skew split
+    (hot lanes broadcast) and the one-row NBB frame broadcasts — no
+    CartesianProduct despite the crossJoin."""
+    from ai_ocr_spark.operators.quality_lm import quality_perplexity_kn
+
+    plan = formatted_plan(quality_perplexity_kn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # three skew-split head lanes + the NBB broadcast
+    assert plan.count("BroadcastExchange") >= 4, plan
+
+
 def test_nfc_single_python_boundary_no_shuffle(spark):
     """NFC normalization crosses Python exactly once (the sanctioned
     Arrow-batched unicodedata kernel) and never shuffles."""
