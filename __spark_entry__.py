@@ -90,12 +90,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tier 3 — freshly-proven entries (green last round) sit behind the
                truncation line, where ageing is bounded by tier 2's
                fill next round.
-    r4 instantiation: tier 1 = 21 new (docx/bm25/bpe_pairs/bpe_train/
-    bpe_encode/ivf_recall/kmeans/pq/perplexity-unigram+bigram/entropy/
-    classifier_nb/classifier_eval_pr/langid_ngram/fix_mojibake/
-    mix_epochs/metrics_report/session_windows/resume_snapshot/
-    wet_roundtrip/outlinks/anchor_index/robots_gate/compact/
-    crawl_delta/cdx_index/frontier_topk/dsir_select/dsir_eval) + the
+    r4 instantiation: tier 1 = 36 new (docx/bm25/bpe_pairs/bpe_train/
+    bpe_encode/dedup_lsh_recall/ann_pq_recall/ivf_recall/kmeans/pq/
+    perplexity-unigram+bigram+kn/entropy/classifier_nb/
+    classifier_eval_pr/langid_ngram/fix_mojibake/url_domain_etld1/
+    text_nfc_normalize/mix_epochs/metrics_report/session_windows/
+    resume_snapshot/wet_roundtrip/outlinks/anchor_index/robots_gate/
+    compact/crawl_delta/cdx_index/frontier_topk/crawl_schedule_waves/
+    sitemap_discover/dsir_select/dsir_eval) + the
     rewritten mm_* codecs
     (real BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin,
     the docx sniff/label-table changes and the outlink-recorder kernel
