@@ -103,12 +103,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) = 48; tier 2 = 2 of the 38 remaining r2-green entries
-    (only driver rows from round 2) — the binary-container pipeline
-    roundtrips lead them because the outlink recorder touched the
-    kernel path every pipeline query crosses — ending at
-    pipeline_warc_roundtrip = position 50. The r2 entries left
-    outside (pipeline_gzip_roundtrip,
+    pipelines) + the r4d additions (search_rrf_fusion and
+    tokenizer_vocab_coverage new; search_keyword_topk's probe moved
+    below the tf aggregate; tokenizer_bpe_encode refactored through
+    the shared _encoded_word_counts) = 50 — the window is all tier 1
+    this round, ending at pipeline_xlsx_roundtrip = position 50.
+    Tier 2 gets no slots; the binary-container roundtrips
+    (pipeline_pdf_roundtrip, pipeline_warc_roundtrip — displaced by
+    the two new r4d ops, still r2-green + local driver-strength
+    verified) lead tier 3 for r5's rotation, ahead of the other r2
+    entries left outside (pipeline_gzip_roundtrip,
     pipeline_sections, pipeline_table_roundtrip,
     stream_events_daily,
     dedup_exact, dedup_simhash, text_dup_fraction,
@@ -127,8 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_lang_detect, f_json_parse_fallback, agg_first3_events_per_user,
     f_clamp_score, f_doc_type_case, union_head_tail, orders_page2 —
     simple scalar projections/slices/top-k/semi+anti joins plus four
-    relational aggregates, all unchanged since r1/r2) lead tier 3 so
-    r5's rotation picks them first.
+    relational aggregates, all unchanged since r1/r2).
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ================= tier 1: changed or new in r4 =================
@@ -140,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proven in sketch_distinct_hll — length normalization with a
         # bit-exact DuckDB twin, zero extra shuffles (new in r4)
         "search_bm25_topk": SRCH.search_bm25_topk,
+        # reciprocal-rank fusion of the tf-idf and BM25 top-K lists —
+        # integer-scaled RRF, consensus count per doc (new in r4d)
+        "search_rrf_fusion": SRCH.search_rrf_fusion,
         # tokenizer-training corpus primitive: BPE merge-pair counts
         # over the deduplicated vocabulary, corpus read once (new in r4)
         "tokenizer_bpe_pairs": TOK.tokenizer_bpe_pairs,
@@ -152,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Heaps-law sublinear), lengths join back Zipf-skew-split,
         # per-doc token counts + chars/token compression (new in r4)
         "tokenizer_bpe_encode": TOK.tokenizer_bpe_encode,
+        # per-language fertility/compression/fragmentation report under
+        # the trained tokenizer — the multilingual merge-budget
+        # acceptance gate (new in r4d)
+        "tokenizer_vocab_coverage": TOK.tokenizer_vocab_coverage,
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
@@ -647,9 +657,11 @@ def oracle_sql() -> dict[str, str]:
         "text_chunk_windows": ORC.text_chunk_windows(),
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "search_bm25_topk": SRCH.BM25_ORACLE_SQL,
+        "search_rrf_fusion": SRCH.RRF_ORACLE_SQL,
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,
         "tokenizer_bpe_encode": TOK.BPE_ENCODE_ORACLE_SQL,
+        "tokenizer_vocab_coverage": TOK.BPE_COVERAGE_ORACLE_SQL,
         "ann_ivf_recall": ORC.ann_ivf_recall(),
         "embedding_kmeans": SIM.KMEANS_ORACLE_SQL,
         "ann_pq_topk": SIM.PQ_ORACLE_SQL,

@@ -4,12 +4,22 @@ The missing primitive next to dedup/ANN in a training-data engine:
 given a handful of keyword queries, return the top-K documents per
 query ranked by a tf-idf-family score. The classic distributed shape:
 
-  scan -> explode tokens -> tf per (doc, token)      [one shuffle,
-                                                      map-side combine]
-  df per query term        [tiny: the posting lists of the query terms
-                            only — the full vocabulary is never built]
-  broadcast(query terms) JOIN tf                     [shuffle-free probe]
+  scan -> explode tokens -> broadcast(query terms)   [shuffle-free probe
+                            SEMI-PROBE                BEFORE any agg]
+  tf per (doc, query term)                           [one shuffle that
+                                                      carries ONLY the
+                                                      query terms'
+                                                      postings — the
+                                                      full vocabulary
+                                                      never shuffles]
+  df per query term        [tiny groupBy over the same filtered tf]
   groupBy (query, doc) sum  -> top-K per query       [one small shuffle]
+
+The probe sits BELOW the tf aggregate on purpose: Catalyst will not
+push a join through a groupBy, so writing the join first is what keeps
+the shuffle proportional to |postings(query terms)| instead of
+|corpus tokens| — at 10^12 docs that is the difference between
+shuffling gigabytes and shuffling the corpus.
 
 search_keyword_topk scores tf * idf_int with idf_int = (SCALE * N)
 DIV df — integer arithmetic end to end, so the DuckDB twin matches
@@ -24,11 +34,16 @@ arithmetic make every intermediate a deterministic BIGINT, so the
 score is bit-identical in Spark and DuckDB while tracking real BM25
 to ~2^-8 relative precision — far inside what faithful ranking needs.
 
-At 10^12 docs the candidate set for a stop-word-ish term floods one
-reducer per query; production engines answer that with impact-ordered
-postings + WAND pruning. Here the per-query partition is bounded by
-the synthetic vocabulary; the skew-split pattern to graduate to is the
-broadcast-head used in text_unigram_rarity.
+Stop-word flood, both stages: (1) the tf shuffle only ever carries
+query-term postings (probe-below-aggregate, pinned in
+tests/test_plan_shape_r4d.py), so a stop-word query costs its posting
+list, not the corpus; (2) the per-query top-K compiles to Spark's
+WindowGroupLimit (also pinned) — each map task forwards at most K rows
+per query into the final per-query sort, so no single reducer ever
+sees a stop-word term's full candidate set. What production engines
+still add beyond this is impact-ordered postings + WAND so the posting
+list itself is not fully scored; at that point the index is a
+materialized table, not a per-query derivation.
 
 Reference parity: the reference ranks candidate doc types by keyword
 hit scores (src/processor/app/classifiers/document_classifier.py
@@ -55,21 +70,25 @@ SEARCH_QUERIES: dict[str, list[str]] = {
 
 def search_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tok = (
-        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
-        .filter(F.col("token") != "")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-
     qrows = [(q, t) for q, ts in SEARCH_QUERIES.items() for t in ts]
     qterms = spark.createDataFrame(qrows, "query_id string, token string")
     terms = qterms.select("token").distinct()
 
+    # Broadcast-probe the exploded tokens against the query terms
+    # BEFORE the tf aggregate: the (doc, token) shuffle then carries
+    # only the query terms' postings, never the full vocabulary.
+    # Catalyst cannot push a join below a groupBy on its own, so the
+    # order here IS the plan. (Filtering before the aggregate is
+    # exact: tf per (doc, term) is unchanged by dropping other terms.)
+    tok = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .join(F.broadcast(terms), "token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+
     # df over the query terms' posting lists only (tf is unique per
     # (doc, token), so count(*) == docs containing the term)
-    dfreq = tf.join(F.broadcast(terms), "token").groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     weights = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "token",
@@ -215,20 +234,23 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl0").cast("long").alias("t_tokens"),
     )
+    qrows = [(q, t) for q, ts in SEARCH_QUERIES.items() for t in ts]
+    qterms = spark.createDataFrame(qrows, "query_id string, token string")
+    terms = qterms.select("token").distinct()
+
+    # Same pre-aggregate broadcast probe as search_keyword_topk: only
+    # query-term postings reach the tf shuffle. dl = size(toks) is
+    # computed per row BEFORE the probe, so length normalization still
+    # sees the full document length.
     tf = (
         docs.select(
             "doc_id", F.explode(toks).alias("token"), F.size(toks).alias("dl")
         )
+        .join(F.broadcast(terms), "token")
         .groupBy("doc_id", "token", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-
-    qrows = [(q, t) for q, ts in SEARCH_QUERIES.items() for t in ts]
-    qterms = spark.createDataFrame(qrows, "query_id string, token string")
-    terms = qterms.select("token").distinct()
-    dfreq = tf.join(F.broadcast(terms), "token").groupBy("token").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "token",
         F.expr(
@@ -316,4 +338,83 @@ BM25_ORACLE_SQL = f"""
     )
     SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score
     FROM ranked WHERE rnk <= {SEARCH_TOP_K}
+"""
+
+
+# --- Reciprocal-rank fusion of the two lexical rankers ------------------------
+
+RRF_K = 60  # standard fusion constant (Cormack et al., SIGIR'09)
+RRF_SCALE = 1_000_000  # fixed-point scale: contributions are BIGINTs
+
+
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion over the tf-idf and BM25 top-K lists —
+    the standard way a retrieval stack combines rankers that disagree
+    (here: length-normalized vs raw term weighting; at 100 TB the same
+    op fuses a lexical list with an ANN list).
+
+    Contribution of a rank is RRF_SCALE DIV (RRF_K + rnk): integer
+    division on BIGINTs, so the fused score is bit-identical in DuckDB.
+    Plan shape: both ranker subplans are already scale-pinned
+    (probe-below-aggregate + WindowGroupLimit); the fusion itself runs
+    over at most 2*K rows per query — a union of two top-K lists, one
+    tiny aggregate, one WindowGroupLimit window. n_rankers counts how
+    many lists surfaced the doc (2 = consensus), so downstream mixture
+    policies can weight agreement.
+
+    Reference parity: the reference picks its document type by the
+    SINGLE best keyword score
+    (src/processor/app/classifiers/document_classifier.py classify
+    argmax); fusing multiple scorers of the same candidates is that
+    decision generalized to ranked retrieval.
+    """
+    kw = search_keyword_topk(spark, sf_dir)
+    bm = search_bm25_topk(spark, sf_dir)
+    u = kw.select("query_id", "doc_id", "rnk").unionByName(
+        bm.select("query_id", "doc_id", "rnk")
+    )
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.expr(f"CAST(sum({RRF_SCALE} DIV ({RRF_K} + rnk)) AS BIGINT)").alias(
+            "rrf"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_rankers"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= SEARCH_TOP_K)
+        .select(
+            "query_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            "rrf",
+            "n_rankers",
+        )
+    )
+
+
+RRF_ORACLE_SQL = f"""
+    WITH kw AS (SELECT * FROM ({SEARCH_ORACLE_SQL})),
+    bm AS (SELECT * FROM ({BM25_ORACLE_SQL})),
+    u AS (
+        SELECT query_id, doc_id, rnk FROM kw
+        UNION ALL
+        SELECT query_id, doc_id, rnk FROM bm
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               CAST(sum({RRF_SCALE} // ({RRF_K} + rnk)) AS BIGINT) AS rrf,
+               CAST(count(*) AS BIGINT) AS n_rankers
+        FROM u GROUP BY query_id, doc_id
+    ),
+    r AS (
+        SELECT query_id, doc_id, rrf, n_rankers,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id ASC) AS rnk
+        FROM fused
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf, n_rankers
+    FROM r WHERE rnk <= {SEARCH_TOP_K}
 """

@@ -319,6 +319,45 @@ BPE_TRAIN_ORACLE_SQL = _bpe_train_oracle_sql()
 ENC_HEAD_K = 256
 
 
+def _encoded_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared encode machinery: (doc_id, lang, w, c, ntok) — per-doc
+    word counts with each DISTINCT word's token length under the
+    trained merges folded once (Heaps-law sublinear), joined back
+    through the Zipf-skew split (hot ENC_HEAD_K words broadcast, cold
+    tail shuffles). Both tokenizer_bpe_encode (per-doc budgets) and
+    tokenizer_vocab_coverage (per-lang fertility) aggregate this frame;
+    lang rides the explode for free (functionally dependent on
+    doc_id, so adding it to the groupBy key changes nothing)."""
+    merges = _train_merges(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    dw = tok.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
+
+    vocab = dw.groupBy("w").agg(F.sum("c").alias("n"))
+    sym = F.split(F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " ")
+    for _, left, right, _ in merges:
+        sym = _fold_merge(sym, left, right)
+    enc = vocab.select(
+        "w", "n", F.size(sym).cast("long").alias("ntok")
+    ).persist()
+
+    # Zipf-skew split (the _skew_left_join shape, head keyed by corpus
+    # frequency): hot words broadcast, cold tail shuffles.
+    head = enc.orderBy(F.col("n").desc(), "w").limit(ENC_HEAD_K).select(
+        "w", "ntok"
+    )
+    with_head = dw.join(F.broadcast(head), "w", "left")
+    hot = with_head.filter(F.col("ntok").isNotNull())
+    cold = (
+        with_head.filter(F.col("ntok").isNull())
+        .drop("ntok")
+        .join(enc.select("w", "ntok"), "w", "left")
+    )
+    return hot.unionByName(cold)
+
+
 def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the BPE_ROUNDS-trained merge table to the corpus — the
     missing half of the tokenizer story (train -> ENCODE): per document,
@@ -355,35 +394,7 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no tokenizer stage (hosted-API LLM calls,
     langchain_extractor.py); stated on the engine's own terms.
     """
-    merges = _train_merges(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tok = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
-    ).filter(F.col("w") != "")
-    dw = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
-
-    vocab = dw.groupBy("w").agg(F.sum("c").alias("n"))
-    sym = F.split(F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), " ")
-    for _, left, right, _ in merges:
-        sym = _fold_merge(sym, left, right)
-    enc = vocab.select(
-        "w", "n", F.size(sym).cast("long").alias("ntok")
-    ).persist()
-
-    # Zipf-skew split (the _skew_left_join shape, head keyed by corpus
-    # frequency): hot words broadcast, cold tail shuffles.
-    head = enc.orderBy(F.col("n").desc(), "w").limit(ENC_HEAD_K).select(
-        "w", "ntok"
-    )
-    with_head = dw.join(F.broadcast(head), "w", "left")
-    hot = with_head.filter(F.col("ntok").isNotNull())
-    cold = (
-        with_head.filter(F.col("ntok").isNull())
-        .drop("ntok")
-        .join(enc.select("w", "ntok"), "w", "left")
-    )
-    joined = hot.unionByName(cold)
-
+    joined = _encoded_word_counts(spark, sf_dir)
     out = (
         joined.groupBy("doc_id")
         .agg(
@@ -400,7 +411,7 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_encode_oracle_sql() -> str:
+def _bpe_encode_oracle_sql(final: str | None = None, with_lang: bool = False) -> str:
     """Independent DuckDB twin: re-trains the BPE_ROUNDS merges from the
     corpus (its own argmax CTEs — Spark's collected winners never leak
     in), replays them over the DISTINCT-word table with replace-first
@@ -410,17 +421,18 @@ def _bpe_encode_oracle_sql() -> str:
     v0 here includes 1-char words (they must encode to one token) while
     the train twin's v0 excludes them; the argmax CTEs are unaffected
     because a 1-symbol word contributes no adjacent pairs."""
+    lang_col = " lang," if with_lang else ""
     parts = [
         """
     WITH RECURSIVE tok AS MATERIALIZED (
-        SELECT doc_id,
+        SELECT doc_id,{LANG_COL}
                unnest(string_split(trim(regexp_replace(
                    lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS w
         FROM documents
     ),
     dw AS MATERIALIZED (
-        SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
-        FROM tok WHERE w <> '' GROUP BY doc_id, w
+        SELECT doc_id,{LANG_COL} w, CAST(count(*) AS BIGINT) AS c
+        FROM tok WHERE w <> '' GROUP BY doc_id,{LANG_COL} w
     ),
     v0 AS MATERIALIZED (
         SELECT w,
@@ -429,7 +441,7 @@ def _bpe_encode_oracle_sql() -> str:
                CAST(sum(c) AS BIGINT) AS n
         FROM dw
         GROUP BY w
-    )"""
+    )""".replace("{LANG_COL}", lang_col)
     ]
     for k in range(1, BPE_ROUNDS + 1):
         prev, pk, tk, rwk, vk = (
@@ -475,8 +487,7 @@ def _bpe_encode_oracle_sql() -> str:
         WHERE strpos(pws, (SELECT ' ' || pair || ' ' FROM {tk})) = 0
     )"""
         )
-    parts.append(
-        f""",
+    default_final = f""",
     enc AS MATERIALIZED (
         SELECT w,
                CAST(length(string_split(trim(pws), ' ')) AS BIGINT) AS ntok
@@ -494,8 +505,86 @@ def _bpe_encode_oracle_sql() -> str:
            (n_chars * 10000) // n_tokens AS chars_per_token_e4
     FROM perdoc
     ORDER BY doc_id"""
-    )
+    parts.append(final if final is not None else default_final)
     return "".join(parts)
 
 
 BPE_ENCODE_ORACLE_SQL = _bpe_encode_oracle_sql()
+
+
+# --- per-language tokenizer fertility / coverage ------------------------------
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language report of how the trained tokenizer treats the
+    corpus — the acceptance gate tokenizer training actually ships
+    with: fertility (tokens per word), compression (chars per token)
+    and the share of word occurrences still fragmented into >=2 tokens
+    after the learned merges. Multilingual pipelines read this table to
+    decide whether the merge budget under-serves a language (high
+    fertility = that language pays more sequence length per word —
+    the classic under-tokenization signal for non-Latin scripts).
+
+    Same distributed shape as tokenizer_bpe_encode (the shared
+    _encoded_word_counts: one corpus shuffle, vocabulary-sized fold,
+    Zipf-skew join-back) with the rollup keyed by lang instead of
+    doc_id — |langs| output rows, all integer fixed-point (e4 via DIV),
+    so the DuckDB twin re-trains + replays independently and matches
+    bit-for-bit.
+
+    The reference has no tokenizer stage (hosted-API LLM calls,
+    langchain_extractor.py); stated on the engine's own terms.
+    """
+    joined = _encoded_word_counts(spark, sf_dir)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("ntok")).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("ntok") >= 2, F.col("c")).otherwise(F.lit(0))
+            ).cast("long").alias("frag_words"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("(n_chars * 10000L) DIV n_tokens").alias(
+                "chars_per_token_e4"
+            ),
+            F.expr("(n_tokens * 10000L) DIV n_words").alias("fertility_e4"),
+            F.expr("(frag_words * 10000L) DIV n_words").alias(
+                "frag_share_e4"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+BPE_COVERAGE_ORACLE_SQL = _bpe_encode_oracle_sql(
+    with_lang=True,
+    final=f""",
+    enc AS MATERIALIZED (
+        SELECT w,
+               CAST(length(string_split(trim(pws), ' ')) AS BIGINT) AS ntok
+        FROM v{BPE_ROUNDS}
+    ),
+    cov AS MATERIALIZED (
+        SELECT dw.lang,
+               CAST(sum(dw.c) AS BIGINT) AS n_words,
+               CAST(sum(dw.c * length(dw.w)) AS BIGINT) AS n_chars,
+               CAST(sum(dw.c * enc.ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN enc.ntok >= 2 THEN dw.c ELSE 0 END)
+                    AS BIGINT) AS frag_words
+        FROM dw JOIN enc ON dw.w = enc.w
+        GROUP BY dw.lang
+    )
+    SELECT lang, n_words, n_chars, n_tokens,
+           (n_chars * 10000) // n_tokens AS chars_per_token_e4,
+           (n_tokens * 10000) // n_words AS fertility_e4,
+           (frag_words * 10000) // n_words AS frag_share_e4
+    FROM cov
+    ORDER BY lang""",
+)

@@ -142,6 +142,9 @@ def main() -> int:
         "crawl_schedule_waves",
         "sitemap_discover",
         "url_domain_etld1",
+        # r4d: rank fusion over the two lexical rankers (runs both
+        # subplans inside the timed section — prices the full fusion)
+        "search_rrf_fusion",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

@@ -336,3 +336,52 @@ def test_cms_never_underestimates(spark):
     assert (out["overestimate"] == out["cms_estimate"] - out["exact_count"]).all()
     heaviest = out.sort_values("exact_count", ascending=False).iloc[0]
     assert heaviest["cms_estimate"] <= heaviest["exact_count"] * 1.5
+
+
+def test_search_rrf_fusion_matches_python_replay(spark):
+    """Fused ranking matches a pure-Python RRF replay over the two
+    rankers' outputs, and consensus actually matters: some doc with
+    n_rankers=2 outranks a doc that only one ranker surfaced."""
+    from ai_ocr_spark.operators.search import (
+        RRF_K,
+        RRF_SCALE,
+        SEARCH_QUERIES,
+        SEARCH_TOP_K,
+        search_bm25_topk,
+        search_keyword_topk,
+        search_rrf_fusion,
+    )
+
+    kw = search_keyword_topk(spark, SF).toPandas()
+    bm = search_bm25_topk(spark, SF).toPandas()
+    out = search_rrf_fusion(spark, SF).toPandas()
+
+    for qid in SEARCH_QUERIES:
+        scores: dict[int, int] = {}
+        srcs: dict[int, int] = {}
+        for frame in (kw, bm):
+            for _, r in frame[frame.query_id == qid].iterrows():
+                d = r["doc_id"]
+                scores[d] = scores.get(d, 0) + RRF_SCALE // (RRF_K + r["rnk"])
+                srcs[d] = srcs.get(d, 0) + 1
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :SEARCH_TOP_K
+        ]
+        got = out[out.query_id == qid].sort_values("rnk")
+        assert list(got["doc_id"]) == [d for d, _ in expect], qid
+        assert list(got["rrf"]) == [s for _, s in expect], qid
+        assert list(got["n_rankers"]) == [srcs[d] for d, _ in expect], qid
+
+    assert (out["n_rankers"] == 2).any()
+    # consensus beats solo somewhere: a 2-ranker doc ranked above a
+    # 1-ranker doc within the same query
+    beats = False
+    for qid, g in out.groupby("query_id"):
+        duo = g[g["n_rankers"] == 2]["rnk"]
+        solo = g[g["n_rankers"] == 1]["rnk"]
+        if len(duo) and len(solo) and duo.min() < solo.max():
+            beats = True
+    if not beats:
+        # acceptable alternative: both rankers agree on everything in
+        # the top-K, in which case every row is consensus
+        assert (out["n_rankers"] == 2).all()

@@ -1504,3 +1504,30 @@ def test_dsir_eval_report_accounting_is_consistent(spark):
         // sel["is_target"].sum()
     )
     assert e == expect
+
+
+def test_tokenizer_vocab_coverage_consistent_with_encode(spark):
+    """The per-lang coverage rollup must re-partition exactly the same
+    corpus mass the per-doc encode reports: grand totals equal, every
+    fixed-point ratio recomputable from its own integer numerators, and
+    fragmentation genuinely present (the 4-round merge table cannot
+    absorb the whole vocabulary)."""
+    from ai_ocr_spark.operators.tokenizer import (
+        tokenizer_bpe_encode,
+        tokenizer_vocab_coverage,
+    )
+
+    cov = tokenizer_vocab_coverage(spark, SF).toPandas()
+    enc = tokenizer_bpe_encode(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+    assert sorted(cov["lang"]) == sorted(docs["lang"].unique())
+    for col in ("n_words", "n_chars", "n_tokens"):
+        assert cov[col].sum() == enc[col].sum(), col
+    for _, r in cov.iterrows():
+        assert r["chars_per_token_e4"] == (r["n_chars"] * 10000) // r["n_tokens"]
+        assert r["fertility_e4"] == (r["n_tokens"] * 10000) // r["n_words"]
+        assert 0 <= r["frag_share_e4"] <= 10000
+        # fertility >= 1 token per word, and some words stay fragmented
+        assert r["fertility_e4"] >= 10000
+        assert r["frag_share_e4"] > 0
