@@ -103,16 +103,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the docx sniff/label-table changes and the outlink-recorder kernel
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) + the r4d additions (search_rrf_fusion and
-    tokenizer_vocab_coverage new; search_keyword_topk's probe moved
-    below the tf aggregate; tokenizer_bpe_encode refactored through
-    the shared _encoded_word_counts) = 50 — the window is all tier 1
-    this round, ending at pipeline_xlsx_roundtrip = position 50.
-    Tier 2 gets no slots; the binary-container roundtrips
-    (pipeline_pdf_roundtrip, pipeline_warc_roundtrip — displaced by
-    the two new r4d ops, still r2-green + local driver-strength
-    verified) lead tier 3 for r5's rotation, ahead of the other r2
-    entries left outside (pipeline_gzip_roundtrip,
+    pipelines) + the r4d additions (search_rrf_fusion,
+    search_index_refresh and tokenizer_vocab_coverage new;
+    search_keyword_topk's probe moved below the tf aggregate;
+    tokenizer_bpe_encode refactored through the shared
+    _encoded_word_counts) = 51 changed-or-new entries for 50 slots —
+    the window is all tier 1 this round, ending at
+    pipeline_xlsx_roundtrip = position 50. The one tier-1 overflow is
+    dedup_embedding_keep_canonical (position 51): its own SemDeDup
+    logic is unchanged in r4, its r4 delta (the shared
+    pointer-doubling labels helper) is exercised in-window by
+    dedup_connected_components + dedup_minhash_keep_canonical, and
+    its r3 driver row is green. Tier 2 gets no slots; the
+    binary-container roundtrips (pipeline_pdf_roundtrip,
+    pipeline_warc_roundtrip — displaced by the r4d ops, still
+    r2-green + local driver-strength verified) lead tier 3 for r5's
+    rotation, ahead of the other r2 entries left outside
+    (pipeline_gzip_roundtrip,
     pipeline_sections, pipeline_table_roundtrip,
     stream_events_daily,
     dedup_exact, dedup_simhash, text_dup_fraction,
@@ -146,6 +153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reciprocal-rank fusion of the tf-idf and BM25 top-K lists —
         # integer-scaled RRF, consensus count per doc (new in r4d)
         "search_rrf_fusion": SRCH.search_rrf_fusion,
+        # incremental inverted-index refresh: persisted base postings +
+        # increment-only scan, merged df/N, top-K under the refreshed
+        # idf == batch rebuild (the twin IS the rebuild) (new in r4d)
+        "search_index_refresh": SRCH.search_index_refresh,
         # tokenizer-training corpus primitive: BPE merge-pair counts
         # over the deduplicated vocabulary, corpus read once (new in r4)
         "tokenizer_bpe_pairs": TOK.tokenizer_bpe_pairs,
@@ -297,9 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": D.dedup_lsh_recall,
         # Pregel co-partition pin changed the iteration body (r4)
         "pagerank_link_graph": G.pagerank_link_graph,
-        # compositions that execute the changed components path
+        # composition that executes the changed components path
         "dedup_minhash_keep_canonical": CU.dedup_minhash_keep_canonical,
-        "dedup_embedding_keep_canonical": CU.dedup_embedding_keep_canonical,
         # search.py gained shared BM25 helpers this round
         "search_keyword_topk": SRCH.search_keyword_topk,
         # kernels/fields.py label table gained docx rows (r4)
@@ -309,11 +319,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rewrote
         "pipeline_main_text": _pipeline_main_text,
         "pipeline_xlsx_roundtrip": RX.pipeline_xlsx_roundtrip,
-        # =========== tier 2: stalest green (driver row = r2) ===========
+        # -- the driver's 50-entry truncation line falls HERE --
+        # ========= tier 1 overflow (r3-green, indirectly covered) =======
+        # the SemDeDup composition's own logic is unchanged in r4; its
+        # r4 delta (the shared pointer-doubling labels helper) is
+        # exercised in-window by dedup_connected_components +
+        # dedup_minhash_keep_canonical, and its r3 driver row is green
+        "dedup_embedding_keep_canonical": CU.dedup_embedding_keep_canonical,
+        # =========== tier 3: stalest green (driver row = r2) ===========
         # binary-container pipelines first (highest-complexity paths)
         "pipeline_pdf_roundtrip": RP.pipeline_pdf_roundtrip,
         "pipeline_warc_roundtrip": RT.pipeline_warc_roundtrip,
-        # -- the driver's 50-entry truncation line falls HERE --
         # (the eight tier-1 inserts this session — bpe_encode,
         # lsh_recall, etld1, pq_recall, schedule_waves, sitemap,
         # nfc, perplexity_kn — pushed gzip/sections/table_roundtrip/
@@ -658,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "search_bm25_topk": SRCH.BM25_ORACLE_SQL,
         "search_rrf_fusion": SRCH.RRF_ORACLE_SQL,
+        "search_index_refresh": SRCH.IDX_REFRESH_ORACLE_SQL,
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,
         "tokenizer_bpe_encode": TOK.BPE_ENCODE_ORACLE_SQL,

@@ -418,3 +418,156 @@ RRF_ORACLE_SQL = f"""
     SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf, n_rankers
     FROM r WHERE rnk <= {SEARCH_TOP_K}
 """
+
+
+# --- incremental inverted-index refresh (the crawl-refresh shape) -------------
+
+# hash15(doc_id) % IDX_INCR_MOD == 0 -> the new-crawl increment (~20%),
+# content-independent and engine-identical (same carve rule family as
+# dedup_incremental_lsh / the quality_lm train slice).
+IDX_INCR_MOD = 5
+
+
+def search_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-crawl index refresh, retrieval-side — the search twin of
+    dedup_incremental_lsh: merge a NEW increment into an already-built
+    postings index and serve the updated top-K, WITHOUT rescanning the
+    indexed corpus text.
+
+    Shape:
+      index build   base postings tf(doc, term) — one scan of the base
+                    corpus, probe-below-aggregate, persisted (at 10^12
+                    docs this is the stored postings table; here the
+                    persist() stands in for it and the plan shows the
+                    base text scanned exactly once)
+      refresh job   the increment is the ONLY corpus text read:
+                    tf_inc from scan(is_new) -> probe -> agg
+      stats merge   df_new = full-outer SUM of df_base + df_inc;
+                    N_new = N_base + N_inc — pure index-metadata
+                    arithmetic, token-keyed on posting-list-count-sized
+                    frames, never corpus-sized
+      serve         (tf_base UNION tf_inc) scored under the MERGED idf,
+                    per-query WindowGroupLimit top-K, is_new flag per
+                    hit so the caller sees increment docs entering the
+                    ranking
+
+    Correctness claim (the one worth checking): the incremental merge
+    equals a from-scratch batch recompute over base+increment — the
+    DuckDB twin IS that batch recompute, so the value hash pins
+    increment-merge == full-rebuild, cross-engine.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qrows = [(q, t) for q, ts in SEARCH_QUERIES.items() for t in ts]
+    qterms = spark.createDataFrame(qrows, "query_id string, token string")
+    terms = qterms.select("token").distinct()
+    is_new = TX.hash15(F.col("doc_id").cast("string")) % IDX_INCR_MOD == 0
+
+    def postings(part: DataFrame) -> DataFrame:
+        tok = part.select(
+            "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+        ).join(F.broadcast(terms), "token")
+        return tok.groupBy("doc_id", "token").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+
+    # the stored index: base postings + base df + base N
+    tf_base = postings(docs.filter(~is_new)).persist()
+    df_base = tf_base.groupBy("token").agg(F.count(F.lit(1)).alias("df_b"))
+    n_base = docs.filter(~is_new).select(
+        F.count(F.lit(1)).alias("n_b")
+    )
+
+    # the refresh job: increment text is the only corpus read
+    tf_inc = postings(docs.filter(is_new)).persist()
+    df_inc = tf_inc.groupBy("token").agg(F.count(F.lit(1)).alias("df_i"))
+    n_inc = docs.filter(is_new).select(F.count(F.lit(1)).alias("n_i"))
+
+    df_new = (
+        df_base.join(df_inc, "token", "full")
+        .select(
+            "token",
+            (
+                F.coalesce(F.col("df_b"), F.lit(0))
+                + F.coalesce(F.col("df_i"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    n_new = n_base.crossJoin(F.broadcast(n_inc)).select(
+        (F.col("n_b") + F.col("n_i")).alias("n_docs")
+    )
+    weights = df_new.crossJoin(F.broadcast(n_new)).select(
+        "token",
+        F.expr(f"CAST(({IDF_SCALE} * n_docs) DIV df AS BIGINT)").alias("w"),
+    )
+
+    tf_all = tf_base.withColumn("is_new", F.lit(False)).unionByName(
+        tf_inc.withColumn("is_new", F.lit(True))
+    )
+    scored = (
+        tf_all.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(weights), "token")
+        .groupBy("query_id", "doc_id", "is_new")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= SEARCH_TOP_K)
+        .select(
+            "query_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "doc_id",
+            F.col("score").cast("long").alias("score"),
+            "is_new",
+        )
+    )
+
+
+_IS_NEW_SQL = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {IDX_INCR_MOD} = 0)"
+)
+
+# the batch recompute: same ranking math as SEARCH_ORACLE_SQL over the
+# FULL corpus, plus the is_new carve flag — if the engine's incremental
+# merge drifts from a from-scratch rebuild in any way, the value hash
+# breaks.
+IDX_REFRESH_ORACLE_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok2 GROUP BY doc_id, token),
+    q(query_id, token) AS (VALUES {_values_clause()}),
+    dfreq AS (
+        SELECT token, count(*) AS df FROM tf
+        WHERE token IN (SELECT DISTINCT token FROM q)
+        GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum(tf.tf * (({IDF_SCALE} * n.n_docs) // dfreq.df))
+                    AS BIGINT) AS score
+        FROM q
+        JOIN tf USING (token)
+        JOIN dfreq USING (token)
+        CROSS JOIN n
+        GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score,
+           {_IS_NEW_SQL} AS is_new
+    FROM ranked WHERE rnk <= {SEARCH_TOP_K}
+"""

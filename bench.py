@@ -143,8 +143,11 @@ def main() -> int:
         "sitemap_discover",
         "url_domain_etld1",
         # r4d: rank fusion over the two lexical rankers (runs both
-        # subplans inside the timed section — prices the full fusion)
+        # subplans inside the timed section — prices the full fusion),
+        # and the incremental index refresh (base build + increment
+        # probe + merged-stat serve all inside the timed section)
         "search_rrf_fusion",
+        "search_index_refresh",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

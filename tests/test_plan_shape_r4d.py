@@ -76,3 +76,17 @@ def test_search_topk_uses_window_group_limit(spark):
     for fn in (search_keyword_topk, search_bm25_topk):
         plan = formatted_plan(fn(spark, SF))
         assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_index_refresh_probe_below_aggregate_and_group_limit(spark):
+    """Both the base-index build and the increment scan must term-probe
+    before their tf aggregates, and the serve-side top-K must be a
+    WindowGroupLimit — same invariants as the batch rankers."""
+    from ai_ocr_spark.operators.search import search_index_refresh
+
+    df = search_index_refresh(spark, SF)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert _join_below_every_aggregate_above_generate(lp), lp
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

@@ -385,3 +385,38 @@ def test_search_rrf_fusion_matches_python_replay(spark):
         # acceptable alternative: both rankers agree on everything in
         # the top-K, in which case every row is consensus
         assert (out["n_rankers"] == 2).all()
+
+
+def test_search_index_refresh_equals_batch_and_flags_increment(spark):
+    """The incremental merge must reproduce the batch ranking EXACTLY
+    (same idf math over merged stats == from-scratch recompute — this
+    is the property that makes an index refresh trustworthy), with the
+    is_new carve flag correct per doc, and the increment genuinely
+    represented in the corpus."""
+    import hashlib
+
+    from ai_ocr_spark.operators.search import (
+        IDX_INCR_MOD,
+        search_index_refresh,
+        search_keyword_topk,
+    )
+
+    ref = search_index_refresh(spark, SF).toPandas()
+    batch = search_keyword_topk(spark, SF).toPandas()
+
+    a = ref[["query_id", "rnk", "doc_id", "score"]].sort_values(
+        ["query_id", "rnk"]
+    ).reset_index(drop=True)
+    b = batch.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    def is_new(doc_id) -> bool:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h % IDX_INCR_MOD == 0
+
+    for _, r in ref.iterrows():
+        assert bool(r["is_new"]) == is_new(r["doc_id"]), r["doc_id"]
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    n_new = sum(is_new(d) for d in docs["doc_id"])
+    assert 0 < n_new < len(docs)
