@@ -104,17 +104,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     change touched (connected_components, minhash_lsh, pagerank,
     keep_canonical pair, search_keyword, invoice/main_text/xlsx
     pipelines) + the r4d additions (search_rrf_fusion,
-    search_index_refresh and tokenizer_vocab_coverage new;
-    search_keyword_topk's probe moved below the tf aggregate;
-    tokenizer_bpe_encode refactored through the shared
-    _encoded_word_counts) = 51 changed-or-new entries for 50 slots —
-    the window is all tier 1 this round, ending at
-    pipeline_xlsx_roundtrip = position 50. The one tier-1 overflow is
-    dedup_embedding_keep_canonical (position 51): its own SemDeDup
-    logic is unchanged in r4, its r4 delta (the shared
-    pointer-doubling labels helper) is exercised in-window by
-    dedup_connected_components + dedup_minhash_keep_canonical, and
-    its r3 driver row is green. Tier 2 gets no slots; the
+    search_index_refresh, tokenizer_vocab_coverage and
+    sketch_quantiles_logbin new; search_keyword_topk's probe moved
+    below the tf aggregate; tokenizer_bpe_encode refactored through
+    the shared _encoded_word_counts) = 52 changed-or-new entries for
+    50 slots — the window is all tier 1 this round, ending at
+    pipeline_xlsx_roundtrip = position 50. The two tier-1 overflows
+    (positions 51-52) are r3-green entries whose r4 deltas are
+    directly tested by in-window queries:
+    dedup_embedding_keep_canonical (its own SemDeDup logic unchanged;
+    the shared pointer-doubling labels helper is exercised by
+    dedup_connected_components + dedup_minhash_keep_canonical) and
+    pipeline_invoice_roundtrip (the fields.py label-table delta is
+    the docx rows, tested by pipeline_docx_roundtrip; the
+    invoice-specific spans are unchanged). Tier 2 gets no slots; the
     binary-container roundtrips (pipeline_pdf_roundtrip,
     pipeline_warc_roundtrip — displaced by the r4d ops, still
     r2-green + local driver-strength verified) lead tier 3 for r5's
@@ -173,6 +176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the trained tokenizer — the multilingual merge-budget
         # acceptance gate (new in r4d)
         "tokenizer_vocab_coverage": TOK.tokenizer_vocab_coverage,
+        # mergeable log-binned quantile sketch — the constant-state
+        # percentile path next to the exact agg_length_percentiles;
+        # bit-exact integer binning both engines (new in r4d)
+        "sketch_quantiles_logbin": SK.sketch_quantiles_logbin,
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
@@ -312,8 +319,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_keep_canonical": CU.dedup_minhash_keep_canonical,
         # search.py gained shared BM25 helpers this round
         "search_keyword_topk": SRCH.search_keyword_topk,
-        # kernels/fields.py label table gained docx rows (r4)
-        "pipeline_invoice_roundtrip": RF.pipeline_invoice_roundtrip,
         # kernels/html.py sniff_kind gained the docx zip branch (r4):
         # the dispatch every page crosses, plus the xlsx zip path it
         # rewrote
@@ -326,6 +331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exercised in-window by dedup_connected_components +
         # dedup_minhash_keep_canonical, and its r3 driver row is green
         "dedup_embedding_keep_canonical": CU.dedup_embedding_keep_canonical,
+        # r3-green; its r4 delta (kernels/fields.py label table gained
+        # docx rows) is directly tested in-window by
+        # pipeline_docx_roundtrip — the invoice-specific spans are
+        # unchanged since its green r3 row
+        "pipeline_invoice_roundtrip": RF.pipeline_invoice_roundtrip,
         # =========== tier 3: stalest green (driver row = r2) ===========
         # binary-container pipelines first (highest-complexity paths)
         "pipeline_pdf_roundtrip": RP.pipeline_pdf_roundtrip,
@@ -664,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_distinct_kmv": SK.KMV_ORACLE_SQL,
         "sample_hash_stable": SK.SAMPLE_ORACLE_SQL,
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
+        "sketch_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,
         "sketch_distinct_hll": SK.HLL_ORACLE_SQL,
         "sample_temperature_mix": CU.TEMPERATURE_MIX_ORACLE_SQL,
         "sketch_heavy_hitters_cms": SK.CMS_ORACLE_SQL,

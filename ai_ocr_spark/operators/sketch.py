@@ -529,3 +529,140 @@ CMS_ORACLE_SQL = f"""
     FROM probes JOIN cells USING (d, w)
     GROUP BY token
 """
+
+
+# --- mergeable log-binned quantile sketch -------------------------------
+
+# Sub-bin resolution: each power-of-two octave splits into 2^QS_MBITS
+# sub-bins, so the estimate's relative error is bounded by 2^-QS_MBITS
+# (6.25%). Values below 2^QS_MBITS get one bin each (exact).
+QS_MBITS = 4
+QS_SUB = 1 << QS_MBITS  # 16
+
+
+def sketch_quantiles_logbin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch — the constant-state percentile path.
+
+    agg_length_percentiles is exact but its state is |distinct values|
+    per group; that works for bounded domains (document lengths) and
+    dies on unbounded ones (token counts across 10^12 docs, latencies).
+    The standard scale answer is a mergeable sketch (t-digest /
+    KLL / DataSketches quantiles); this is the deterministic member of
+    that family: a LOG-BINNED histogram. Bin id is pure integer
+    arithmetic — values < 2^QS_MBITS get exact unit bins; larger values
+    map to (octave, 4-bit mantissa) via bit-length and a power-of-two
+    integer division (the same exact-pow trick as search._iln_sql) —
+    so the whole sketch is a groupBy(lang, bin) count: bounded state
+    (~16 bins per octave, <=1024 bins for any int64 domain), trivially
+    mergeable by addition, one map-side-combined shuffle. The estimate
+    for percentile p is the LOWER EDGE of the first bin whose
+    cumulative count reaches ceil(p*n/100) — a deterministic
+    under-estimate within 6.25% relative error (pytest pins both
+    bounds against the exact op).
+
+    Everything is BIGINT in both engines (bit-length via length(bin()),
+    shifts via CAST(pow(2.0, k)) which is exact for powers of two), so
+    the DuckDB twin matches bit-for-bit.
+
+    Reference parity: the same pandas describe() quantiles as
+    agg_length_percentiles (src/processor/app/parsers/csv_parser.py),
+    here as the sketch a 100-TB profiler would actually maintain.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "lang",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("v"),
+    )
+    bits = F.expr("length(bin(v))")
+    shift = bits - F.lit(QS_MBITS + 1)
+    sub = F.expr(
+        f"v DIV CAST(pow(2.0, length(bin(v)) - {QS_MBITS + 1}) AS BIGINT)"
+    ) - F.lit(QS_SUB)
+    bin_id = (
+        F.when(F.col("v") < QS_SUB, F.col("v"))
+        .otherwise(F.lit(QS_SUB) + shift * QS_SUB + sub)
+        .cast("long")
+    )
+    binned = d.select("lang", bin_id.alias("b"))
+    hist = binned.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+    # decode: lower edge of bin b
+    edge = F.when(F.col("b") < QS_SUB, F.col("b")).otherwise(
+        F.expr(
+            f"CAST((({QS_SUB} + (b - {QS_SUB}) % {QS_SUB})"
+            f" * CAST(pow(2.0, (b - {QS_SUB}) DIV {QS_SUB}) AS BIGINT))"
+            " AS BIGINT)"
+        )
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "b",
+        edge.cast("long").alias("edge"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_all).alias("n_bins"),
+    )
+    pct_cols = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(f"CAST(({p} * n + 99) DIV 100 AS BIGINT)"),
+                F.col("edge"),
+            )
+        ).cast("long").alias(f"p{p}_est")
+        for p in PERCENTILE_PS
+    ]
+    return cum.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max("n_bins").cast("long").alias("n_bins"),
+        *pct_cols,
+    )
+
+
+QSKETCH_ORACLE_SQL = f"""
+    WITH d AS (
+        SELECT lang,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS v
+        FROM documents
+    ),
+    binned AS (
+        SELECT lang,
+               CASE WHEN v < {QS_SUB} THEN v
+                    ELSE {QS_SUB}
+                         + (length(bin(v)) - {QS_MBITS + 1}) * {QS_SUB}
+                         + (v // CAST(pow(2.0, length(bin(v))
+                                          - {QS_MBITS + 1}) AS BIGINT)
+                            - {QS_SUB})
+               END AS b
+        FROM d
+    ),
+    hist AS (SELECT lang, b, count(*) AS cnt FROM binned GROUP BY lang, b),
+    cum AS (
+        SELECT lang, b,
+               CASE WHEN b < {QS_SUB} THEN b
+                    ELSE ({QS_SUB} + (b - {QS_SUB}) % {QS_SUB})
+                         * CAST(pow(2.0, (b - {QS_SUB}) // {QS_SUB})
+                                AS BIGINT)
+               END AS edge,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS n,
+               count(*) OVER (PARTITION BY lang) AS n_bins
+        FROM hist
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(n_bins) AS BIGINT) AS n_bins,
+           {", ".join(
+               f"CAST(min(CASE WHEN cum >= ({p} * n + 99) // 100 "
+               f"THEN edge END) AS BIGINT) AS p{p}_est"
+               for p in PERCENTILE_PS
+           )}
+    FROM cum GROUP BY lang
+"""

@@ -148,6 +148,7 @@ def main() -> int:
         # probe + merged-stat serve all inside the timed section)
         "search_rrf_fusion",
         "search_index_refresh",
+        "sketch_quantiles_logbin",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

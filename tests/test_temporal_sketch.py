@@ -420,3 +420,30 @@ def test_search_index_refresh_equals_batch_and_flags_increment(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
     n_new = sum(is_new(d) for d in docs["doc_id"])
     assert 0 < n_new < len(docs)
+
+
+def test_quantile_sketch_bounds_vs_exact(spark):
+    """The log-binned estimate must be the lower edge of the bin
+    containing the exact nearest-rank percentile: est <= exact, and
+    exact < est + max(1, est/16) (6.25% relative bin width); values
+    below 16 are exact. State must be tiny (n_bins << n_docs)."""
+    from ai_ocr_spark.operators.sketch import (
+        PERCENTILE_PS,
+        agg_length_percentiles,
+        sketch_quantiles_logbin,
+    )
+
+    est = sketch_quantiles_logbin(spark, SF).toPandas().set_index("lang")
+    exact = agg_length_percentiles(spark, SF).toPandas().set_index("lang")
+    assert set(est.index) == set(exact.index)
+    for lang in est.index:
+        assert est.loc[lang, "n_docs"] == exact.loc[lang, "n_docs"]
+        assert est.loc[lang, "n_bins"] < est.loc[lang, "n_docs"]
+        for p in PERCENTILE_PS:
+            e = int(est.loc[lang, f"p{p}_est"])
+            x = int(exact.loc[lang, f"p{p}"])
+            assert e <= x, (lang, p, e, x)
+            width = max(1, e // 16)
+            assert x < e + width + 1, (lang, p, e, x)
+            if x < 16:
+                assert e == x
