@@ -68,39 +68,13 @@ SEARCH_QUERIES: dict[str, list[str]] = {
 }
 
 
-def search_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _qterm_frames(spark: SparkSession):
     qrows = [(q, t) for q, ts in SEARCH_QUERIES.items() for t in ts]
     qterms = spark.createDataFrame(qrows, "query_id string, token string")
-    terms = qterms.select("token").distinct()
+    return qterms, qterms.select("token").distinct()
 
-    # Broadcast-probe the exploded tokens against the query terms
-    # BEFORE the tf aggregate: the (doc, token) shuffle then carries
-    # only the query terms' postings, never the full vocabulary.
-    # Catalyst cannot push a join below a groupBy on its own, so the
-    # order here IS the plan. (Filtering before the aggregate is
-    # exact: tf per (doc, term) is unchanged by dropping other terms.)
-    tok = (
-        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
-        .join(F.broadcast(terms), "token")
-    )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
 
-    # df over the query terms' posting lists only (tf is unique per
-    # (doc, token), so count(*) == docs containing the term)
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    weights = dfreq.crossJoin(F.broadcast(n_docs)).select(
-        "token",
-        F.expr(f"CAST(({IDF_SCALE} * n_docs) DIV df AS BIGINT)").alias("w"),
-    )
-
-    scored = (
-        tf.join(F.broadcast(qterms), "token")
-        .join(F.broadcast(weights), "token")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
-    )
+def _topk(scored: DataFrame) -> DataFrame:
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -114,6 +88,47 @@ def search_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("long").alias("score"),
         )
     )
+
+
+def _rank_tfidf(
+    tf: DataFrame, n_docs: DataFrame, qterms: DataFrame
+) -> DataFrame:
+    """Integer tf-idf top-K from a postings frame (doc_id, token, tf).
+    Extra columns on tf (dl) are ignored — tf rows stay unique per
+    (doc, token), so df counts and score sums are unchanged."""
+    # df over the query terms' posting lists only (tf is unique per
+    # (doc, token), so count(*) == docs containing the term)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    weights = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        F.expr(f"CAST(({IDF_SCALE} * n_docs) DIV df AS BIGINT)").alias("w"),
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(weights), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+    )
+    return _topk(scored)
+
+
+def search_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qterms, terms = _qterm_frames(spark)
+
+    # Broadcast-probe the exploded tokens against the query terms
+    # BEFORE the tf aggregate: the (doc, token) shuffle then carries
+    # only the query terms' postings, never the full vocabulary.
+    # Catalyst cannot push a join below a groupBy on its own, so the
+    # order here IS the plan. (Filtering before the aggregate is
+    # exact: tf per (doc, term) is unchanged by dropping other terms.)
+    tok = (
+        docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .join(F.broadcast(terms), "token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return _rank_tfidf(tf, n_docs, qterms)
 
 
 def _values_clause() -> str:
@@ -222,27 +237,39 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     notion of document length; this is the standard correction that
     stops 100-page pages from outranking focused ones at corpus scale.
     """
-    # testdata parquet is ONE split (CLAUDE.md footgun): repartition to
-    # width BEFORE the tokenizing projections or both corpus scans run
-    # as a single task (measured 4.5s -> ~1s at sf0.1)
+    docs, stats = _docs_and_stats(spark, sf_dir)
+    qterms, terms = _qterm_frames(spark)
+    tf = _postings_with_dl(docs, terms)
+    return _rank_bm25(tf, stats, qterms)
+
+
+def _docs_and_stats(spark: SparkSession, sf_dir: str):
+    """Width-repartitioned corpus + the 1-row (N, T) stats frame.
+
+    testdata parquet is ONE split (CLAUDE.md footgun): repartition to
+    width BEFORE the tokenizing projections or both corpus scans run
+    as a single task (measured 4.5s -> ~1s at sf0.1). N counts every
+    document (dl=0 included); T is total corpus tokens — one aggregate
+    scan, no distinct, the 1-row result broadcasts."""
     par = max(spark.sparkContext.defaultParallelism, 8)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
     toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
-    # N counts every document (dl=0 included); T is total corpus tokens.
-    # One aggregate scan, no distinct — the 1-row result broadcasts.
     stats = docs.select(F.size(toks).alias("dl0")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl0").cast("long").alias("t_tokens"),
     )
-    qrows = [(q, t) for q, ts in SEARCH_QUERIES.items() for t in ts]
-    qterms = spark.createDataFrame(qrows, "query_id string, token string")
-    terms = qterms.select("token").distinct()
+    return docs, stats
 
-    # Same pre-aggregate broadcast probe as search_keyword_topk: only
-    # query-term postings reach the tf shuffle. dl = size(toks) is
-    # computed per row BEFORE the probe, so length normalization still
-    # sees the full document length.
-    tf = (
+
+def _postings_with_dl(docs: DataFrame, terms: DataFrame) -> DataFrame:
+    """Query-term postings carrying document length: the same
+    pre-aggregate broadcast probe as search_keyword_topk — only
+    query-term postings reach the tf shuffle. dl = size(toks) is
+    computed per row BEFORE the probe, so length normalization still
+    sees the full document length; dl rides the groupBy key (constant
+    per doc), costing zero extra shuffles."""
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
+    return (
         docs.select(
             "doc_id", F.explode(toks).alias("token"), F.size(toks).alias("dl")
         )
@@ -250,6 +277,10 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token", "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def _rank_bm25(tf: DataFrame, stats: DataFrame, qterms: DataFrame) -> DataFrame:
+    """Integer-exact BM25 top-K from a dl-carrying postings frame."""
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "token",
@@ -257,7 +288,6 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _iln_sql(f"((2 * n_docs + 2) * {BM25_PREC}) DIV (2 * df + 1)", "spark")
         ).cast("long").alias("idf"),
     )
-
     scored = (
         tf.join(F.broadcast(qterms), "token")
         .join(F.broadcast(idf), "token")
@@ -275,19 +305,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= SEARCH_TOP_K)
-        .select(
-            "query_id",
-            F.col("rnk").cast("long").alias("rnk"),
-            "doc_id",
-            F.col("score").cast("long").alias("score"),
-        )
-    )
+    return _topk(scored)
 
 
 BM25_ORACLE_SQL = f"""
@@ -355,11 +373,16 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Contribution of a rank is RRF_SCALE DIV (RRF_K + rnk): integer
     division on BIGINTs, so the fused score is bit-identical in DuckDB.
-    Plan shape: both ranker subplans are already scale-pinned
-    (probe-below-aggregate + WindowGroupLimit); the fusion itself runs
-    over at most 2*K rows per query — a union of two top-K lists, one
-    tiny aggregate, one WindowGroupLimit window. n_rankers counts how
-    many lists surfaced the doc (2 = consensus), so downstream mixture
+
+    Plan shape: the corpus is read ONCE — both rankers score the same
+    persisted dl-carrying postings frame (tf-idf provably ignores dl:
+    tf rows stay unique per (doc, token), so df counts and score sums
+    are unchanged — pytest pins fusion inputs == the standalone
+    rankers). The probe-below-aggregate and WindowGroupLimit pins
+    apply to the shared frame; the fusion itself runs over at most
+    2*K rows per query — a union of two top-K lists, one tiny
+    aggregate, one WindowGroupLimit window. n_rankers counts how many
+    lists surfaced the doc (2 = consensus), so downstream mixture
     policies can weight agreement.
 
     Reference parity: the reference picks its document type by the
@@ -368,8 +391,11 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax); fusing multiple scorers of the same candidates is that
     decision generalized to ranked retrieval.
     """
-    kw = search_keyword_topk(spark, sf_dir)
-    bm = search_bm25_topk(spark, sf_dir)
+    docs, stats = _docs_and_stats(spark, sf_dir)
+    qterms, terms = _qterm_frames(spark)
+    tf = _postings_with_dl(docs, terms).persist()
+    kw = _rank_tfidf(tf, stats.select("n_docs"), qterms)
+    bm = _rank_bm25(tf, stats, qterms)
     u = kw.select("query_id", "doc_id", "rnk").unionByName(
         bm.select("query_id", "doc_id", "rnk")
     )
