@@ -46,9 +46,9 @@ list itself is not fully scored; at that point the index is a
 materialized table, not a per-query derivation.
 
 Reference parity: the reference ranks candidate doc types by keyword
-hit scores (src/processor/app/classifiers/document_classifier.py
-keyword-scoring loop); this is that scoring turned into corpus-wide
-retrieval with ranking.
+hit scores (src/api/app/validators/excel_validator.py:354-381 — +2 per
+sheet-name hit, +1 per header hit, argmax with a default fallback);
+this is that scoring turned into corpus-wide retrieval with ranking.
 """
 
 from __future__ import annotations
@@ -233,7 +233,7 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization costs ZERO extra shuffles.
 
     Reference parity: the reference's keyword scoring
-    (src/processor/app/classifiers/document_classifier.py) has no
+    (src/api/app/validators/excel_validator.py:354-370) has no
     notion of document length; this is the standard correction that
     stops 100-page pages from outranking focused ones at corpus scale.
     """
@@ -387,7 +387,7 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: the reference picks its document type by the
     SINGLE best keyword score
-    (src/processor/app/classifiers/document_classifier.py classify
+    (src/api/app/validators/excel_validator.py:372-378 max-score
     argmax); fusing multiple scorers of the same candidates is that
     decision generalized to ranked retrieval.
     """

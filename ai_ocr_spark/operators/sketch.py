@@ -221,8 +221,8 @@ def agg_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((p*n + 99) DIV 100), so no float divergence between engines.
 
     Reference parity: the reference profiles numeric columns with
-    pandas describe() quantiles (src/processor/app/parsers/
-    csv_parser.py analyze dtype/stats path); this is that statistic
+    per-column min/max/mean (src/api/app/parsers/excel_parser.py:
+    228-233 numeric_columns stats); percentiles extend that profile,
     computed distributively and exactly.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -320,8 +320,8 @@ def sketch_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     here only as the accuracy witness at test scale.
 
     Reference parity: the reference's dataset profiling counts uniques
-    with pandas nunique (src/processor/app/parsers/csv_parser.py
-    column-stats path); this is that statistic as a mergeable sketch.
+    with pandas nunique (src/api/app/parsers/excel_parser.py:214
+    unique_count); this is that statistic as a mergeable sketch.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     h = TX.hash15(TX.norm_text(F.col("text")))
@@ -564,9 +564,9 @@ def sketch_quantiles_logbin(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts via CAST(pow(2.0, k)) which is exact for powers of two), so
     the DuckDB twin matches bit-for-bit.
 
-    Reference parity: the same pandas describe() quantiles as
-    agg_length_percentiles (src/processor/app/parsers/csv_parser.py),
-    here as the sketch a 100-TB profiler would actually maintain.
+    Reference parity: the same numeric-column profile family as
+    agg_length_percentiles (src/api/app/parsers/excel_parser.py:
+    228-233), here as the sketch a 100-TB profiler would maintain.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = docs.select(
