@@ -90,3 +90,33 @@ def test_index_refresh_probe_below_aggregate_and_group_limit(spark):
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_etld1_dim_variant_matches_literal_and_broadcasts(spark):
+    """The broadcast-dimension PSL variant must produce row-identical
+    output to the literal-array projection (the value check for the
+    documented graduation path) with the rule join broadcast, never
+    shuffled or cartesian."""
+    from ai_ocr_spark.operators.textstats import (
+        url_domain_etld1,
+        url_domain_etld1_dim,
+    )
+
+    a = (
+        url_domain_etld1(spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        url_domain_etld1_dim(spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b[a.columns])
+    # longest-match must actually bind: a known multi-label suffix row
+    assert (a["public_suffix"] == "co.uk").any()
+    plan = formatted_plan(url_domain_etld1_dim(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
