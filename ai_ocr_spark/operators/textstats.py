@@ -943,22 +943,36 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tg"),
     )
     in_slice = TX.hash15(F.col("doc_id").cast("string")) % 5 == 0
+    # ONE (doc, lang, trigram) count expression feeds both the training
+    # profiles and the per-doc profiles. The branches still optimize
+    # separately — and should: Catalyst pushes the doc_id-hash slice
+    # filter BELOW this aggregate on the training branch, so profile
+    # training explodes only the 20% slice, not the corpus. lang rides
+    # the key for free (functionally dependent on doc_id); the training
+    # aggregate sums the already-reduced counts.
+    dtg = tri.groupBy("doc_id", "lang", "tg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     lw = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tg"))
     prof = (
-        tri.filter(in_slice)
+        dtg.filter(in_slice)
         .groupBy("lang", "tg")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
         .withColumn("lrank", F.row_number().over(lw))
         .filter(F.col("lrank") <= LANG_PROFILE_K)
         .select(F.col("lang").alias("plang"), "tg", "lrank")
     )
     dw = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("tg"))
+    # persist barrier: docprof is consumed twice (the qn count and the
+    # profile join) — without it the full-corpus trigram explode runs
+    # twice (measured: 3 Generate nodes -> 2). The persisted table is
+    # BOUNDED at <= DOC_PROFILE_K rows per document — this is the doc
+    # profile a production LID system materializes anyway.
     docprof = (
-        tri.groupBy("doc_id", "tg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("drank", F.row_number().over(dw))
+        dtg.withColumn("drank", F.row_number().over(dw))
         .filter(F.col("drank") <= DOC_PROFILE_K)
         .select("doc_id", "tg", "drank")
+        .persist()
     )
     q = docprof.groupBy("doc_id").agg(F.count(F.lit(1)).alias("qn"))
     matched = (
