@@ -293,3 +293,36 @@ def test_integer_ln_table_tracks_math_log(x):
         - BM25_LNPREC
     )
     assert abs(iln / BM25_PREC - math.log(x)) < math.log(1 + 1 / 256) + 1e-4
+
+
+@settings(max_examples=500, deadline=None)
+@given(v=st.integers(min_value=0, max_value=2**62))
+def test_logbin_quantile_bin_bounds(v):
+    """The log-binned quantile sketch's bin math, pinned for ANY int64
+    value (the fixtures only exercise document lengths): the decoded
+    lower edge never exceeds v, v stays inside the bin's width, widths
+    are within 1/16 relative, and bin ids are monotone in v."""
+    from ai_ocr_spark.operators.sketch import QS_MBITS, QS_SUB
+
+    def bin_id(x: int) -> int:
+        if x < QS_SUB:
+            return x
+        bits = x.bit_length()
+        sub = (x >> (bits - 1 - QS_MBITS)) - QS_SUB
+        return QS_SUB + (bits - 1 - QS_MBITS) * QS_SUB + sub
+
+    def edge(b: int) -> int:
+        if b < QS_SUB:
+            return b
+        return (QS_SUB + (b - QS_SUB) % QS_SUB) * (
+            2 ** ((b - QS_SUB) // QS_SUB)
+        )
+
+    b = bin_id(v)
+    e = edge(b)
+    assert e <= v
+    width = 1 if v < QS_SUB else 2 ** (v.bit_length() - 1 - QS_MBITS)
+    assert v < e + width
+    assert width <= max(1, e // QS_SUB)
+    # monotone: the next bin's edge starts past this bin
+    assert edge(b + 1) > e
