@@ -909,3 +909,73 @@ def crawl_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
     )
     return j.select("url", "fp_a", "fp_b", status.alias("status"))
+
+
+def dedup_lsh_exact_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-bucket graduation path named in dedup_minhash_lsh's
+    docstring, made real: route EXACT duplicates through the
+    one-shuffle hash dedup FIRST, run LSH over a single representative
+    per exact group, then recover the full near-dup component labeling
+    from (exact star edges) UNION (representative LSH pairs).
+
+    Why this is the Zipf answer: at 10^12 pages the hottest LSH buckets
+    are dominated by byte-identical boilerplate (error pages, parked
+    domains) — a bucket with m identical docs costs O(m^2) candidate
+    pairs under plain LSH but exactly m-1 star edges + 1 representative
+    here, so the quadratic bucket blowup collapses to the linear exact
+    aggregate.
+
+    EQUIVALENCE (pytest-proven against dedup_connected_components):
+    exact-equal canonical text => identical shingle sets => identical
+    minhash signatures => identical bucket membership AND exact
+    Jaccard 1 against the representative. So for any members a∈A, b∈B
+    of exact groups A != B, jaccard(a, b) == jaccard(rep_A, rep_B) and
+    (a, b) is an LSH candidate iff (rep_A, rep_B) is — collapsing a
+    group onto its min-id representative loses no edge reachable
+    through any member, and within-group connectivity is restored by
+    the star edges. The component labeling is therefore IDENTICAL to
+    running plain LSH + components over every document.
+
+    Shape: one fp shuffle (exact groups) + one fp join-back (star
+    edges), the band/self-join/verify machinery restricted to reps,
+    then the shared pointer-doubling labeler over the union.
+    """
+    docs = _docs(spark, sf_dir)
+    fp = TX.md5_hex(TX.norm_text(F.col("text")))
+    groups = docs.select(fp.alias("fp"), "doc_id")
+    reps = groups.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    member = groups.join(reps, "fp").select("doc_id", "rep")
+    star = member.filter(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+
+    rep_set = member.select(F.col("rep").alias("doc_id")).distinct()
+    banded = _minhash_bands(spark, sf_dir).join(rep_set, "doc_id")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = _shingled(spark, sf_dir, 3)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    rep_pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+    edges = star.unionByName(rep_pairs)
+    return connected_components_labels(docs.select("doc_id"), edges)

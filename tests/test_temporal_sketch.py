@@ -447,3 +447,52 @@ def test_quantile_sketch_bounds_vs_exact(spark):
             assert x < e + width + 1, (lang, p, e, x)
             if x < 16:
                 assert e == x
+
+
+def test_lsh_exact_reps_components_equal_plain_lsh(spark):
+    """The hot-bucket graduation path (exact dedup first, LSH over one
+    representative per exact group, star edges restored) must produce
+    the IDENTICAL component labeling to plain LSH + components over
+    every document — and the collapse must be non-trivial (the fixture
+    contains exact duplicate groups)."""
+    from ai_ocr_spark.operators.dedup import (
+        dedup_connected_components,
+        dedup_exact,
+        dedup_lsh_exact_reps,
+    )
+
+    reps = (
+        dedup_lsh_exact_reps(spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    plain = (
+        dedup_connected_components(spark, SF)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert reps.equals(plain[reps.columns])
+
+    # the NON-TRIVIAL case lives at sf0.1 — the only fixture scale with
+    # exact-duplicate groups (8), so the star-edge collapse actually
+    # fires there
+    big = "/root/testdata/sf0.1"
+    groups = dedup_exact(spark, big).toPandas()
+    assert (groups["n_copies"] > 1).any()
+    reps_b = (
+        dedup_lsh_exact_reps(spark, big)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    plain_b = (
+        dedup_connected_components(spark, big)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert reps_b.equals(plain_b[reps_b.columns])
+    # collapse is real: fewer representatives than documents
+    assert groups["canonical_doc_id"].nunique() < len(plain_b)
