@@ -117,11 +117,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_connected_components + dedup_minhash_keep_canonical) and
     pipeline_invoice_roundtrip (the fields.py label-table delta is
     the docx rows, tested by pipeline_docx_roundtrip; the
-    invoice-specific spans are unchanged). Tier 2 gets no slots; the
-    binary-container roundtrips (pipeline_pdf_roundtrip,
-    pipeline_warc_roundtrip — displaced by the r4d ops, still
-    r2-green + local driver-strength verified) lead tier 3 for r5's
-    rotation, ahead of the other r2 entries left outside
+    invoice-specific spans are unchanged). Position 53 is
+    stream_quantiles_logbin — new in r4d but born past the full
+    window: locally driver-strength green against the SAME oracle SQL
+    as the in-window batch sketch, pytest-pinned equal to it. Tier 2
+    gets no slots; the binary-container roundtrips
+    (pipeline_pdf_roundtrip, pipeline_warc_roundtrip — displaced by
+    the r4d ops, still r2-green + local driver-strength verified)
+    lead tier 3 for r5's rotation together with the position 51-53
+    overflows, ahead of the other r2 entries left outside
     (pipeline_gzip_roundtrip,
     pipeline_sections, pipeline_table_roundtrip,
     stream_events_daily,
@@ -336,6 +340,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline_docx_roundtrip — the invoice-specific spans are
         # unchanged since its green r3 row
         "pipeline_invoice_roundtrip": RF.pipeline_invoice_roundtrip,
+        # new in r4d but born past the full window: the quantile sketch
+        # maintained as streaming state (3 arrival files, complete-mode
+        # bin histogram), decode == the batch sketch, SAME oracle SQL;
+        # locally driver-strength green + pytest-pinned equal to the
+        # batch op — leads r5's rotation with the pdf/warc roundtrips
+        "stream_quantiles_logbin": SW.stream_quantiles_logbin,
         # =========== tier 3: stalest green (driver row = r2) ===========
         # binary-container pipelines first (highest-complexity paths)
         "pipeline_pdf_roundtrip": RP.pipeline_pdf_roundtrip,
@@ -675,6 +685,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_stable": SK.SAMPLE_ORACLE_SQL,
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
         "sketch_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,
+        # the streaming drain of the same sketch must equal the same
+        # batch recompute — one oracle text, two execution paths
+        "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,
         "sketch_distinct_hll": SK.HLL_ORACLE_SQL,
         "sample_temperature_mix": CU.TEMPERATURE_MIX_ORACLE_SQL,
         "sketch_heavy_hitters_cms": SK.CMS_ORACLE_SQL,

@@ -573,20 +573,32 @@ def sketch_quantiles_logbin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("v"),
     )
+    hist = d.select("lang", _qs_bin_expr().alias("b")).groupBy(
+        "lang", "b"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return _qs_decode(hist)
+
+
+def _qs_bin_expr():
+    """Bin id for the BIGINT column `v`: unit bins below 2^QS_MBITS,
+    (octave, mantissa) above — pure integer expressions (pow(2.0, k)
+    is exact for powers of two in both engines)."""
     bits = F.expr("length(bin(v))")
     shift = bits - F.lit(QS_MBITS + 1)
     sub = F.expr(
         f"v DIV CAST(pow(2.0, length(bin(v)) - {QS_MBITS + 1}) AS BIGINT)"
     ) - F.lit(QS_SUB)
-    bin_id = (
+    return (
         F.when(F.col("v") < QS_SUB, F.col("v"))
         .otherwise(F.lit(QS_SUB) + shift * QS_SUB + sub)
         .cast("long")
     )
-    binned = d.select("lang", bin_id.alias("b"))
-    hist = binned.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("cnt"))
 
-    # decode: lower edge of bin b
+
+def _qs_decode(hist: DataFrame) -> DataFrame:
+    """Percentile estimates from a (lang, b, cnt) histogram: cumulative
+    walk over <=1024 bins per group, estimate = lower edge of the first
+    bin whose cumulative count reaches the nearest-rank target."""
     edge = F.when(F.col("b") < QS_SUB, F.col("b")).otherwise(
         F.expr(
             f"CAST((({QS_SUB} + (b - {QS_SUB}) % {QS_SUB})"

@@ -376,3 +376,64 @@ SESSION_WINDOWS_ORACLE_SQL = """
     FROM t
     GROUP BY user_id, session_seq
 """
+
+
+def stream_quantiles_logbin(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """The log-binned quantile sketch maintained AS STREAMING STATE —
+    the mergeability claim of sketch_quantiles_logbin realized
+    incrementally: documents arrive in three mtime-ordered micro-batch
+    files, a complete-mode groupBy(lang, bin) count holds the histogram
+    (state bounded at <=1024 bins x |langs| regardless of stream
+    volume — this is why a log-binned histogram is the sketch a
+    streaming profiler can afford), and the drained final table decodes
+    to percentile estimates IDENTICAL to the batch sketch over the same
+    rows. The oracle is therefore the batch twin's SQL verbatim: if the
+    cross-batch state merge dropped or double-counted one row, the
+    value hash breaks.
+
+    Shape: the streaming aggregate is the sketch-build half (one
+    map-side-combinable shuffle per micro-batch, constant state); the
+    decode half (cumulative walk over the tiny histogram) runs batch
+    on the drained result, exactly as a production job would read its
+    continuously-maintained sketch table."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.sketch import _qs_bin_expr, _qs_decode
+    from .util import detach, drain_available_now, write_ordered_file
+
+    stage = tempfile.mkdtemp(prefix="stream_qsketch_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = docs.select(
+            "doc_id",
+            "lang",
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+            .cast("long")
+            .alias("v"),
+        )
+        os.makedirs(os.path.join(stage, "in"))
+        now = 1_700_000_000
+        for k in range(3):
+            write_ordered_file(
+                rows.filter(F.col("doc_id") % 3 == k),
+                os.path.join(stage, "in", f"b{k}.parquet"),
+                now + 100 * k,
+            )
+        schema = spark.read.parquet(os.path.join(stage, "in")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(stage, "in"))
+        )
+        hist = (
+            stream.select("lang", _qs_bin_expr().alias("b"))
+            .groupBy("lang", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        name = drain_available_now(hist, "complete", prefix="stream_qsketch")
+        out = _qs_decode(spark.table(name)).orderBy("lang")
+        return detach(spark, out, name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -507,3 +507,26 @@ def test_cdx_offsets_enable_random_access(spark):
     for fname, total in by_file.items():
         b = int(fname.split("-")[1].split(".")[0])
         assert total == len(streams[b])
+
+
+def test_stream_quantiles_equals_batch_sketch(spark):
+    """The streaming-state sketch must decode to the exact batch
+    result — cross-batch histogram merge loses or double-counts
+    nothing."""
+    from ai_ocr_spark.operators.sketch import sketch_quantiles_logbin
+    from ai_ocr_spark.streaming.windows import stream_quantiles_logbin
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        stream_quantiles_logbin(spark, sf)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    b = (
+        sketch_quantiles_logbin(spark, sf)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b[a.columns])
