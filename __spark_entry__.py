@@ -117,14 +117,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup_connected_components + dedup_minhash_keep_canonical) and
     pipeline_invoice_roundtrip (the fields.py label-table delta is
     the docx rows, tested by pipeline_docx_roundtrip; the
-    invoice-specific spans are unchanged). Position 53 is
-    stream_quantiles_logbin — new in r4d but born past the full
-    window: locally driver-strength green against the SAME oracle SQL
-    as the in-window batch sketch, pytest-pinned equal to it. Tier 2
-    gets no slots; the binary-container roundtrips
+    invoice-specific spans are unchanged). Positions 53-55 are the
+    r4d ops born past the full window — stream_quantiles_logbin
+    (same oracle SQL as the in-window batch sketch, pytest-pinned
+    equal to it), dedup_lsh_exact_reps (oracle IS the components
+    twin it must reproduce) and url_domain_etld1_dim (oracle IS the
+    literal variant's twin) — all locally driver-strength green.
+    Tier 2 gets no slots; the binary-container roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip — displaced by
     the r4d ops, still r2-green + local driver-strength verified)
-    lead tier 3 for r5's rotation together with the position 51-53
+    lead tier 3 for r5's rotation together with the position 51-55
     overflows, ahead of the other r2 entries left outside
     (pipeline_gzip_roundtrip,
     pipeline_sections, pipeline_table_roundtrip,
@@ -346,6 +348,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally driver-strength green + pytest-pinned equal to the
         # batch op — leads r5's rotation with the pdf/warc roundtrips
         "stream_quantiles_logbin": SW.stream_quantiles_logbin,
+        # r4d, also past the window: the hot-bucket graduation path
+        # (exact dedup first, LSH over one rep per exact group, star
+        # edges restored) — labeling proven equal to plain
+        # LSH+components, so its oracle IS the components twin
+        "dedup_lsh_exact_reps": D.dedup_lsh_exact_reps,
+        # r4d: the eTLD+1 suffix table as a broadcast DIMENSION (the
+        # full-PSL plan shape); output row-identical to the literal
+        # variant, so its oracle IS the literal variant's twin
+        "url_domain_etld1_dim": TS.url_domain_etld1_dim,
         # =========== tier 3: stalest green (driver row = r2) ===========
         # binary-container pipelines first (highest-complexity paths)
         "pipeline_pdf_roundtrip": RP.pipeline_pdf_roundtrip,
@@ -688,6 +699,11 @@ def oracle_sql() -> dict[str, str]:
         # the streaming drain of the same sketch must equal the same
         # batch recompute — one oracle text, two execution paths
         "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,
+        # equivalence ops share their target's twin: exact-reps LSH must
+        # reproduce the components labeling; the dimension-join eTLD+1
+        # must reproduce the literal projection
+        "dedup_lsh_exact_reps": ORC.dedup_connected_components(),
+        "url_domain_etld1_dim": TS.URL_ETLD1_ORACLE_SQL,
         "sketch_distinct_hll": SK.HLL_ORACLE_SQL,
         "sample_temperature_mix": CU.TEMPERATURE_MIX_ORACLE_SQL,
         "sketch_heavy_hitters_cms": SK.CMS_ORACLE_SQL,

@@ -220,16 +220,23 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(guard, TX.md5_hex(nl)).alias("h"),
     )
     dedupable = lines.filter(F.col("dedupable"))
-    # persist barrier: firsts is consumed twice (the broadcast-head
-    # TakeOrdered and the cold-tail join) and each consumption would
-    # otherwise re-run the full posexplode + aggregate. The persisted
-    # table is one row per DISTINCT dedupable line hash — the
-    # first-occurrence index a corpus-level line dedup materializes
-    # anyway (same persisted-index pattern as the minhash band table).
-    firsts = dedupable.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first"),
-        F.count(F.lit(1)).alias("n_occ"),
-    ).persist()
+    # persist barrier, memoized per (session, sf_dir): firsts is
+    # consumed twice (the broadcast-head TakeOrdered and the cold-tail
+    # join) and each consumption would otherwise re-run the full
+    # posexplode + aggregate. The cached table is one row per DISTINCT
+    # dedupable line hash — the first-occurrence index a corpus-level
+    # line dedup materializes anyway (same persisted-index pattern as
+    # the minhash band table); repeated calls reuse ONE copy.
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    fkey = _cache_key(spark, sf_dir, "line-firsts")
+    firsts = _SHINGLE_CACHE.get(fkey)
+    if firsts is None:
+        firsts = dedupable.groupBy("h").agg(
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("n_occ"),
+        ).persist()
+        _SHINGLE_CACHE[fkey] = firsts
     head = firsts.orderBy(F.col("n_occ").desc(), "h").limit(LINE_HEAD_K)
     with_head = dedupable.join(
         F.broadcast(head.select("h", F.col("first").alias("first_h"))),

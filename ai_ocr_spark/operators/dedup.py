@@ -925,24 +925,35 @@ def dedup_lsh_exact_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, so the quadratic bucket blowup collapses to the linear exact
     aggregate.
 
-    EQUIVALENCE (pytest-proven against dedup_connected_components):
-    exact-equal canonical text => identical shingle sets => identical
-    minhash signatures => identical bucket membership AND exact
-    Jaccard 1 against the representative. So for any members a∈A, b∈B
-    of exact groups A != B, jaccard(a, b) == jaccard(rep_A, rep_B) and
-    (a, b) is an LSH candidate iff (rep_A, rep_B) is — collapsing a
-    group onto its min-id representative loses no edge reachable
-    through any member, and within-group connectivity is restored by
-    the star edges. The component labeling is therefore IDENTICAL to
-    running plain LSH + components over every document.
+    EQUIVALENCE (pytest-proven against dedup_connected_components, and
+    oracle-checked against the same recursive-CTE transitive-closure
+    twin): exact-equal canonical text => identical shingle sets =>
+    identical minhash signatures => identical bucket membership AND
+    exact Jaccard 1 against the representative. So for any members
+    a∈A, b∈B of exact groups A != B, jaccard(a, b) ==
+    jaccard(rep_A, rep_B) and (a, b) is an LSH candidate iff
+    (rep_A, rep_B) is — collapsing a group onto its min-id
+    representative loses no edge reachable through any member, and
+    within-group connectivity is restored by the star edges. One edge
+    case makes the restriction below load-bearing: a document with
+    fewer than 3 tokens has an EMPTY shingle set, so plain LSH can
+    never pair it with anything (its band hashes are NULL-filtered and
+    0/0 Jaccard is NULL) — exact duplicates of such a document stay
+    singletons under plain LSH. Star edges are therefore formed only
+    over SHINGLE-BEARING docs (size(shd) > 0, read from the same
+    shared shingle table the verify step uses, so the basis can't
+    drift); with that, the component labeling is IDENTICAL to running
+    plain LSH + components over every document.
 
     Shape: one fp shuffle (exact groups) + one fp join-back (star
     edges), the band/self-join/verify machinery restricted to reps,
     then the shared pointer-doubling labeler over the union.
     """
     docs = _docs(spark, sf_dir)
+    sh_all = _shingled(spark, sf_dir, 3)
+    shingly = sh_all.filter(F.size("shd") > 0).select("doc_id")
     fp = TX.md5_hex(TX.norm_text(F.col("text")))
-    groups = docs.select(fp.alias("fp"), "doc_id")
+    groups = docs.select(fp.alias("fp"), "doc_id").join(shingly, "doc_id")
     reps = groups.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     member = groups.join(reps, "fp").select("doc_id", "rep")
     star = member.filter(F.col("doc_id") != F.col("rep")).select(
@@ -964,9 +975,12 @@ def dedup_lsh_exact_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = _shingled(spark, sf_dir, 3)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b"))
+    sa = sh_all.select(
+        F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a")
+    )
+    sb = sh_all.select(
+        F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b")
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     rep_pairs = (

@@ -327,7 +327,18 @@ def _encoded_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail shuffles). Both tokenizer_bpe_encode (per-doc budgets) and
     tokenizer_vocab_coverage (per-lang fertility) aggregate this frame;
     lang rides the explode for free (functionally dependent on
-    doc_id, so adding it to the groupBy key changes nothing)."""
+    doc_id, so adding it to the groupBy key changes nothing).
+
+    Memoized per (session, sf_dir) through the shared cache: the two
+    driver queries consuming this frame (tokenizer_bpe_encode and
+    tokenizer_vocab_coverage) would otherwise EACH re-run the full
+    BPE training loop and leak a fresh persisted copy."""
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    key = _cache_key(spark, sf_dir, "bpe-encoded")
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     merges = _train_merges(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tok = docs.select(
@@ -355,7 +366,9 @@ def _encoded_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("ntok")
         .join(enc.select("w", "ntok"), "w", "left")
     )
-    return hot.unionByName(cold)
+    joined = hot.unionByName(cold).persist()
+    _SHINGLE_CACHE[key] = joined
+    return joined
 
 
 def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
