@@ -498,7 +498,11 @@ def search_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width BEFORE the tokenize-heavy postings projections or both the
     # index build and the increment scan run as single tasks
     par = max(spark.sparkContext.defaultParallelism, 8)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # width only where the tokenize-heavy postings builds need it — the
+    # N counts below read the UNrepartitioned table so they stay
+    # column-pruned doc_id scans instead of paying a full-row exchange
+    docs = docs_raw.repartition(par)
     qterms, terms = _qterm_frames(spark)
     is_new = TX.hash15(F.col("doc_id").cast("string")) % IDX_INCR_MOD == 0
 
@@ -525,11 +529,11 @@ def search_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         tf_base, tf_inc = cached
     df_base = tf_base.groupBy("token").agg(F.count(F.lit(1)).alias("df_b"))
-    n_base = docs.filter(~is_new).select(
+    n_base = docs_raw.filter(~is_new).select(
         F.count(F.lit(1)).alias("n_b")
     )
     df_inc = tf_inc.groupBy("token").agg(F.count(F.lit(1)).alias("df_i"))
-    n_inc = docs.filter(is_new).select(F.count(F.lit(1)).alias("n_i"))
+    n_inc = docs_raw.filter(is_new).select(F.count(F.lit(1)).alias("n_i"))
 
     df_new = (
         df_base.join(df_inc, "token", "full")
