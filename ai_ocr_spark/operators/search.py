@@ -374,11 +374,14 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Contribution of a rank is RRF_SCALE DIV (RRF_K + rnk): integer
     division on BIGINTs, so the fused score is bit-identical in DuckDB.
 
-    Plan shape: the corpus is read ONCE — both rankers score the same
-    persisted dl-carrying postings frame (tf-idf provably ignores dl:
-    tf rows stay unique per (doc, token), so df counts and score sums
-    are unchanged — pytest pins fusion inputs == the standalone
-    rankers). The probe-below-aggregate and WindowGroupLimit pins
+    Plan shape: the corpus is tokenized exactly twice at build time —
+    once for the dl-carrying postings frame, once for the (N, T)
+    corpus stats — and both land in the memoized cache, so every
+    scorer (and every later invocation) reads persisted frames, never
+    the corpus. Both rankers score the SAME postings frame (tf-idf
+    provably ignores dl: tf rows stay unique per (doc, token), so df
+    counts and score sums are unchanged — pytest pins fusion inputs ==
+    the standalone rankers). The probe-below-aggregate and WindowGroupLimit pins
     apply to the shared frame; the fusion itself runs over at most
     2*K rows per query — a union of two top-K lists, one tiny
     aggregate, one WindowGroupLimit window. n_rankers counts how many
