@@ -184,6 +184,15 @@ def main() -> int:
         "ann_pq_topk",
         "filter_bloom_blocklist",
         "sketch_heavy_hitters_cms",
+        # r4d memoized indexes: shared ranker postings + corpus stats,
+        # the incremental-refresh base postings, the encoded BPE
+        # vocabulary, the first-occurrence line index, the LID doc
+        # profiles — cold prices each build + first probe honestly
+        "search_rrf_fusion",
+        "search_index_refresh",
+        "tokenizer_bpe_encode",
+        "dedup_lines_global",
+        "text_langid_ngram",
     ):
         clear_caches(spark)
         t0 = time.monotonic()
