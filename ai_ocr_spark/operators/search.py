@@ -497,15 +497,7 @@ def search_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin IS that batch recompute, so the value hash pins
     increment-merge == full-rebuild, cross-engine.
     """
-    # one-split testdata parquet (CLAUDE.md footgun): repartition to
-    # width BEFORE the tokenize-heavy postings projections or both the
-    # index build and the increment scan run as single tasks
-    par = max(spark.sparkContext.defaultParallelism, 8)
     docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # width only where the tokenize-heavy postings builds need it — the
-    # N counts below read the UNrepartitioned table so they stay
-    # column-pruned doc_id scans instead of paying a full-row exchange
-    docs = docs_raw.repartition(par)
     qterms, terms = _qterm_frames(spark)
     is_new = TX.hash15(F.col("doc_id").cast("string")) % IDX_INCR_MOD == 0
 
@@ -526,6 +518,14 @@ def search_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _cache_key(spark, sf_dir, "idx-refresh")
     cached = _SHINGLE_CACHE.get(key)
     if cached is None:
+        # one-split testdata parquet (CLAUDE.md footgun): repartition to
+        # width BEFORE the tokenize-heavy postings projections or both
+        # the index build and the increment scan run as single tasks.
+        # Width only here — the N counts below read the UNrepartitioned
+        # table so they stay column-pruned doc_id scans instead of
+        # paying a full-row exchange.
+        par = max(spark.sparkContext.defaultParallelism, 8)
+        docs = docs_raw.repartition(par)
         tf_base = postings(docs.filter(~is_new)).persist()
         tf_inc = postings(docs.filter(is_new)).persist()
         _SHINGLE_CACHE[key] = (tf_base, tf_inc)
