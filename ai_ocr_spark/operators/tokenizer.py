@@ -338,7 +338,7 @@ def _encoded_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _cache_key(spark, sf_dir, "bpe-encoded")
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
-        return cached
+        return cached[-1]
     merges = _train_merges(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tok = docs.select(
@@ -367,7 +367,11 @@ def _encoded_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(enc.select("w", "ntok"), "w", "left")
     )
     joined = hot.unionByName(cold).persist()
-    _SHINGLE_CACHE[key] = joined
+    # Both persisted frames go in the cache tuple: a bare `enc` persist
+    # would survive clear_caches() and strand one copy per cold-bench
+    # cycle (enc must stay persisted while `joined` is alive — the
+    # skew-split tail join re-reads it on every consumer execution).
+    _SHINGLE_CACHE[key] = (enc, joined)
     return joined
 
 

@@ -28,9 +28,6 @@ def test_schedule_waves_window_partitions_on_host(spark):
 
     plan = formatted_plan(crawl_schedule_waves(spark, SF))
     assert "CartesianProduct" not in plan
-    m = re.search(r"Window .*partition", plan) or re.search(
-        r"\[host[^\]]*\], \[host", plan
-    )
     # the window spec must mention host as its partition key
     assert re.search(r"windowspecdefinition\(host", plan) or re.search(
         r"Window \[.*\], \[host", plan

@@ -1386,6 +1386,36 @@ def test_nfc_normalize_families_fire(spark):
             assert r["changed"] and r["n_cp_nfc"] < r["n_cp_raw"]
 
 
+def test_nfc_prefix_pins_are_ucd_stable():
+    """Pin the LITERAL expected NFC form of every fixture prefix
+    (computed once under UCD 14.0.0). The driver oracle compares
+    CPython's unicodedata against DuckDB's utf8proc; if either engine
+    moves to a Unicode version that renormalizes these sequences, THIS
+    test names the culprit — a future driver hash mismatch on
+    text_nfc_normalize is then immediately attributable to UCD skew
+    rather than an operator regression (ADVICE r4)."""
+    import unicodedata
+
+    from ai_ocr_spark.operators.textstats import NFC_PREFIXES
+
+    pinned = {
+        "cafe\u0301": "caf\u00e9",  # e + COMBINING ACUTE composes
+        "n\u0303o": "\u00f1o",  # n + COMBINING TILDE composes
+        # long s + dot above compose to U+1E9B; dot below (ccc 220)
+        # stays, canonically ordered after the composition
+        "\u017f\u0307\u0323": "\u1e9b\u0323",
+        "\u1100\u1161": "\uac00",  # jamo pair -> syllable GA
+        "A\u030angstrom": "\u00c5ngstrom",  # A + COMBINING RING
+        "plain ascii": "plain ascii",  # NFC-stable control row
+    }
+    assert list(pinned) == NFC_PREFIXES
+    for raw, expect in pinned.items():
+        assert unicodedata.normalize("NFC", raw) == expect, (
+            f"UCD skew: CPython {unicodedata.unidata_version} "
+            f"renormalizes {raw!r}"
+        )
+
+
 def test_sitemap_discover_roundtrip_and_flags(spark):
     """Parser recovers exactly the builder's entries: one row per doc
     plus one NEW url per SITEMAP_NEW_MOD-th doc; known flags match the
