@@ -349,6 +349,39 @@ KMEANS_K = 8
 KMEANS_ROUNDS = 3
 
 
+def _kmeans_assign(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """One Lloyd assignment step: broadcast the K-row centroid TABLE
+    (cid, carr array<long>) against the vector frame and argmin via
+    row_number over (d2 asc, cid asc) — the _pq_assign shape. Data in
+    a broadcast relation, never K*dim literals in the plan (CLAUDE.md:
+    a 16x32 literal argmin cost ~50s of analyzer/codegen). Squared L2
+    is the strict left fold, so distances are bit-identical to the old
+    inlined-literal variant, and the (d2, cid) ordering reproduces its
+    array_min-over-structs tie-break exactly. `emb` arrives hash-
+    partitioned by vec_id, which satisfies the window's clustered
+    distribution — no per-round exchange, only a local sort."""
+    diff = F.zip_with(
+        F.col("v"),
+        F.col("carr"),
+        lambda a, b: (a - b / F.lit(float(EMB_SCALE)))
+        * (a - b / F.lit(float(EMB_SCALE))),
+    )
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        emb.crossJoin(F.broadcast(cb))
+        .select("vec_id", "v", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.floor(F.col("d2") * EMB_SCALE).cast("long").alias("d2i"),
+        )
+    )
+
+
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Lloyd iterations — the centroid-training primitive
     ann_ivf_topk's docstring defers to ("at 10^12 vectors you'd
@@ -360,11 +393,18 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (K rows) so they live driver-side and ride into the plan as
     literals:
 
-      assign   map-ONLY projection: per vector, argmin over K inlined
-               squared-L2 folds (strict left fold, IEEE-identical on
-               both engines); deterministic tie-break by centroid id
-               via array_min over (d2, cid) structs. No join, no
-               shuffle, no per-round exchange of the corpus.
+      assign   the _pq_assign shape: the K-row centroid table rides in
+               as a BROADCAST crossJoin (data, not literals — CLAUDE.md
+               records a 16x32 literal-expression argmin costing ~50s
+               of pure plan analysis/codegen, and the trainer is the op
+               you'd run at K ~ sqrt(n) where a literal tree cannot
+               hold), squared-L2 as the same strict left fold
+               (IEEE-identical on both engines), argmin via row_number
+               over (d2 asc, cid asc) — the same (d2, cid) tie-break
+               the old array_min-over-structs produced. The window's
+               ClusteredDistribution(vec_id) is satisfied by the
+               persisted repartition("vec_id"), so assignment still
+               exchanges NOTHING per round — only a local sort.
       stats    one groupBy(cid) with map-side combine -> K rows.
       update   posexplode of floor(x*EMB_SCALE) BIGINT components ->
                (cid, pos) integer sums (order-free) -> K*dim rows to
@@ -397,29 +437,14 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     stats_rows: list[tuple[int, int, int, int]] = []
     for rnd in range(1, KMEANS_ROUNDS + 1):
-        choices = []
-        for j in sorted(cents):
-            carr = F.array(*[F.lit(c) for c in cents[j]])
-            diff = F.zip_with(
-                F.col("v"),
-                carr,
-                lambda a, b: (a - b / F.lit(float(EMB_SCALE)))
-                * (a - b / F.lit(float(EMB_SCALE))),
-            )
-            d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
-            choices.append(
-                F.struct(d2.alias("d"), F.lit(j).cast("long").alias("cid"))
-            )
-        best = F.array_min(F.array(*choices))
+        cb = spark.createDataFrame(
+            [(j, cents[j]) for j in sorted(cents)],
+            "cid long, carr array<long>",
+        )
         # persist per round: the stats collect AND the update collect
         # both read this frame — without the cache each would re-run
         # the K-way argmin folds over the corpus (2x the dominant cost)
-        assigned = emb.select(
-            "vec_id",
-            "v",
-            best["cid"].alias("cid"),
-            F.floor(best["d"] * EMB_SCALE).cast("long").alias("d2i"),
-        ).persist()
+        assigned = _kmeans_assign(emb, cb).persist()
         by_cid = {
             r["cid"]: r
             for r in assigned.groupBy("cid")
