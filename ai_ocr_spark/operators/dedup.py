@@ -113,6 +113,14 @@ def _shingled(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     df = _SHINGLE_CACHE.get(key)
     if df is None:
         df = _shingle_table(spark, sf_dir, n).persist()
+        # Eager build (the cb.count() pattern): a lazily-persisted frame
+        # whose first consumers are CONCURRENT stages (verify joins read
+        # sa+sb, AQE submits independent subtrees together) gets its
+        # cache blocks computed redundantly by each racing stage — the
+        # cold wall time then depends on scheduling luck (measured
+        # 2.9s-17s swings for dedup_incremental_lsh at sf0.1).
+        # Materializing at build makes cold = build + probe, once each.
+        df.count()
         _SHINGLE_CACHE[key] = df
     return df
 
@@ -160,6 +168,11 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("band_hash").isNotNull())
             .persist()
         )
+        # Eager: the LSH bucket join reads this index from BOTH sides
+        # (a/b aliases) — left lazy, the two concurrent join-input
+        # stages each recompute the band build cold (see _shingled).
+        # "Build the index, then probe" is also the honest 100-TB shape.
+        banded.count()
         _SHINGLE_CACHE[key] = banded
     return banded
 
