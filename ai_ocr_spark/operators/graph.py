@@ -27,21 +27,28 @@ in-degree with genuine hubs, like a real web graph), so the
 oracle can rebuild it without external data; swap in a real
 (src, dst) edge table and nothing else changes.
 
-Scale shape (Pregel co-partitioned): the edge table is repartitioned
-on src ONCE, persisted, and never exchanged again — each iteration
-repartitions only the rank vector onto the same (key, partition-count)
-layout, so the per-round network cost is O(|ranks|), not O(|edges|).
-The node table is likewise pinned on doc_id, matching the contrib
-aggregate's output partitioning, so the rank-update join moves
-nothing either (plan-pinned in tests/test_plan_shape_r4.py: zero
-Exchange nodes above the persisted edge/node scans inside an
-iteration). Ranks are localCheckpoint-ed per round — .persist() alone
-leaves the logical plan nesting k-fold per iteration (analyzer hang;
-see dedup_connected_components and the CLAUDE.md iterative-loop
-rule). PySpark's localCheckpoint drops partitioning metadata
-(measured; pinned in the same test file), so the rank vector is
-re-pinned with an explicit repartition each round — a small-table
-exchange, which is exactly the Pregel cost model.
+Scale shape (Pregel co-partitioned, r5 lazy form): the edge table is
+repartitioned on src ONCE, persisted, and never exchanged again; the
+node table is pinned on doc_id. The rank vector is NEVER explicitly
+exchanged: each round's update join output is hash-partitioned on
+doc_id (the contrib aggregate's output partitioning meets the pinned
+node table), and doc_id RENAMED to src satisfies the next round's
+edge-join distribution — partitioning metadata propagates through the
+alias, so the only per-iteration exchange is the contribution
+aggregate itself, i.e. the irreducible Pregel message delivery
+(plan-pinned in tests/test_plan_shape_r4.py: zero Exchange nodes on
+the edge relation, one ENSURE_REQUIREMENTS exchange per round).
+Locally AQE instead broadcasts the small rank vector into the edge
+partitions — same zero-edge-movement shape.
+
+r4 used localCheckpoint per round (dropping partitioning metadata,
+hence an explicit rank re-pin exchange each iteration: 2.29s -> 4.1s
+measured at sf0.1). That barrier is only needed when an iteration
+references the previous frame MORE than once (3^k plan nesting — see
+dedup_connected_components); here ranks feeds exactly ONE join per
+round, the lineage grows linearly over the fixed PR_ITERS, and the
+single lazy plan executes once — measured 4.14s -> 3.36s median-of-5
+at sf0.1, values bit-identical (SCALE.md records the trade).
 
 Reference parity: the reference has no graph stage (single-document
 microservice); this extends SURVEY §2's dedup-graph family (pairs ->
@@ -96,12 +103,7 @@ def pagerank_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = docs.select("doc_id", F.lit(PR_UNIT).cast("long").alias("rnk"))
     for _ in range(PR_ITERS):
         contrib = (
-            e.join(
-                ranks.select(F.col("doc_id").alias("src"), "rnk").repartition(
-                    par, "src"
-                ),
-                "src",
-            )
+            e.join(ranks.select(F.col("doc_id").alias("src"), "rnk"), "src")
             .select(
                 "dst",
                 F.expr("CAST((rnk * 85) DIV (100 * outdeg) AS BIGINT)").alias("c"),
@@ -109,15 +111,13 @@ def pagerank_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            docs.join(contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
-            .select(
-                "doc_id",
-                (F.lit(PR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
-                .cast("long")
-                .alias("rnk"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = docs.join(
+            contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            (F.lit(PR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("rnk"),
         )
     out = ranks.join(
         e.select("src", "outdeg").distinct().withColumnRenamed("src", "doc_id"),

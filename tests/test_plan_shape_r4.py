@@ -46,12 +46,16 @@ def _physical_nodes(df):
 
 
 def test_pagerank_iteration_never_exchanges_edges(spark):
-    """One PageRank iteration's contrib aggregate: the persisted edge
-    table (partitioned on src) is joined and aggregated with exactly
-    TWO exchanges — the rank-vector repartition and the dst aggregate
-    — i.e. zero exchanges on the edge relation. Broadcast is disabled
-    for the audit so a small-table broadcast can't mask a bad shape."""
-    from ai_ocr_spark.operators.graph import PR_UNIT, _edges
+    """One full PageRank round (contrib aggregate + rank update), in
+    the r5 lazy shape: the persisted edge table (partitioned on src)
+    and the pinned node table are both consumed in place, the rank
+    vector is NEVER explicitly exchanged (the update join's output
+    partitioning on doc_id, renamed to src, satisfies the next edge
+    join), and the round's only exchange is the dst contribution
+    aggregate — the irreducible Pregel message delivery. Broadcast is
+    disabled for the audit so a small-table broadcast can't mask a bad
+    shape."""
+    from ai_ocr_spark.operators.graph import PR_BASE, PR_UNIT, _edges
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -59,24 +63,40 @@ def test_pagerank_iteration_never_exchanges_edges(spark):
         par = int(spark.conf.get("spark.sql.shuffle.partitions"))
         e = _edges(spark, SF).repartition(par, "src").persist()
         e.count()
-        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
-        ranks = docs.select("doc_id", F.lit(PR_UNIT).cast("long").alias("rnk"))
-        contrib = (
-            e.join(
-                ranks.select(F.col("doc_id").alias("src"), "rnk").repartition(
-                    par, "src"
-                ),
-                "src",
-            )
-            .select("dst", F.expr("CAST((rnk * 85) DIV (100 * outdeg) AS BIGINT)").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("c"))
+        docs = (
+            spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id")
+            .repartition(par, "doc_id")
+            .persist()
         )
-        names, cache_reshuffled = _physical_nodes(contrib)
+        docs.count()
+        ranks = docs.select("doc_id", F.lit(PR_UNIT).cast("long").alias("rnk"))
+        for _ in range(2):  # two rounds: proves the rename carries over
+            contrib = (
+                e.join(ranks.select(F.col("doc_id").alias("src"), "rnk"), "src")
+                .select(
+                    "dst",
+                    F.expr("CAST((rnk * 85) DIV (100 * outdeg) AS BIGINT)").alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("c"))
+            )
+            ranks = docs.join(
+                contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left"
+            ).select(
+                "doc_id",
+                (F.lit(PR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("long")
+                .alias("rnk"),
+            )
+        names, cache_reshuffled = _physical_nodes(ranks)
         assert "InMemoryTableScan" in names, names
-        assert not cache_reshuffled, names  # edges consumed in place
-        assert names.count("Exchange") == 2, names  # rank pin + dst agg
+        assert not cache_reshuffled, names  # edges + nodes in place
+        # one ENSURE_REQUIREMENTS exchange per round (the dst agg),
+        # nothing for the rank vector in either round
+        assert names.count("Exchange") == 2, names
         e.unpersist()
+        docs.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
