@@ -473,37 +473,81 @@ def text_line_dedup() -> str:
     """
 
 
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE_RE = "\\b\\d{3}-\\d{4}-\\d{4}\\b|\\b\\d{3}-\\d{2}-\\d{4}\\b"
-
-
 def text_pii_scrub() -> str:
+    """Twin of textstats.text_pii_scrub — the regexes, the seed
+    construction and the Luhn fragment are all imported from the op's
+    module, so the two engines literally share one source."""
+    from .textstats import (
+        PII_ALPHA,
+        PII_CARD_KNOWN,
+        PII_EMAIL_RE,
+        PII_ID_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+        pii_luhn_sum_sql,
+    )
+
+    luhn_ok = pii_luhn_sum_sql("card") + " % 10 = 0"
     return f"""
         WITH s AS (
           SELECT doc_id,
-                 coalesce(text, '') || ' contact: user' || doc_id
-                   || '@example.com or admin@site' || (doc_id % 7)
-                   || '.org tel 555-01'
-                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-                   || '-4242.' AS seeded
+                 CASE WHEN doc_id % 10 = 0 THEN '{PII_CARD_KNOWN}'
+                      ELSE '4'
+                        || lpad(CAST((doc_id * 37) % 1000000 AS VARCHAR), 6, '0')
+                        || lpad(CAST((doc_id * 101) % 1000000000 AS VARCHAR), 9, '0')
+                 END AS card,
+                 '10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                   || '.' || ((doc_id * 3) % 256) AS ip,
+                 substr('{PII_ALPHA}', CAST(doc_id % 26 + 1 AS INTEGER), 1)
+                   || substr('{PII_ALPHA}', CAST((doc_id * 5) % 26 + 1 AS INTEGER), 1)
+                   || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+                   || substr('{PII_ALPHA}', CAST((doc_id * 11) % 26 + 1 AS INTEGER), 1)
+                   AS ident
           FROM documents
         ),
+        sd AS (
+          SELECT d.doc_id, s.card,
+                 coalesce(d.text, '') || ' contact: user' || d.doc_id
+                   || '@example.com or admin@site' || (d.doc_id % 7)
+                   || '.org tel 555-01'
+                   || lpad(CAST(d.doc_id % 100 AS VARCHAR), 2, '0')
+                   || '-4242. card ' || s.card || ' ip ' || s.ip
+                   || ' id ' || s.ident || '.' AS seeded
+          FROM documents d JOIN s USING (doc_id)
+        ),
         sc AS (
-          SELECT doc_id, seeded,
+          SELECT doc_id, seeded, card, {luhn_ok} AS card_luhn_valid,
                  regexp_replace(
-                   regexp_replace(seeded, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
-          FROM s
+                   regexp_replace(seeded, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_PHONE_RE}', '<PHONE>', 'g') AS sc1
+          FROM sd
+        ),
+        sc2 AS (
+          SELECT doc_id, seeded, card_luhn_valid,
+                 regexp_replace(
+                   regexp_replace(
+                     CASE WHEN card_luhn_valid
+                          THEN replace(sc1, card, '<CARD>') ELSE sc1 END,
+                     '{PII_IP_RE}', '<IP>', 'g'),
+                   '{PII_ID_RE}', '<ID>', 'g') AS scrubbed
+          FROM sc
         )
         SELECT doc_id,
-               CAST(len(regexp_extract_all(seeded, '{_EMAIL_RE}')) AS BIGINT)
+               CAST(len(regexp_extract_all(seeded, '{PII_EMAIL_RE}')) AS BIGINT)
                    AS n_emails,
-               CAST(len(regexp_extract_all(seeded, '{_PHONE_RE}')) AS BIGINT)
+               CAST(len(regexp_extract_all(seeded, '{PII_PHONE_RE}')) AS BIGINT)
                    AS n_phones,
+               CAST(CASE WHEN card_luhn_valid THEN 1 ELSE 0 END AS BIGINT)
+                   AS n_cards,
+               CAST(len(regexp_extract_all(seeded, '{PII_IP_RE}')) AS BIGINT)
+                   AS n_ips,
+               CAST(len(regexp_extract_all(seeded, '{PII_ID_RE}')) AS BIGINT)
+                   AS n_ids,
+               card_luhn_valid,
                substr(scrubbed, 1, 80) AS scrubbed_head,
                substr(scrubbed, greatest(length(scrubbed) - 59, 1), 60)
                    AS scrubbed_tail
-        FROM sc
+        FROM sc2
     """
 
 

@@ -1386,6 +1386,54 @@ def test_nfc_normalize_families_fire(spark):
             assert r["changed"] and r["n_cp_nfc"] < r["n_cp_raw"]
 
 
+def test_pii_scrub_every_class_fires(spark):
+    """r5 PII breadth: every redaction class fires at least once, the
+    Luhn gate is selective (valid cards redact, invalid candidates
+    survive verbatim), and the checksum agrees with a pure-Python
+    Luhn on the seeded digits."""
+    from ai_ocr_spark.operators.textstats import text_pii_scrub
+
+    out = text_pii_scrub(spark, SF).toPandas()
+    assert (out["n_emails"] >= 1).all()
+    assert (out["n_phones"] >= 1).all()
+    assert (out["n_ips"] == 1).all()
+    assert (out["n_ids"] == 1).all()
+    # the known-valid 4242... card seeds every 10th doc — fires at any SF
+    assert out.loc[out["doc_id"] % 10 == 0, "card_luhn_valid"].all()
+    assert (out["n_cards"] == out["card_luhn_valid"].astype(int)).all()
+    # redaction is visible in the tail (seeds sit at the end of seeded)
+    valid = out[out["card_luhn_valid"]]
+    invalid = out[~out["card_luhn_valid"]]
+    assert len(valid) and len(invalid)  # both branches exercised
+    assert valid["scrubbed_tail"].str.contains("<CARD>").all()
+    assert not invalid["scrubbed_tail"].str.contains("<CARD>").any()
+    assert out["scrubbed_tail"].str.contains("<IP>").all()
+    assert out["scrubbed_tail"].str.contains("<ID>").all()
+
+    def luhn(card: str) -> bool:
+        s = 0
+        for i, ch in enumerate(card):  # even length: double odd 1-based
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            s += d
+        return s % 10 == 0
+
+    for _, r in out.head(50).iterrows():
+        did = int(r["doc_id"])
+        if did % 10 == 0:
+            card = "4242424242424242"
+        else:
+            card = (
+                "4"
+                + str((did * 37) % 1000000).zfill(6)
+                + str((did * 101) % 1000000000).zfill(9)
+            )
+        assert luhn(card) == bool(r["card_luhn_valid"]), did
+
+
 def test_nfc_prefix_pins_are_ucd_stable():
     """Pin the LITERAL expected NFC form of every fixture prefix
     (computed once under UCD 14.0.0). The driver oracle compares
