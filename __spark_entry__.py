@@ -162,6 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reciprocal-rank fusion of the tf-idf and BM25 top-K lists —
         # integer-scaled RRF, consensus count per doc (new in r4d)
         "search_rrf_fusion": SRCH.search_rrf_fusion,
+        # hybrid retrieval: BM25 lexical list fused with the PQ-ADC
+        # ANN list through the same integer RRF — the 100-TB shape
+        # search_rrf_fusion's docstring promised (new in r5)
+        "ann_rrf_hybrid": SRCH.ann_rrf_hybrid,
         # incremental inverted-index refresh: persisted base postings +
         # increment-only scan, merged df/N, top-K under the refreshed
         # idf == batch rebuild (the twin IS the rebuild) (new in r4d)
@@ -714,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "search_keyword_topk": SRCH.SEARCH_ORACLE_SQL,
         "search_bm25_topk": SRCH.BM25_ORACLE_SQL,
         "search_rrf_fusion": SRCH.RRF_ORACLE_SQL,
+        "ann_rrf_hybrid": SRCH.HYBRID_ORACLE_SQL,
         "search_index_refresh": SRCH.IDX_REFRESH_ORACLE_SQL,
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,

@@ -414,6 +414,15 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = kw.select("query_id", "doc_id", "rnk").unionByName(
         bm.select("query_id", "doc_id", "rnk")
     )
+    return _rrf_fuse(u)
+
+
+def _rrf_fuse(u: DataFrame) -> DataFrame:
+    """Integer RRF over a union of (query_id, doc_id, rnk) lists:
+    RRF_SCALE DIV (RRF_K + rnk) summed per (query, doc), consensus
+    count, deterministic top-K. Shared by the lexical-x-lexical fusion
+    and the lexical-x-ANN hybrid — the layer itself never touches more
+    than (#rankers * K) rows per query."""
     fused = u.groupBy("query_id", "doc_id").agg(
         F.expr(f"CAST(sum({RRF_SCALE} DIV ({RRF_K} + rnk)) AS BIGINT)").alias(
             "rrf"
@@ -434,6 +443,57 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rankers",
         )
     )
+
+
+# exemplar embedding query per keyword family: the hybrid's query
+# carries BOTH a term list (drives BM25) and an embedding (drives the
+# PQ probe); the synthetic stand-in pins one exemplar vector per
+# family, inside ann_pq_topk's query set (vec_id < N_QUERIES)
+HYBRID_QUERY_VEC: dict[str, int] = {
+    "q_stream": 0,
+    "q_table": 1,
+    "q_vector": 2,
+}
+
+
+def ann_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the shape search_rrf_fusion's docstring
+    promises at 100 TB ("fuses a lexical list with an ANN list"), made
+    real: BM25 top-K over the inverted index fused with the PQ-ADC
+    top-K over the embedding index, through the same integer RRF.
+
+    Each ranker is the already-oracle-checked operator, unchanged:
+    `search_bm25_topk` (probe-below-aggregate postings, memoized) and
+    `ann_pq_topk` (broadcast codebooks + ADC, memoized). The hybrid
+    adds a 3-row broadcast query map (keyword family -> exemplar
+    vector) and the fusion aggregate over <= 2K rows/query — nothing
+    corpus-sized. Scale: both indexes are the persisted/checkpointed
+    artifacts their builders maintain; the fusion is rank-only, so a
+    vector neighbor missing from the lexical list (and vice versa)
+    contributes exactly its reciprocal rank — the standard way
+    RAG-grade retrieval merges modalities (Cormack et al., SIGIR'09).
+
+    Reference parity: generalizes the reference's best-single-score
+    document-type argmax (src/api/app/validators/excel_validator.py:
+    372-378) to multi-modal ranked retrieval, like search_rrf_fusion.
+    """
+    from .similarity import ann_pq_topk
+
+    bm = search_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rnk")
+    qmap = spark.createDataFrame(
+        sorted(HYBRID_QUERY_VEC.items()), "query_id string, qvec long"
+    )
+    ann = (
+        ann_pq_topk(spark, sf_dir)
+        .withColumnRenamed("query_id", "qvec_id")
+        .join(F.broadcast(qmap), F.col("qvec_id") == F.col("qvec"))
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rk").alias("rnk"),
+        )
+    )
+    return _rrf_fuse(bm.unionByName(ann))
 
 
 RRF_ORACLE_SQL = f"""
@@ -462,6 +522,50 @@ RRF_ORACLE_SQL = f"""
 
 
 # --- incremental inverted-index refresh (the crawl-refresh shape) -------------
+
+def _hybrid_oracle_sql() -> str:
+    """Twin of ann_rrf_hybrid: the two ranker subqueries ARE the
+    already-green BM25 and PQ oracle texts (the PQ twin re-trains its
+    codebooks independently, so Spark state never leaks in), mapped
+    through the same exemplar VALUES clause and fused by the same
+    integer RRF arithmetic."""
+    from .similarity import PQ_ORACLE_SQL
+
+    qvals = ", ".join(
+        f"('{q}', {v})" for q, v in sorted(HYBRID_QUERY_VEC.items())
+    )
+    return f"""
+        WITH bm AS (SELECT * FROM ({BM25_ORACLE_SQL})),
+        pq AS (SELECT * FROM ({PQ_ORACLE_SQL})),
+        qmap(query_id, qvec) AS (VALUES {qvals}),
+        annl AS (
+            SELECT qmap.query_id, pq.neighbor_id AS doc_id, pq.rk AS rnk
+            FROM pq JOIN qmap ON pq.query_id = qmap.qvec
+        ),
+        u AS (
+            SELECT query_id, doc_id, rnk FROM bm
+            UNION ALL
+            SELECT query_id, doc_id, rnk FROM annl
+        ),
+        fused AS (
+            SELECT query_id, doc_id,
+                   CAST(sum({RRF_SCALE} // ({RRF_K} + rnk)) AS BIGINT) AS rrf,
+                   CAST(count(*) AS BIGINT) AS n_rankers
+            FROM u GROUP BY query_id, doc_id
+        ),
+        r AS (
+            SELECT query_id, doc_id, rrf, n_rankers,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf DESC, doc_id ASC) AS rnk
+            FROM fused
+        )
+        SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf, n_rankers
+        FROM r WHERE rnk <= {SEARCH_TOP_K}
+    """
+
+
+HYBRID_ORACLE_SQL = _hybrid_oracle_sql()
+
 
 # hash15(doc_id) % IDX_INCR_MOD == 0 -> the new-crawl increment (~20%),
 # content-independent and engine-identical (same carve rule family as

@@ -338,6 +338,55 @@ def test_cms_never_underestimates(spark):
     assert heaviest["cms_estimate"] <= heaviest["exact_count"] * 1.5
 
 
+def test_ann_rrf_hybrid_matches_python_replay(spark):
+    """The lexical-x-ANN hybrid matches a pure-Python RRF replay over
+    the two already-tested rankers' outputs (BM25 list + PQ-ADC list
+    mapped through the exemplar query table) — i.e. the hybrid is
+    exactly the fusion of its parts, nothing recomputed differently."""
+    from ai_ocr_spark.operators.search import (
+        HYBRID_QUERY_VEC,
+        RRF_K,
+        RRF_SCALE,
+        SEARCH_TOP_K,
+        ann_rrf_hybrid,
+        search_bm25_topk,
+    )
+    from ai_ocr_spark.operators.similarity import ann_pq_topk
+
+    bm = search_bm25_topk(spark, SF).toPandas()
+    pq = ann_pq_topk(spark, SF).toPandas()
+    out = ann_rrf_hybrid(spark, SF).toPandas()
+
+    for qid, qvec in HYBRID_QUERY_VEC.items():
+        scores: dict[int, int] = {}
+        srcs: dict[int, int] = {}
+        for _, r in bm[bm.query_id == qid].iterrows():
+            d = int(r["doc_id"])
+            scores[d] = scores.get(d, 0) + RRF_SCALE // (RRF_K + int(r["rnk"]))
+            srcs[d] = srcs.get(d, 0) + 1
+        for _, r in pq[pq.query_id == qvec].iterrows():
+            d = int(r["neighbor_id"])
+            scores[d] = scores.get(d, 0) + RRF_SCALE // (RRF_K + int(r["rk"]))
+            srcs[d] = srcs.get(d, 0) + 1
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :SEARCH_TOP_K
+        ]
+        got = out[out.query_id == qid].sort_values("rnk")
+        assert list(got["doc_id"]) == [d for d, _ in expect], qid
+        assert list(got["rrf"]) == [s for _, s in expect], qid
+        assert list(got["n_rankers"]) == [srcs[d] for d, _ in expect], qid
+    # every query produced a full fused list and both modalities
+    # contributed somewhere across the query set
+    assert len(out) == len(HYBRID_QUERY_VEC) * SEARCH_TOP_K
+    bm_docs = set(zip(bm.query_id, bm.doc_id))
+    ann_only = [
+        (q, d)
+        for q, d in zip(out.query_id, out.doc_id)
+        if (q, d) not in bm_docs
+    ]
+    assert ann_only, "ANN list never surfaced a doc the lexical list missed"
+
+
 def test_search_rrf_fusion_matches_python_replay(spark):
     """Fused ranking matches a pure-Python RRF replay over the two
     rankers' outputs, and consensus actually matters: some doc with
