@@ -313,6 +313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_features": MM.mm_image_features_q,
         "mm_frame_sample": MM.mm_frame_sample_q,
         "mm_audio_stats": MM.mm_audio_stats_q,
+        # image -> TEXT recovery: the reference's declared-never-built
+        # OCR branch filled — 5x7 bitmap-font render into the real
+        # BMP/PNG containers, decoded back by template matching; the
+        # recovered text must hash-match the source (new in r5)
+        "mm_ocr_text": MM.mm_ocr_text_q,
         # pointer-doubling components + banded LSH: the r3 rewrite's
         # only direct driver rows tested the OLD code (VERDICT r3
         # What's-wrong #1), and the r4 Pregel co-partition pin changed
@@ -894,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": ORC.url_canonicalize(),
         "quality_filter_gopher": ORC.quality_filter_gopher(),
         "mm_image_features": ORC.mm_image_features(),
+        "mm_ocr_text": ORC.mm_ocr_text(),
         "mm_frame_sample": ORC.mm_frame_sample(),
         "mm_audio_stats": ORC.mm_audio_stats(),
     }

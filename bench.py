@@ -128,6 +128,10 @@ def main() -> int:
         "ann_ivf_recall",
         "pipeline_metrics_report",
         "mm_image_features",
+        # r5: the OCR leg (glyph render -> container -> template match)
+        # and the lexical-x-ANN fusion
+        "mm_ocr_text",
+        "ann_rrf_hybrid",
         # r4b: the crawl loop's publish artifacts + the encoding scrub,
         # the robots frontier gate and the re-crawl delta join
         "pipeline_wet_roundtrip",
