@@ -79,7 +79,9 @@ def _pipeline_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered by the r4 rotation policy (VERDICT r3 "Next round" #1).
+    """Ordering = the r5 rotation, applied by _R5_WINDOW at the end of
+    this function (the dict literal below keeps its r4 grouping and
+    per-entry commentary; the explicit list is what the driver sees).
 
     The driver's correctness harness evaluates the FIRST 50 entries.
     Rotation policy, applied per round:
@@ -90,64 +92,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tier 3 — freshly-proven entries (green last round) sit behind the
                truncation line, where ageing is bounded by tier 2's
                fill next round.
-    r4 instantiation: tier 1 = 36 new (docx/bm25/bpe_pairs/bpe_train/
-    bpe_encode/dedup_lsh_recall/ann_pq_recall/ivf_recall/kmeans/pq/
-    perplexity-unigram+bigram+kn/entropy/classifier_nb/
-    classifier_eval_pr/langid_ngram/fix_mojibake/url_domain_etld1/
-    text_nfc_normalize/mix_epochs/metrics_report/session_windows/
-    resume_snapshot/wet_roundtrip/outlinks/anchor_index/robots_gate/
-    compact/crawl_delta/cdx_index/frontier_topk/crawl_schedule_waves/
-    sitemap_discover/dsir_select/dsir_eval) + the
-    rewritten mm_* codecs
-    (real BMP/WAV/Y4M + PNG) + everything the Pregel co-partition pin,
-    the docx sniff/label-table changes and the outlink-recorder kernel
-    change touched (connected_components, minhash_lsh, pagerank,
-    keep_canonical pair, search_keyword, invoice/main_text/xlsx
-    pipelines) + the r4d additions (search_rrf_fusion,
-    search_index_refresh, tokenizer_vocab_coverage and
-    sketch_quantiles_logbin new; search_keyword_topk's probe moved
-    below the tf aggregate; tokenizer_bpe_encode refactored through
-    the shared _encoded_word_counts) = 52 changed-or-new entries for
-    50 slots — the window is all tier 1 this round, ending at
-    pipeline_xlsx_roundtrip = position 50. The two tier-1 overflows
-    (positions 51-52) are r3-green entries whose r4 deltas are
-    directly tested by in-window queries:
-    dedup_embedding_keep_canonical (its own SemDeDup logic unchanged;
-    the shared pointer-doubling labels helper is exercised by
-    dedup_connected_components + dedup_minhash_keep_canonical) and
-    pipeline_invoice_roundtrip (the fields.py label-table delta is
-    the docx rows, tested by pipeline_docx_roundtrip; the
-    invoice-specific spans are unchanged). Positions 53-55 are the
-    r4d ops born past the full window — stream_quantiles_logbin
-    (same oracle SQL as the in-window batch sketch, pytest-pinned
-    equal to it), dedup_lsh_exact_reps (oracle IS the components
-    twin it must reproduce) and url_domain_etld1_dim (oracle IS the
-    literal variant's twin) — all locally driver-strength green.
-    Tier 2 gets no slots; the binary-container roundtrips
-    (pipeline_pdf_roundtrip, pipeline_warc_roundtrip — displaced by
-    the r4d ops, still r2-green + local driver-strength verified)
-    lead tier 3 for r5's rotation together with the position 51-55
-    overflows, ahead of the other r2 entries left outside
-    (pipeline_gzip_roundtrip,
-    pipeline_sections, pipeline_table_roundtrip,
-    stream_events_daily,
-    dedup_exact, dedup_simhash, text_dup_fraction,
-    dedup_ngram_jaccard,
-    dedup_embedding_cosine, dedup_embedding_lsh, ann_cosine_topk,
-    ann_ivf_topk,
-    q1_pricing_summary,
-    agg_keyword_score_argmax,
-    window_running_spend,
-    window_sessionize, join_nation_region_rollup,
-    join_customer_orders, agg_order_totals, events_daily_metrics,
-    agg_bool_checks, join_semi_orders_with_items,
-    join_anti_customers_without_orders, topk_parts_by_price,
-    window_top3_events_per_user, filter_events_window,
-    filter_keyword_headers, f_date_normalize, f_amount_normalize,
-    f_lang_detect, f_json_parse_fallback, agg_first3_events_per_user,
-    f_clamp_score, f_doc_type_case, union_head_tail, orders_page2 —
-    simple scalar projections/slices/top-k/semi+anti joins plus four
-    relational aggregates, all unchanged since r1/r2).
+
+    r5 instantiation (the plan VERDICT r4 "Next round" #2 queued):
+    tier 1 = 10 changed-or-new (mm_ocr_text, ann_rrf_hybrid NEW;
+    text_pii_scrub gained the Luhn/IP/id classes; embedding_kmeans
+    moved to the broadcast-table argmin; pagerank_link_graph dropped
+    the per-round checkpoint; dedup_minhash_lsh + dedup_incremental_lsh
+    build their indexes eagerly now; tokenizer_bpe_encode +
+    tokenizer_vocab_coverage share the re-tupled _encoded_word_counts
+    cache; search_rrf_fusion was refactored through _rrf_fuse)
+    + the 3 entries that have NEVER had a driver row
+    (stream_quantiles_logbin, dedup_lsh_exact_reps,
+    url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
+    (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
+    tier-1 overflows (dedup_embedding_keep_canonical,
+    pipeline_invoice_roundtrip) = 17. Tier 2 = 33 of the 36 r1/r2-row
+    entries, stalest first. The 3 r2-green scalar slices that did not
+    fit (f_clamp_score, union_head_tail, orders_page2 — pure
+    projections unchanged since r1, r2-green, local-sweep green) sit
+    at positions 51-53; every other entry has an r3 or r4 green row.
+    (The r4 instantiation this replaces is recorded in git history;
+    the dict literal below still carries its r4 tier grouping comments,
+    which _R5_WINDOW supersedes.)
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # ================= tier 1: changed or new in r4 =================
@@ -459,7 +425,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_kmv": SK.sketch_distinct_kmv,
         "sample_hash_stable": SK.sample_hash_stable,
     }
-    return q
+    prefix = _R5_WINDOW + _R5_NEXT
+    missing = [n for n in prefix if n not in q]
+    assert not missing, f"rotation names absent from queries(): {missing}"
+    assert len(_R5_WINDOW) == len(set(prefix)) - len(_R5_NEXT) == 50
+    ordered = {n: q[n] for n in prefix}
+    ordered.update((n, f) for n, f in q.items() if n not in ordered)
+    return ordered
+
+
+# The first 50 entries the driver checks this round — see the queries()
+# docstring for the tier derivation. Order within a tier: highest-risk
+# first (new ops, then changed plans, then value-neutral code changes,
+# then never-checked, displaced, overflow, and stalest greens).
+_R5_WINDOW = [
+    # -- tier 1: new in r5 --
+    "mm_ocr_text",
+    "ann_rrf_hybrid",
+    # -- tier 1: changed in r5 --
+    "text_pii_scrub",
+    "embedding_kmeans",
+    "pagerank_link_graph",
+    "dedup_incremental_lsh",
+    "dedup_minhash_lsh",
+    "tokenizer_bpe_encode",
+    "tokenizer_vocab_coverage",
+    "search_rrf_fusion",
+    # -- tier 1: never driver-checked (born past the r4 window) --
+    "stream_quantiles_logbin",
+    "dedup_lsh_exact_reps",
+    "url_domain_etld1_dim",
+    # -- tier 1: displaced r2 rows + r4 overflows --
+    "pipeline_pdf_roundtrip",
+    "pipeline_warc_roundtrip",
+    "dedup_embedding_keep_canonical",
+    "pipeline_invoice_roundtrip",
+    # -- tier 2: stalest r1/r2 greens (33 of 36) --
+    "pipeline_gzip_roundtrip",
+    "pipeline_sections",
+    "pipeline_table_roundtrip",
+    "stream_events_daily",
+    "dedup_exact",
+    "dedup_simhash",
+    "text_dup_fraction",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "q1_pricing_summary",
+    "agg_keyword_score_argmax",
+    "window_running_spend",
+    "window_sessionize",
+    "join_nation_region_rollup",
+    "join_customer_orders",
+    "agg_order_totals",
+    "events_daily_metrics",
+    "agg_bool_checks",
+    "join_semi_orders_with_items",
+    "join_anti_customers_without_orders",
+    "topk_parts_by_price",
+    "window_top3_events_per_user",
+    "filter_events_window",
+    "filter_keyword_headers",
+    "f_date_normalize",
+    "f_amount_normalize",
+    "f_lang_detect",
+    "f_json_parse_fallback",
+    "agg_first3_events_per_user",
+    "f_doc_type_case",
+]
+
+# positions 51-53: the three r2-green scalar slices the 50-slot window
+# could not hold (unchanged since r1, local-sweep green) — first in
+# line should the window ever widen
+_R5_NEXT = ["f_clamp_score", "union_head_tail", "orders_page2"]
 
 
 def oracle_sql() -> dict[str, str]:
