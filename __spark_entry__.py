@@ -94,7 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                fill next round.
 
     r5 instantiation (the plan VERDICT r4 "Next round" #2 queued):
-    tier 1 = 10 changed-or-new (mm_ocr_text, ann_rrf_hybrid NEW;
+    tier 1 = 12 changed-or-new (mm_ocr_text, ann_rrf_hybrid,
+    ann_ivf_pq_topk, ann_ivf_pq_recall NEW;
     text_pii_scrub gained the Luhn/IP/id classes; embedding_kmeans
     moved to the broadcast-table argmin; pagerank_link_graph dropped
     the per-round checkpoint; dedup_minhash_lsh + dedup_incremental_lsh
@@ -106,11 +107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) = 17. Tier 2 = 33 of the 36 r1/r2-row
-    entries, stalest first. The 3 r2-green scalar slices that did not
-    fit (f_clamp_score, union_head_tail, orders_page2 — pure
-    projections unchanged since r1, r2-green, local-sweep green) sit
-    at positions 51-53; every other entry has an r3 or r4 green row.
+    pipeline_invoice_roundtrip) = 19. Tier 2 = 31 of the 36 r1/r2-row
+    entries, stalest first. The 5 r1/r2-green scalar slices that did
+    not fit (agg_first3_events_per_user, f_doc_type_case,
+    f_clamp_score, union_head_tail, orders_page2 — pure projections
+    unchanged since r1/r2, local-sweep green) sit at positions 51-55;
+    every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
     which _R5_WINDOW supersedes.)
@@ -170,6 +172,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PQ's honesty number as a driver-checked value, mirroring
         # ann_ivf_recall (new in r4)
         "ann_pq_recall": SIM.ann_pq_recall,
+        # IVFADC: the IVF coarse quantizer prunes to the probed lists,
+        # PQ/ADC scores only those lists' codes — the production
+        # trillion-vector composition of the two paths above; the
+        # memoized lists frame is FAISS's IVFPQ storage layout
+        # (new in r5)
+        "ann_ivf_pq_topk": SIM.ann_ivf_pq_topk,
+        # IVFADC's measured recall@K vs exact — per-query bounded above
+        # by the coarse path's recall, pinned by test (new in r5)
+        "ann_ivf_pq_recall": SIM.ann_ivf_pq_recall,
         # CCNet-style unigram-LM perplexity gate: hash-stable 20% train
         # slice, integer-ln cross-entropy, exact nearest-rank tertile
         # head/middle/tail buckets (new in r4)
@@ -442,6 +453,8 @@ _R5_WINDOW = [
     # -- tier 1: new in r5 --
     "mm_ocr_text",
     "ann_rrf_hybrid",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_recall",
     # -- tier 1: changed in r5 --
     "text_pii_scrub",
     "embedding_kmeans",
@@ -492,14 +505,19 @@ _R5_WINDOW = [
     "f_amount_normalize",
     "f_lang_detect",
     "f_json_parse_fallback",
-    "agg_first3_events_per_user",
-    "f_doc_type_case",
 ]
 
-# positions 51-53: the three r2-green scalar slices the 50-slot window
-# could not hold (unchanged since r1, local-sweep green) — first in
-# line should the window ever widen
-_R5_NEXT = ["f_clamp_score", "union_head_tail", "orders_page2"]
+# positions 51-55: the r2-green scalar slices the 50-slot window could
+# not hold once the two IVFADC entries joined tier 1 (all unchanged
+# since r1/r2, local-sweep green) — first in line should the window
+# ever widen
+_R5_NEXT = [
+    "agg_first3_events_per_user",
+    "f_doc_type_case",
+    "f_clamp_score",
+    "union_head_tail",
+    "orders_page2",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -773,6 +791,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": SIM.KMEANS_ORACLE_SQL,
         "ann_pq_topk": SIM.PQ_ORACLE_SQL,
         "ann_pq_recall": ORC.ann_pq_recall(),
+        "ann_ivf_pq_topk": SIM.IVFPQ_ORACLE_SQL,
+        "ann_ivf_pq_recall": ORC.ann_ivf_pq_recall(),
         "quality_perplexity_unigram": QL.PERPLEXITY_ORACLE_SQL,
         "text_token_entropy": QL.ENTROPY_ORACLE_SQL,
         "quality_perplexity_bigram": QL.BIGRAM_ORACLE_SQL,

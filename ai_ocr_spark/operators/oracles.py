@@ -812,6 +812,30 @@ def ann_pq_recall() -> str:
     """
 
 
+def ann_ivf_pq_recall() -> str:
+    """Recall@K of the IVFADC search vs the exact baseline — the
+    ann_pq_recall composition with the IVFPQ twin substituted."""
+    from .similarity import IVFPQ_ORACLE_SQL, PQ_TOP_K
+
+    return f"""
+        WITH exact AS MATERIALIZED ({ann_cosine_topk()}),
+        ivfpq AS MATERIALIZED ({IVFPQ_ORACLE_SQL}),
+        hits AS (
+          SELECT p.query_id, count(*) AS n_hits
+          FROM ivfpq p
+          JOIN exact e ON e.query_id = p.query_id
+                      AND e.neighbor_id = p.neighbor_id
+                      AND e.rk <= {PQ_TOP_K}
+          GROUP BY p.query_id
+        ),
+        qs AS (SELECT DISTINCT query_id FROM ivfpq)
+        SELECT query_id,
+               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(n_hits, 0) / {PQ_TOP_K} AS recall_at_k
+        FROM qs LEFT JOIN hits USING (query_id)
+    """
+
+
 def dedup_embedding_lsh() -> str:
     from .similarity import LSH_COS_THRESHOLD, LSH_TABLES, _hyperplanes
 

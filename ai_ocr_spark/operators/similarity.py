@@ -63,62 +63,65 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF two-stage ANN: a FIXED-K deterministic centroid sample (the
-    N_CENTROIDS smallest md5(vec_id) — a uniform pseudo-random draw that
-    stays K-sized at any corpus size, so assignment cost is O(n*K), not
-    the O(n^2/stride) a modulo rule degrades to), nearest-centroid
-    assignment builds the inverted lists, queries probe their top-N_PROBE
-    lists and rank candidates by exact cosine. The centroid pick is a
-    TakeOrderedAndProject (top-K, no full sort) and is broadcast.
-
-    Equivalent DuckDB SQL reproduces the same centroid set, assignment
-    and tie-breaks, so results match exactly even though the search is
-    approximate vs ann_cosine_topk."""
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple:
+    """Centroid pick + inverted lists, persisted+memoized TOGETHER per
+    (session, sf_dir): an IVF index is built once and probed many
+    times — recomputing the centroid TakeOrdered scan per call would
+    re-read the whole corpus just to rebuild an identical broadcast.
+    At 10^12 vectors this pair IS the index you write out partitioned
+    by centroid_id. Assignment is repartitioned to width first
+    (single-split input = single-task assignment otherwise). The
+    centroid sample is the N_CENTROIDS smallest md5(vec_id) — a uniform
+    pseudo-random draw that stays K-sized at any corpus size, so
+    assignment cost is O(n*K) — picked by TakeOrderedAndProject (top-K,
+    no full sort) and broadcast. Shared by ann_ivf_topk (exact-cosine
+    rerank within lists) and ann_ivf_pq_topk (ADC within lists)."""
     emb = _emb(spark, sf_dir)
-
-    # centroid pick + inverted lists persisted+memoized TOGETHER per
-    # (session, sf_dir): an IVF index is built once and probed many
-    # times — recomputing the centroid TakeOrdered scan per call would
-    # re-read the whole corpus just to rebuild an identical broadcast.
-    # At 10^12 vectors this pair IS the index you write out partitioned
-    # by centroid_id. Assignment is repartitioned to width first
-    # (single-split input = single-task assignment otherwise).
     from .dedup import _SHINGLE_CACHE, _cache_key
 
     key = _cache_key(spark, sf_dir, "ivf-index")
     cached = _SHINGLE_CACHE.get(key)
-    if cached is None:
-        cent_pick = F.md5(F.col("vec_id").cast("string").cast("binary"))
-        cent = (
-            emb.orderBy(cent_pick.asc(), F.col("vec_id").asc())
-            .limit(N_CENTROIDS)
-            .select(
-                F.col("vec_id").alias("centroid_id"),
-                F.col("v").alias("cv"),
-                F.col("nrm").alias("cn"),
-            )
-            .persist()
+    if cached is not None:
+        return cached
+    cent_pick = F.md5(F.col("vec_id").cast("string").cast("binary"))
+    cent = (
+        emb.orderBy(cent_pick.asc(), F.col("vec_id").asc())
+        .limit(N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
         )
-        ccos = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-        par = max(spark.sparkContext.defaultParallelism, 8)
-        aw = Window.partitionBy("vec_id").orderBy(
-            F.desc("ccos"), F.asc("centroid_id")
-        )
-        assigned = (
-            emb.repartition(par, F.col("vec_id"))
-            .crossJoin(F.broadcast(cent))
-            .select("vec_id", "v", "nrm", "centroid_id", ccos.alias("ccos"))
-            .withColumn("ark", F.row_number().over(aw))
-            .filter(F.col("ark") == 1)
-            .select("vec_id", "v", "nrm", "centroid_id")
-            .persist()
-        )
-        _SHINGLE_CACHE[key] = (cent, assigned)
-    else:
-        cent, assigned = cached
+        .persist()
+    )
+    ccos = V.dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        emb.repartition(par, F.col("vec_id"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", "centroid_id", ccos.alias("ccos"))
+        .withColumn("ark", F.row_number().over(aw))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "v", "nrm", "centroid_id")
+        .persist()
+    )
+    # materialize EAGERLY before memoizing: left lazy, the first cold
+    # action submits several join-input stages concurrently and each
+    # racing stage recomputes the unmaterialized blocks (CLAUDE.md,
+    # measured on dedup_incremental_lsh: cold wall 2.9s-17s lazy vs
+    # 2.45s +/- 0.02 eager)
+    cent.count()
+    assigned.count()
+    _SHINGLE_CACHE[key] = (cent, assigned)
+    return cent, assigned
 
-    # queries probe their top-N_PROBE centroids
+
+def _ivf_probes(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(query_id, qv, qn, centroid_id): each query's top-N_PROBE
+    inverted lists by centroid cosine, ties to the lower centroid_id."""
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -126,13 +129,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qcos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     qw = Window.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("centroid_id"))
-    probes = (
+    return (
         q.crossJoin(F.broadcast(cent))
         .select("query_id", "qv", "qn", "centroid_id", qcos.alias("qcos"))
         .withColumn("prk", F.row_number().over(qw))
         .filter(F.col("prk") <= N_PROBE)
         .select("query_id", "qv", "qn", "centroid_id")
     )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN: a FIXED-K deterministic centroid sample (see
+    _ivf_index), nearest-centroid assignment builds the inverted lists,
+    queries probe their top-N_PROBE lists and rank candidates by exact
+    cosine.
+
+    Equivalent DuckDB SQL reproduces the same centroid set, assignment
+    and tie-breaks, so results match exactly even though the search is
+    approximate vs ann_cosine_topk."""
+    cent, assigned = _ivf_index(spark, sf_dir)
+    probes = _ivf_probes(_emb(spark, sf_dir), cent)
 
     # candidate generation: equi-join on centroid_id (the IVF win — at
     # scale this prunes to the probed lists' partitions only)
@@ -768,17 +784,21 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle_sql() -> str:
-    """Independent PQ twin: md5-init codebooks per subspace, PQ_ROUNDS
-    Lloyd refinements (floor-div integer means, empty-code carry-over),
-    ADC scoring over integerized per-subspace distances. The subspace
+_PQ_D2_SQL = (
+    "list_reduce(list_transform(range(1, len({sv}) + 1), "
+    "i -> ({sv}[i] - {c}[i] / " + str(float(EMB_SCALE)) + ") "
+    "* ({sv}[i] - {c}[i] / " + str(float(EMB_SCALE)) + ")), (x, y) -> x + y)"
+)
+
+
+def _pq_common_sql() -> str:
+    """CTE chain shared by the PQ and IVFPQ twins: unit normalization,
+    subvector explode, md5-init codebooks per subspace, PQ_ROUNDS Lloyd
+    refinements (floor-div integer means, empty-code carry-over), code
+    assignment (enc) and the query ADC lookup table (qd). The subspace
     index m is a COLUMN, so one CTE chain covers all subspaces and the
     rounds unroll in a loop."""
-    d2 = (
-        "list_reduce(list_transform(range(1, len({sv}) + 1), "
-        "i -> ({sv}[i] - {c}[i] / " + str(float(EMB_SCALE)) + ") "
-        "* ({sv}[i] - {c}[i] / " + str(float(EMB_SCALE)) + ")), (x, y) -> x + y)"
-    )
+    d2 = _PQ_D2_SQL
     parts = [f"""
     WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     en AS (SELECT vec_id, v,
@@ -853,7 +873,14 @@ def _pq_oracle_sql() -> str:
                           * {EMB_SCALE}) AS BIGINT) AS qd
         FROM sub s JOIN {cf} c USING (m)
         WHERE s.vec_id < {N_QUERIES}
-    ),
+    )""")
+    return "".join(parts)
+
+
+def _pq_oracle_sql() -> str:
+    """Independent PQ twin: the shared chain (_pq_common_sql) scored
+    exhaustively — every encoded vector joins the query ADC table."""
+    return _pq_common_sql() + f""",
     adc AS (
         SELECT q.query_id, x.vec_id,
                CAST(sum(q.qd) AS BIGINT) AS adc_scaled
@@ -867,8 +894,7 @@ def _pq_oracle_sql() -> str:
                    ORDER BY adc_scaled ASC, vec_id ASC) AS BIGINT) AS rk
         FROM adc
     ) WHERE rk <= {PQ_TOP_K}
-""")
-    return "".join(parts)
+"""
 
 
 PQ_ORACLE_SQL = _pq_oracle_sql()
@@ -897,6 +923,198 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     qs = pq.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits / PQ_TOP_K).alias("recall_at_k"),
+    )
+
+
+# --- IVF x PQ: the IVFADC composition ----------------------------------------
+
+
+def _ivfpq_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFADC index frame (vec_id, centroid_id, m, cid): inverted
+    lists whose entries are PQ codes — FAISS's IVFPQ storage layout.
+    Memoized+persisted per (session, sf_dir) and materialized eagerly
+    (lazy memoized persists race concurrent cold stages, CLAUDE.md).
+    At 10^12 vectors this frame is what you write out partitioned by
+    centroid_id: ~10 bytes of codes per entry instead of 256 bytes of
+    floats, and a probe touches only its lists' partitions."""
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    key = _cache_key(spark, sf_dir, "ivfpq-lists")
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    _cent, assigned = _ivf_index(spark, sf_dir)
+    cb = _pq_codebooks(spark, sf_dir)
+    codes = _pq_assign(_pq_sub(spark, sf_dir), cb).select("vec_id", "m", "cid")
+    lists = (
+        codes.join(assigned.select("vec_id", "centroid_id"), "vec_id")
+        .persist()
+    )
+    lists.count()
+    _SHINGLE_CACHE[key] = lists
+    return lists
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jegou et al. 2011, §V): the IVF coarse quantizer prunes
+    the candidate set to the query's top-N_PROBE inverted lists, and
+    PQ/ADC scores ONLY those lists' codes — the production
+    trillion-vector shape that composes ann_ivf_topk's compute path
+    (touch n*N_PROBE/N_CENTROIDS of the corpus) with ann_pq_topk's
+    memory path (80-bit codes, table-lookup distances). Codes quantize
+    the unit-normalized vectors directly (IVFFlat-style lists carrying
+    PQ codes), not centroid residuals: the codebooks are shared with
+    ann_pq_topk, so the twin re-derives one training chain, and on
+    unit vectors ADC stays rank-equivalent to cosine.
+
+    Plan shape at query time: equi-join of the memoized lists frame on
+    centroid_id against the broadcast probe set, broadcast ADC lookup
+    join, one (query, vec) integer-sum aggregate over ~n*N_PROBE*PQ_M/
+    N_CENTROIDS rows, window top-K. No corpus shuffle, no cartesian.
+
+    The DuckDB twin composes the PQ chain (_pq_common_sql) with the
+    IVF centroid/assignment/probe CTEs and restricts the ADC join to
+    probed-list candidates — same tie-breaks ((adc, vec_id) ASC), same
+    integer arithmetic, exact cross-engine match."""
+    lists = _ivfpq_lists(spark, sf_dir)
+    cent, _assigned = _ivf_index(spark, sf_dir)
+    cb = _pq_codebooks(spark, sf_dir)
+    probe_ids = _ivf_probes(_emb(spark, sf_dir), cent).select(
+        "query_id", "centroid_id"
+    )
+    # query ADC lookup table: Q*M*K rows, broadcast. Rename every key
+    # (qid/qm/k): qd and lists both descend from the embeddings scan,
+    # and identically-named join columns in shared-lineage joins
+    # resolve to ONE attribute (the "trivially true equals predicate"
+    # trap, see ann_pq_topk).
+    sub = _pq_sub(spark, sf_dir)
+    qd = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("m").alias("qm"),
+            F.col("cid").alias("k"),
+            F.floor(_pq_d2() * EMB_SCALE).cast("long").alias("qdist"),
+        )
+    )
+    adc = (
+        lists.join(F.broadcast(probe_ids), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(qd),
+            (F.col("m") == F.col("qm"))
+            & (F.col("cid") == F.col("k"))
+            & (F.col("query_id") == F.col("qid")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdist").cast("long").alias("adc_scaled"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_scaled"), F.asc("vec_id")
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_scaled",
+            "rk",
+        )
+    )
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _ivfpq_oracle_sql() -> str:
+    """IVFADC twin: the PQ chain's `en` CTE (vec_id, raw v, nrm) feeds
+    the IVF centroid pick / assignment / probes (same md5 sample and
+    tie-breaks as the ann_ivf_topk oracle), and the ADC join is
+    restricted to probed-list candidates."""
+    dot = _DOT_SQL
+    ccos = (
+        dot.format(a="en.v", b="cent.cv") + " / (en.nrm * cent.cn)"
+    )
+    return _pq_common_sql() + f""",
+    cent AS (
+        SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
+        FROM en ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+        LIMIT {N_CENTROIDS}
+    ),
+    asg AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT en.vec_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY {ccos} DESC, cent.centroid_id ASC) AS ark
+            FROM en, cent
+        ) WHERE ark = 1
+    ),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT en.vec_id AS query_id, cent.centroid_id,
+                   row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY {ccos} DESC, cent.centroid_id ASC) AS prk
+            FROM en, cent WHERE en.vec_id < {N_QUERIES}
+        ) WHERE prk <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM asg a JOIN probes p USING (centroid_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.vec_id,
+               CAST(sum(q.qd) AS BIGINT) AS adc_scaled
+        FROM cand c
+        JOIN enc x ON x.vec_id = c.vec_id
+        JOIN qd q ON q.query_id = c.query_id
+                 AND q.m = x.m AND q.k = x.code
+        GROUP BY c.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_scaled, rk FROM (
+        SELECT query_id, vec_id AS neighbor_id, adc_scaled,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_scaled ASC, vec_id ASC) AS BIGINT) AS rk
+        FROM adc
+    ) WHERE rk <= {PQ_TOP_K}
+"""
+
+
+IVFPQ_ORACLE_SQL = _ivfpq_oracle_sql()
+
+
+def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@K of the IVFADC path vs the exact cosine
+    baseline — the same honesty number ann_ivf_recall and ann_pq_recall
+    publish for their single-stage paths. Per query it is bounded above
+    by the IVF path's recall (a true neighbor must survive the coarse
+    prune; and any pruned-in exact-top-K neighbor is in ann_ivf_topk's
+    top-K by definition) — a pinned test invariant. It is NOT bounded
+    by PQ's recall: pruning also removes ADC distractors, so IVFADC
+    can beat exhaustive ADC. This value is what the 100x-scale
+    N_PROBE-vs-PQ_KS budget conversation trades against, per corpus."""
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rk") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivfpq = ann_ivf_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ivfpq.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = ivfpq.select("query_id").distinct()
     n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
     return qs.join(hits, "query_id", "left").select(
         "query_id",

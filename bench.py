@@ -128,10 +128,12 @@ def main() -> int:
         "ann_ivf_recall",
         "pipeline_metrics_report",
         "mm_image_features",
-        # r5: the OCR leg (glyph render -> container -> template match)
-        # and the lexical-x-ANN fusion
+        # r5: the OCR leg (glyph render -> container -> template match),
+        # the lexical-x-ANN fusion, and the IVFADC composition (coarse
+        # prune + ADC scoring over the probed lists' codes)
         "mm_ocr_text",
         "ann_rrf_hybrid",
+        "ann_ivf_pq_topk",
         # r4b: the crawl loop's publish artifacts + the encoding scrub,
         # the robots frontier gate and the re-crawl delta join
         "pipeline_wet_roundtrip",
@@ -186,6 +188,9 @@ def main() -> int:
         "dedup_substring_spans",
         "ann_ivf_topk",
         "ann_pq_topk",
+        # ivfpq cold prices all three builds: IVF index + PQ codebooks
+        # + the code-carrying inverted lists
+        "ann_ivf_pq_topk",
         "filter_bloom_blocklist",
         "sketch_heavy_hitters_cms",
         # r4d memoized indexes: shared ranker postings + corpus stats,

@@ -3,7 +3,7 @@ assignment must carry its centroids as a BROADCAST relation (data),
 never as K*dim inlined literal arrays (VERDICT r4 "What's wrong" #2 —
 the trainer is the op you'd run at K ~ sqrt(n), where a literal tree
 cannot hold; CLAUDE.md records a 16x32 literal argmin costing ~50s of
-pure analyzer/codegen)."""
+pure analyzer/codegen) — and the IVFADC composition's query path."""
 
 import re
 
@@ -64,3 +64,16 @@ def test_kmeans_assign_reuses_emb_partitioning(spark):
     physical = df._jdf.queryExecution().executedPlan().toString()
     n_shuffle = physical.count("Exchange hashpartitioning")
     assert n_shuffle == 1, physical
+
+
+def test_ivfpq_query_path_broadcasts_and_never_cartesian(spark):
+    """Query-time IVFADC (ann_ivf_pq_topk): the probe set and the
+    Q*M*K ADC lookup table ride BROADCASTs, the code-carrying lists are
+    probed via equi-joins, and no CartesianProduct appears anywhere —
+    at 10^12 vectors the only big-side motion is the one memoized
+    index-build pass."""
+    from ai_ocr_spark.operators.similarity import ann_ivf_pq_topk
+
+    plan = formatted_plan(ann_ivf_pq_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan

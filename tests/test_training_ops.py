@@ -1609,3 +1609,77 @@ def test_tokenizer_vocab_coverage_consistent_with_encode(spark):
         # fertility >= 1 token per word, and some words stay fragmented
         assert r["fertility_e4"] >= 10000
         assert r["frag_share_e4"] > 0
+
+
+def test_ann_ivf_pq_topk_prunes_to_probed_lists(spark):
+    """IVFADC output is a valid per-query ranking whose neighbors all
+    come from the query's probed inverted lists, and per-query recall
+    never exceeds the coarse IVF path's: a hit must survive the prune,
+    and any exact-top-K neighbor that survives is in ann_ivf_topk's
+    exact-rerank top-K by definition (fewer than K candidates beat it
+    by cosine)."""
+    from ai_ocr_spark.operators.similarity import (
+        IVF_TOP_K,
+        PQ_TOP_K,
+        _emb,
+        _ivf_index,
+        _ivf_probes,
+        ann_cosine_topk,
+        ann_ivf_pq_topk,
+        ann_ivf_topk,
+    )
+
+    assert IVF_TOP_K == PQ_TOP_K  # the recall-bound argument needs it
+    out = ann_ivf_pq_topk(spark, SF01).toPandas()
+    for _, grp in out.sort_values("rk").groupby("query_id"):
+        assert list(grp["rk"]) == list(range(1, PQ_TOP_K + 1))
+    assert (out["query_id"] != out["neighbor_id"]).all()
+
+    cent, assigned = _ivf_index(spark, SF01)
+    asg = assigned.select("vec_id", "centroid_id").toPandas()
+    probes = (
+        _ivf_probes(_emb(spark, SF01), cent)
+        .select("query_id", "centroid_id")
+        .toPandas()
+    )
+    probe_set = {(r.query_id, r.centroid_id) for r in probes.itertuples()}
+    list_of = dict(zip(asg["vec_id"], asg["centroid_id"]))
+    for r in out.itertuples():
+        assert (r.query_id, list_of[r.neighbor_id]) in probe_set
+
+    ex = ann_cosine_topk(spark, SF01).toPandas()
+    ex5 = ex[ex["rk"] <= PQ_TOP_K]
+    ivf = ann_ivf_topk(spark, SF01).toPandas()
+    total_hits = 0
+    for q in out["query_id"].unique():
+        exq = set(ex5[ex5["query_id"] == q]["neighbor_id"])
+        h_ivfpq = len(set(out[out["query_id"] == q]["neighbor_id"]) & exq)
+        h_ivf = len(set(ivf[ivf["query_id"] == q]["neighbor_id"]) & exq)
+        assert h_ivfpq <= h_ivf, (q, h_ivfpq, h_ivf)
+        total_hits += h_ivfpq
+    # not a degenerate path: the composition still finds true neighbors
+    assert total_hits > 0
+
+
+def test_ann_ivf_pq_recall_matches_intersection(spark):
+    """The recall op's values equal a hand-computed intersection of
+    the composed query's output with the exact baseline."""
+    from ai_ocr_spark.operators.similarity import (
+        PQ_TOP_K,
+        ann_cosine_topk,
+        ann_ivf_pq_recall,
+        ann_ivf_pq_topk,
+    )
+
+    rec = ann_ivf_pq_recall(spark, SF01).toPandas().set_index("query_id")
+    out = ann_ivf_pq_topk(spark, SF01).toPandas()
+    ex = ann_cosine_topk(spark, SF01).toPandas()
+    ex5 = ex[ex["rk"] <= PQ_TOP_K]
+    assert len(rec) == out["query_id"].nunique()
+    for q in out["query_id"].unique():
+        hits = len(
+            set(out[out["query_id"] == q]["neighbor_id"])
+            & set(ex5[ex5["query_id"] == q]["neighbor_id"])
+        )
+        assert rec.loc[q, "n_hits"] == hits
+        assert rec.loc[q, "recall_at_k"] == hits / PQ_TOP_K
