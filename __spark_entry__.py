@@ -94,8 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                fill next round.
 
     r5 instantiation (the plan VERDICT r4 "Next round" #2 queued):
-    tier 1 = 12 changed-or-new (mm_ocr_text, ann_rrf_hybrid,
-    ann_ivf_pq_topk, ann_ivf_pq_recall NEW;
+    tier 1 = 14 changed-or-new (mm_ocr_text, ann_rrf_hybrid,
+    ann_ivf_pq_topk, ann_ivf_pq_recall, decontam_minhash,
+    mm_image_ahash NEW;
     text_pii_scrub gained the Luhn/IP/id classes; embedding_kmeans
     moved to the broadcast-table argmin; pagerank_link_graph dropped
     the per-round checkpoint; dedup_minhash_lsh + dedup_incremental_lsh
@@ -107,12 +108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) = 19. Tier 2 = 31 of the 36 r1/r2-row
-    entries, stalest first. The 5 r1/r2-green scalar slices that did
-    not fit (agg_first3_events_per_user, f_doc_type_case,
-    f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-55;
-    every other entry has an r3 or r4 green row.
+    pipeline_invoice_roundtrip) = 21. Tier 2 = 29 of the 36 r1/r2-row
+    entries, stalest first. The 7 r1/r2-green scalar slices that did
+    not fit (f_lang_detect, f_json_parse_fallback,
+    agg_first3_events_per_user, f_doc_type_case, f_clamp_score,
+    union_head_tail, orders_page2 — pure projections unchanged since
+    r1/r2, local-sweep green) sit at positions 51-57; every other
+    entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
     which _R5_WINDOW supersedes.)
@@ -288,6 +290,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 8bpp palettized incl. bottom-up rows, RIFF/WAV PCM with junk
         # chunks, YUV4MPEG2) — synthetic TAG headers retired
         "mm_image_features": MM.mm_image_features_q,
+        # perceptual image near-dup: integer average-hash over the
+        # decoded pixel grid, exact-bucket collapse with a canonical
+        # keep/drop verdict — dedup_exact's shape on the multimodal
+        # column (new in r5)
+        "mm_image_ahash": MM.mm_image_ahash,
         "mm_frame_sample": MM.mm_frame_sample_q,
         "mm_audio_stats": MM.mm_audio_stats_q,
         # image -> TEXT recovery: the reference's declared-never-built
@@ -415,6 +422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_domain_stats": TS.agg_domain_stats,
         "quality_filter_gopher_rep": TS.quality_filter_gopher_rep,
         "decontam_ngram_overlap": CU.decontam_ngram_overlap,
+        # the fuzzy decontamination leg: near-dup matching against the
+        # benchmark slice through the shared MinHash/LSH band index —
+        # catches paraphrased eval leakage exact windows miss
+        # (new in r5)
+        "decontam_minhash": CU.decontam_minhash,
         "sample_domain_cap": CU.sample_domain_cap,
         "dedup_lines_global": CU.dedup_lines_global,
         "sample_token_budget": CU.sample_token_budget,
@@ -455,6 +467,8 @@ _R5_WINDOW = [
     "ann_rrf_hybrid",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_recall",
+    "decontam_minhash",
+    "mm_image_ahash",
     # -- tier 1: changed in r5 --
     "text_pii_scrub",
     "embedding_kmeans",
@@ -503,15 +517,15 @@ _R5_WINDOW = [
     "filter_keyword_headers",
     "f_date_normalize",
     "f_amount_normalize",
-    "f_lang_detect",
-    "f_json_parse_fallback",
 ]
 
-# positions 51-55: the r2-green scalar slices the 50-slot window could
-# not hold once the two IVFADC entries joined tier 1 (all unchanged
-# since r1/r2, local-sweep green) — first in line should the window
-# ever widen
+# positions 51-57: the r1/r2-green scalar slices the 50-slot window
+# could not hold once the four new r5 tier-1 entries (IVFADC pair,
+# decontam_minhash, mm_image_ahash) joined (all unchanged since r1/r2,
+# local-sweep green) — first in line should the window ever widen
 _R5_NEXT = [
+    "f_lang_detect",
+    "f_json_parse_fallback",
     "agg_first3_events_per_user",
     "f_doc_type_case",
     "f_clamp_score",
@@ -943,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_domain_stats": ORC.agg_domain_stats(),
         "quality_filter_gopher_rep": ORC.quality_filter_gopher_rep(),
         "decontam_ngram_overlap": ORC.decontam_ngram_overlap(),
+        "decontam_minhash": ORC.decontam_minhash(),
         "sample_domain_cap": ORC.sample_domain_cap(),
         "dedup_minhash_keep_canonical": ORC.dedup_minhash_keep_canonical(),
         "dedup_lines_global": ORC.dedup_lines_global(),
@@ -959,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": ORC.url_canonicalize(),
         "quality_filter_gopher": ORC.quality_filter_gopher(),
         "mm_image_features": ORC.mm_image_features(),
+        "mm_image_ahash": ORC.mm_image_ahash(),
         "mm_ocr_text": ORC.mm_ocr_text(),
         "mm_frame_sample": ORC.mm_frame_sample(),
         "mm_audio_stats": ORC.mm_audio_stats(),

@@ -8,6 +8,11 @@ caps, and the end-to-end near-dup keep/drop decision.
                               check every LLM data pipeline runs before
                               training; cf. GPT-3 App. C / PaLM's
                               13-gram decontamination).
+  decontam_minhash            the FUZZY leg: near-duplicate matching
+                              against the benchmark slice through the
+                              shared MinHash/LSH band index — catches
+                              the paraphrased leakage exact windows
+                              miss.
   sample_domain_cap           keep at most CAP documents per domain,
                               longest first with a deterministic
                               tie-break — the C4/Gopher-style corpus
@@ -113,6 +118,95 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("hit_frac"),
             (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# Fuzzy-decontamination verdict threshold: the Jaccard operating point
+# the 4-band x 3-row LSH config is tuned to (same as the dedup family),
+# so candidate recall at the threshold is the measured dedup_lsh_recall
+# number, not a new unknown.
+DECONTAM_J = 0.5
+
+
+def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: near-duplicate matching of
+    corpus documents AGAINST the benchmark slice via MinHash/LSH — the
+    companion to decontam_ngram_overlap's exact window gate. Exact
+    n-gram checks miss lightly-paraphrased eval leakage (reworded
+    GSM8K/MMLU items are the classic contamination vector); running
+    the eval set through the SAME near-dup machinery the corpus is
+    deduplicated with closes that hole at the dedup operating point
+    (cf. the Llama/GPT-4-style fuzzy decontamination reports).
+
+    Per corpus document: number of distinct benchmark candidates its
+    LSH buckets produced, the best-matching benchmark doc and its
+    exact Jaccard, and the verdict max_jaccard >= DECONTAM_J.
+    Candidate-less docs re-enter via a left join (0 candidates, 0.0,
+    clean) so the verdict covers every corpus row.
+
+    Scale shape: the band index is the SAME memoized _minhash_bands
+    frame the dedup family probes — built once per corpus, reused
+    here. The benchmark side is bounded by the eval set (5% here;
+    MMLU-sized, ~10^4 docs, in practice) so its bands AND its shingle
+    sets ride BROADCASTs: candidate generation and verification never
+    shuffle the corpus — the same build-big/probe-small asymmetry as
+    decontam_ngram_overlap, at near-dup instead of exact granularity.
+
+    The DuckDB twin rebuilds the band chain verbatim
+    (_minhash_band_ctes) and applies the same hash15 split, argmax
+    tie-break (jaccard DESC, bench_id ASC) and coalesced zeros."""
+    from .dedup import _minhash_bands, _shingled
+
+    banded = _minhash_bands(spark, sf_dir)
+    bench_bands = banded.filter(_is_bench(F.col("doc_id"))).select(
+        F.col("doc_id").alias("bench_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        banded.filter(~_is_bench(F.col("doc_id")))
+        .join(F.broadcast(bench_bands), ["band_idx", "band_hash"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    sh = _shingled(spark, sf_dir, 3)
+    sa = sh.select("doc_id", F.col("shd").alias("sh_a"))
+    sb = sh.filter(_is_bench(F.col("doc_id"))).select(
+        F.col("doc_id").alias("bench_id"), F.col("shd").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    scored = (
+        cand.join(sa, "doc_id")
+        .join(F.broadcast(sb), "bench_id")
+        .select("doc_id", "bench_id", (inter / union).alias("jaccard"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("bench_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bench_id").alias("best_bench_id"),
+            F.col("jaccard").alias("max_jaccard"),
+        )
+    )
+    ncand = cand.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    corpus = _docs(spark, sf_dir).filter(~_is_bench(F.col("doc_id")))
+    mj = F.coalesce(F.col("max_jaccard"), F.lit(0.0))
+    return (
+        corpus.select("doc_id")
+        .join(ncand, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            "best_bench_id",
+            mj.alias("max_jaccard"),
+            (mj >= DECONTAM_J).alias("contaminated"),
         )
     )
 

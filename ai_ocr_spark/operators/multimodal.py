@@ -51,7 +51,7 @@ import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -646,6 +646,38 @@ def _pixel_checksum(pixels: "np.ndarray") -> int:
     return int(np.dot(idx, pixels.astype(np.int64)) % _CHECKSUM_MOD)
 
 
+AHASH_GRID = 8  # grid rows; columns = _BMP_W (the image is 8 px wide)
+
+
+def _ahash_bits(pixels: "np.ndarray") -> str:
+    """Average-hash over the decoded top-down pixel grid, all-integer:
+    block-mean each OCCUPIED (row-block, column) cell — row blocks by
+    the floor rule cell_r = (row*GRID)//H, of which min(GRID, H) are
+    occupied — threshold at the floor global pixel mean, emit '1'/'0'
+    per cell in (cell_r, col) order. Exact-reproducible in SQL — every step is
+    BIGINT floor arithmetic over the same pixel list the other mm
+    twins rebuild."""
+    import numpy as np
+
+    pix = pixels.astype(np.int64)
+    n = int(pix.size)
+    h = n // _BMP_W
+    grid = pix.reshape(h, _BMP_W)
+    cell_r = (np.arange(h, dtype=np.int64) * AHASH_GRID) // h
+    t = int(pix.sum()) // n
+    bits = []
+    # iterate the OCCUPIED row blocks in ascending id order: for
+    # h < GRID the floor rule spreads h block ids non-contiguously
+    # over 0..GRID-1 (h=3 -> {0,2,5}), and the SQL twin's GROUP BY
+    # likewise emits only existing cells
+    for r in sorted(set(cell_r.tolist())):
+        rows = grid[cell_r == r]
+        for c in range(_BMP_W):
+            m = int(rows[:, c].sum()) // rows.shape[0]
+            bits.append("1" if m > t else "0")
+    return "".join(bits)
+
+
 # --- operators: one fused mapInPandas stage per modality ----------------------
 
 
@@ -696,6 +728,64 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.StringType()),
+    ]
+)
+
+
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup: decode each image container
+    (BMP/PNG, the same fused mapInPandas shape as mm_image_features),
+    compute the all-integer average-hash of the pixel grid
+    (_ahash_bits), then collapse the corpus by EXACT hash bucket —
+    dedup_exact's shape with a perceptual key instead of a text
+    fingerprint. Two renders of near-identical content land in one
+    bucket because block means absorb small pixel edits; per image the
+    op reports its bucket size, canonical representative (min doc_id)
+    and a drop verdict — the image-side analogue of
+    dedup_minhash_keep_canonical's keep/drop output.
+
+    Scale shape: one Arrow-batched decode pass (no shuffle), then ONE
+    shuffle on the 64-bit-equivalent hash key with a window over
+    hash buckets — at 10^10 images this is the same single
+    hash-aggregate profile as dedup_exact. Production packs the bit
+    string into a BINARY(8) key; the readable '0'/'1' string keeps the
+    DuckDB twin byte-comparable.
+
+    The twin rebuilds the pixel list like the other mm oracles
+    (container bytes ARE the text bytes by fixture construction,
+    cf. mm_image_features) and replays the same floor arithmetic."""
+    media = media_from_documents(spark, sf_dir).filter(
+        F.col("media_type") == "image"
+    )
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                _w, _h, pixels = _decode_image(payload)
+                out.append({"doc_id": doc_id, "ahash": _ahash_bits(pixels)})
+            yield pd.DataFrame(out)
+
+    hashed = media.mapInPandas(decode, schema=AHASH_SCHEMA)
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_copies"),
+        F.min("doc_id").over(w).cast("long").alias("canonical_doc_id"),
+    ).withColumn(
+        "is_dup",
+        (F.col("n_copies") > 1) & (F.col("doc_id") != F.col("canonical_doc_id")),
+    )
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

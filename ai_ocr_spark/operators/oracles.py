@@ -720,6 +720,64 @@ def mm_image_features() -> str:
     """
 
 
+def mm_image_ahash() -> str:
+    """Twin of multimodal.mm_image_ahash: rebuild the pixel list like
+    mm_image_features, replay the all-integer average hash (floor
+    block means over the (cell_r, col) grid, floor global-mean
+    threshold, '1'/'0' per cell in grid order), then the exact-bucket
+    window. Sums CAST BIGINT before // (HUGEINT trap)."""
+    from .multimodal import _BMP_W, AHASH_GRID
+
+    pad = "[" + ", ".join("0" * 1 for _ in range(_BMP_W)) + "]"
+    return f"""
+        WITH {_media_bytes_cte(0)},
+        img AS (
+          SELECT doc_id,
+                 greatest(1, n_bytes // {_BMP_W}) * {_BMP_W} AS n_pix,
+                 list_slice(bytes || {pad}, 1,
+                            greatest(1, n_bytes // {_BMP_W}) * {_BMP_W}) AS pix
+          FROM byt
+        ),
+        px AS (
+          SELECT doc_id,
+                 CAST(n_pix // {_BMP_W} AS BIGINT) AS h,
+                 unnest(range(0, CAST(n_pix AS BIGINT))) AS i,
+                 unnest(list_transform(pix, x -> CAST(x AS BIGINT))) AS v
+          FROM img
+        ),
+        thr AS (
+          SELECT doc_id,
+                 CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS t
+          FROM px GROUP BY doc_id
+        ),
+        cell AS (
+          SELECT doc_id, cr, cc,
+                 CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+          FROM (SELECT doc_id,
+                       ((i // {_BMP_W}) * {AHASH_GRID}) // h AS cr,
+                       i % {_BMP_W} AS cc,
+                       v
+                FROM px)
+          GROUP BY doc_id, cr, cc
+        ),
+        bits AS (
+          SELECT c.doc_id,
+                 string_agg(CASE WHEN c.m > t.t THEN '1' ELSE '0' END, ''
+                            ORDER BY c.cr, c.cc) AS ahash
+          FROM cell c JOIN thr t USING (doc_id)
+          GROUP BY c.doc_id
+        )
+        SELECT doc_id, ahash,
+               CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_copies,
+               CAST(min(doc_id) OVER (PARTITION BY ahash) AS BIGINT)
+                   AS canonical_doc_id,
+               (count(*) OVER (PARTITION BY ahash) > 1
+                AND doc_id <> min(doc_id) OVER (PARTITION BY ahash))
+                   AS is_dup
+        FROM bits
+    """
+
+
 def mm_frame_sample() -> str:
     return f"""
         WITH {_media_bytes_cte(2)},
@@ -1193,6 +1251,58 @@ def decontam_ngram_overlap() -> str:
                          / CAST(p.n_win AS BIGINT) END AS hit_frac,
                coalesce(p.n_hit, 0) > 0 AS contaminated
         FROM corpus LEFT JOIN per p USING (doc_id)
+    """
+
+
+def decontam_minhash() -> str:
+    """Twin of curation.decontam_minhash: the verbatim
+    _minhash_band_ctes chain split by the hash15 benchmark predicate,
+    broadcast-shaped joins re-expressed relationally, same argmax
+    tie-break and coalesced zeros."""
+    from .curation import DECON_BENCH_THRESHOLD, DECONTAM_J
+
+    def bench(col: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) "
+            f"AS BIGINT) < {DECON_BENCH_THRESHOLD}"
+        )
+
+    jac = (
+        "len(list_intersect(sa.shd, sb.shd)) "
+        "/ (len(sa.shd) + len(sb.shd) - len(list_intersect(sa.shd, sb.shd)))"
+    )
+    return f"""
+        {_minhash_band_ctes()},
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          WHERE NOT ({bench('a.doc_id')}) AND ({bench('b.doc_id')})
+        ),
+        scored AS (
+          SELECT cand.doc_id, cand.bench_id, {jac} AS jaccard
+          FROM cand
+          JOIN s sa ON sa.doc_id = cand.doc_id
+          JOIN s sb ON sb.doc_id = cand.bench_id
+        ),
+        best AS (
+          SELECT doc_id, bench_id AS best_bench_id, jaccard AS max_jaccard
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY jaccard DESC, bench_id ASC) AS rn
+                FROM scored) WHERE rn = 1
+        ),
+        nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand
+               FROM cand GROUP BY doc_id),
+        corpus AS (SELECT doc_id FROM documents
+                   WHERE NOT ({bench('doc_id')}))
+        SELECT corpus.doc_id,
+               CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+               best.best_bench_id,
+               coalesce(best.max_jaccard, 0.0) AS max_jaccard,
+               coalesce(best.max_jaccard, 0.0) >= {DECONTAM_J} AS contaminated
+        FROM corpus
+        LEFT JOIN nc USING (doc_id)
+        LEFT JOIN best USING (doc_id)
     """
 
 

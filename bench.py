@@ -87,6 +87,8 @@ def main() -> int:
         "dedup_embedding_lsh",
         "dedup_substring_spans",
         "decontam_ngram_overlap",
+        # r5: the fuzzy decontamination leg over the shared band index
+        "decontam_minhash",
         "sample_domain_cap",
         "dedup_lines_global",
         "filter_bloom_blocklist",
@@ -128,6 +130,9 @@ def main() -> int:
         "ann_ivf_recall",
         "pipeline_metrics_report",
         "mm_image_features",
+        # r5: perceptual image near-dup (decode + integer aHash + one
+        # hash-bucket shuffle)
+        "mm_image_ahash",
         # r5: the OCR leg (glyph render -> container -> template match),
         # the lexical-x-ANN fusion, and the IVFADC composition (coarse
         # prune + ADC scoring over the probed lists' codes)

@@ -319,3 +319,58 @@ def test_pack_sequences_plan_partitions_the_big_window(spark):
     # exactly ONE single-partition exchange: the PACK_SHARDS-row
     # shard-base prefix (a corpus-sized one would be a regression)
     assert low.count("singlepartition") == 1
+
+
+def test_decontam_minhash_agrees_with_lsh_cross_pairs(spark):
+    """Fuzzy decontamination covers every corpus doc exactly once
+    (benchmark docs absent), the verdict column is consistent with its
+    own max_jaccard, and it AGREES with the dedup family: the corpus
+    side of every dedup_minhash_lsh pair (jaccard >= 0.5) that
+    straddles the benchmark split is contaminated, and every
+    contaminated doc has such a pair (same bands, same verify
+    threshold — the operating point is shared by construction)."""
+    from ai_ocr_spark.functions import text as TX
+    from ai_ocr_spark.operators.curation import (
+        DECONTAM_J,
+        _is_bench,
+        decontam_minhash,
+    )
+    from ai_ocr_spark.operators.dedup import dedup_minhash_lsh
+
+    out = decontam_minhash(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_corpus = docs.filter(
+        TX.hash15(F.col("doc_id").cast("string"))
+        >= F.lit(DECON_BENCH_THRESHOLD)
+    ).count()
+    assert len(out) == n_corpus
+    assert out["doc_id"].is_unique
+    assert (out["contaminated"] == (out["max_jaccard"] >= DECONTAM_J)).all()
+    clean = out[out["n_cand"] == 0]
+    assert (clean["max_jaccard"] == 0.0).all()
+    assert clean["best_bench_id"].isna().all()
+
+    pairs = dedup_minhash_lsh(spark, SF)
+    cross = pairs.filter(
+        _is_bench(F.col("doc_a")) != _is_bench(F.col("doc_b"))
+    ).toPandas()
+    bench_flag = {}  # resolve which side is the corpus doc
+    for col in ("doc_a", "doc_b"):
+        for d, b in zip(
+            cross[col],
+            spark.createDataFrame(cross[[col]].rename(columns={col: "x"}))
+            .select(
+                (TX.hash15(F.col("x").cast("string"))
+                 < F.lit(DECON_BENCH_THRESHOLD)).alias("b")
+            )
+            .toPandas()["b"],
+        ):
+            bench_flag[d] = bool(b)
+    corpus_hits = {
+        (r.doc_b if bench_flag[r.doc_a] else r.doc_a)
+        for r in cross.itertuples()
+    }
+    flagged = set(out[out["contaminated"]]["doc_id"])
+    assert corpus_hits == flagged, (corpus_hits, flagged)
+    # the fixture actually exercises the path
+    assert len(flagged) > 0

@@ -479,3 +479,49 @@ def test_ocr_matcher_tolerates_pixel_noise():
         for b in keys[i + 1 :]
     )
     assert dmin >= 3, dmin
+
+
+def test_image_ahash_buckets_and_independent_recompute(spark):
+    """mm_image_ahash covers every image doc, its bucket columns are
+    self-consistent (canonical = bucket min, is_dup iff a non-canonical
+    member of a >1 bucket), near-identical renders actually collapse
+    (the fixture's duplicated texts produce shared hashes), and the
+    hash itself matches an independent numpy recompute from the source
+    text (pixel array = utf-8 bytes truncated to whole rows, padded to
+    one row — the same fixture identity the other mm oracles use)."""
+    from ai_ocr_spark.operators.multimodal import (
+        _BMP_W,
+        _ahash_bits,
+        mm_image_ahash,
+    )
+
+    out = mm_image_ahash(spark, SF).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("doc_id % 3 = 0")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    assert set(out["doc_id"]) == set(docs["doc_id"])
+    assert out["doc_id"].is_unique
+
+    by_hash = out.groupby("ahash")
+    for _, grp in by_hash:
+        assert (grp["n_copies"] == len(grp)).all()
+        assert (grp["canonical_doc_id"] == grp["doc_id"].min()).all()
+    assert (
+        out["is_dup"]
+        == ((out["n_copies"] > 1) & (out["doc_id"] != out["canonical_doc_id"]))
+    ).all()
+    # the near-dup path fires on the fixture
+    assert (out["n_copies"] > 1).any()
+
+    text_of = dict(zip(docs["doc_id"], docs["text"]))
+    hash_of = dict(zip(out["doc_id"], out["ahash"]))
+    for doc_id in sorted(text_of)[:5] + sorted(text_of)[-5:]:
+        body = (text_of[doc_id] or "").encode("utf-8")
+        n_pix = max(1, len(body) // _BMP_W) * _BMP_W
+        pix = np.frombuffer(
+            (body + b"\x00" * _BMP_W)[:n_pix], dtype=np.uint8
+        )
+        assert hash_of[doc_id] == _ahash_bits(pix), doc_id
