@@ -94,9 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                fill next round.
 
     r5 instantiation (the plan VERDICT r4 "Next round" #2 queued):
-    tier 1 = 14 changed-or-new (mm_ocr_text, ann_rrf_hybrid,
+    tier 1 = 16 changed-or-new (mm_ocr_text, ann_rrf_hybrid,
     ann_ivf_pq_topk, ann_ivf_pq_recall, decontam_minhash,
-    mm_image_ahash NEW;
+    mm_image_ahash, text_readability, graph_salsa NEW;
     text_pii_scrub gained the Luhn/IP/id classes; embedding_kmeans
     moved to the broadcast-table argmin; pagerank_link_graph dropped
     the per-round checkpoint; dedup_minhash_lsh + dedup_incremental_lsh
@@ -108,13 +108,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) = 21. Tier 2 = 29 of the 36 r1/r2-row
-    entries, stalest first. The 7 r1/r2-green scalar slices that did
-    not fit (f_lang_detect, f_json_parse_fallback,
-    agg_first3_events_per_user, f_doc_type_case, f_clamp_score,
-    union_head_tail, orders_page2 — pure projections unchanged since
-    r1/r2, local-sweep green) sit at positions 51-57; every other
-    entry has an r3 or r4 green row.
+    pipeline_invoice_roundtrip) = 23. Tier 2 = 27 of the 36 r1/r2-row
+    entries, stalest first. The 9 r1/r2-green scalar slices that did
+    not fit (f_date_normalize, f_amount_normalize, f_lang_detect,
+    f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
+    f_clamp_score, union_head_tail, orders_page2 — pure projections
+    unchanged since r1/r2, local-sweep green) sit at positions 51-59;
+    every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
     which _R5_WINDOW supersedes.)
@@ -314,6 +314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": D.dedup_lsh_recall,
         # Pregel co-partition pin changed the iteration body (r4)
         "pagerank_link_graph": G.pagerank_link_graph,
+        # SALSA hub/authority (degree-normalized HITS): per-edge
+        # integer DIV is the normalization, mass bounded forever,
+        # two-sided Pregel co-partition pin (new in r5)
+        "graph_salsa": G.graph_salsa,
         # composition that executes the changed components path
         "dedup_minhash_keep_canonical": CU.dedup_minhash_keep_canonical,
         # search.py gained shared BM25 helpers this round
@@ -402,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # everything below earned a fresh green driver row in r3
         "text_token_stats": TS.text_token_stats,
         "text_quality_scores": TS.text_quality_scores,
+        # Flesch-Kincaid readability as exact e4 fixed-point (per-term
+        # integer floors, DIV == //), scan-speed projection (new in r5)
+        "text_readability": TS.text_readability,
         "text_langid": TS.text_langid,
         "text_fingerprint": TS.text_fingerprint,
         "text_pii_scrub": TS.text_pii_scrub,
@@ -469,6 +476,8 @@ _R5_WINDOW = [
     "ann_ivf_pq_recall",
     "decontam_minhash",
     "mm_image_ahash",
+    "text_readability",
+    "graph_salsa",
     # -- tier 1: changed in r5 --
     "text_pii_scrub",
     "embedding_kmeans",
@@ -515,15 +524,16 @@ _R5_WINDOW = [
     "window_top3_events_per_user",
     "filter_events_window",
     "filter_keyword_headers",
-    "f_date_normalize",
-    "f_amount_normalize",
 ]
 
-# positions 51-57: the r1/r2-green scalar slices the 50-slot window
-# could not hold once the four new r5 tier-1 entries (IVFADC pair,
-# decontam_minhash, mm_image_ahash) joined (all unchanged since r1/r2,
-# local-sweep green) — first in line should the window ever widen
+# positions 51-59: the r1/r2-green scalar slices the 50-slot window
+# could not hold once the six new r5 tier-1 entries (IVFADC pair,
+# decontam_minhash, mm_image_ahash, text_readability, graph_salsa)
+# joined (all unchanged since r1/r2, local-sweep green) — first in
+# line should the window ever widen
 _R5_NEXT = [
+    "f_date_normalize",
+    "f_amount_normalize",
     "f_lang_detect",
     "f_json_parse_fallback",
     "agg_first3_events_per_user",
@@ -834,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_discover": LNK.SITEMAP_ORACLE_SQL,
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
+        "graph_salsa": G.SALSA_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)
@@ -967,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_bloom_blocklist": ORC.filter_bloom_blocklist(),
         "stream_dedup_urls": SI.STREAM_DEDUP_URLS_ORACLE,
         "text_quality_scores": ORC.text_quality_scores(),
+        "text_readability": ORC.text_readability(),
         "text_langid": ORC.text_langid(),
         "text_fingerprint": ORC.text_fingerprint(),
         "text_pii_scrub": ORC.text_pii_scrub(),

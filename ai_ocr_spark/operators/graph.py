@@ -175,3 +175,145 @@ def _pagerank_oracle() -> str:
 
 
 PAGERANK_ORACLE_SQL = _pagerank_oracle()
+
+
+# --- SALSA (degree-normalized HITS) ------------------------------------------
+
+SALSA_ITERS = 4
+SALSA_UNIT = 10**12
+
+
+def graph_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hub/authority scores (Lempel & Moran 2000) — the
+    degree-normalized HITS the link-analysis literature pairs with
+    PageRank (and Twitter's WTF system ran at web scale): crawl
+    frontiers blend an authority prior with rank mass, and hub scores
+    expose link farms that PageRank's single score hides.
+
+    Iteration (integer-exact, same policy as pagerank_link_graph):
+
+        auth'_v = SUM over u->v of  hub_u  DIV outdeg_u
+        hub'_u  = SUM over u->v of auth'_v DIV indeg_v
+
+    Classic HITS renormalizes by a global vector norm each round —
+    at BIGINT scale the (value * UNIT) numerator overflows, and a
+    float norm is summation-order-dependent cross-engine. SALSA's
+    per-edge degree division IS the normalization: each half-step
+    redistributes (never amplifies) mass, so values stay bounded at
+    ~UNIT * max_degree forever with no global reduction at all — the
+    property that also keeps every round a plain join + sum.
+
+    Scale shape: the Pregel co-partition pin in its two-sided form —
+    the edge table persists TWICE (hash-pinned on src for the
+    auth-step join, on dst with indeg attached for the hub-step join),
+    nodes pin on doc_id, and the score vectors are never explicitly
+    exchanged: each aggregate's output partitioning carries through
+    the doc_id rename into the next join (the pagerank_link_graph
+    lazy-rewrite property). Each frame feeds exactly one join per
+    half-round, so lineage grows linearly and no checkpoint barrier
+    is needed (CLAUDE.md: barriers only for >1 consumers per round).
+
+    The DuckDB twin unrolls the same SALSA_ITERS rounds as chained
+    CTEs over the identical arithmetic edge set — bit-for-bit."""
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .repartition(par, "doc_id")
+        .persist()
+    )
+    e = _edges(spark, sf_dir)
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("indeg"))
+    e_src = e.repartition(par, "src").persist()
+    e_dst = (
+        e.select("src", "dst")
+        .join(indeg, "dst")
+        .repartition(par, "dst")
+        .persist()
+    )
+    hub = docs.select("doc_id", F.lit(SALSA_UNIT).cast("long").alias("v"))
+    auth = None
+    for _ in range(SALSA_ITERS):
+        a_raw = (
+            e_src.join(hub.select(F.col("doc_id").alias("src"), "v"), "src")
+            .select("dst", F.expr("v DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        auth = docs.join(
+            a_raw.withColumnRenamed("dst", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("v")
+        )
+        h_raw = (
+            e_dst.join(auth.select(F.col("doc_id").alias("dst"), "v"), "dst")
+            .select("src", F.expr("v DIV indeg").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("c"))
+        )
+        hub = docs.join(
+            h_raw.withColumnRenamed("src", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("v")
+        )
+    out = (
+        auth.withColumnRenamed("v", "auth")
+        .join(hub.withColumnRenamed("v", "hub"), "doc_id")
+        .select("doc_id", "auth", "hub")
+    )
+    e_src.unpersist()
+    e_dst.unpersist()
+    docs.unpersist()
+    return out
+
+
+def _salsa_oracle() -> str:
+    fanout_values = ", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))
+    parts = [
+        f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    nodes AS (SELECT doc_id FROM documents),
+    edges0 AS (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * doc_id + j * 31 + 7) % n.n AS dst
+        FROM documents CROSS JOIN n
+        CROSS JOIN (VALUES {fanout_values}) AS t(j)
+        WHERE (doc_id * doc_id + j * 31 + 7) % n.n <> doc_id
+    ),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src),
+    indeg AS (SELECT dst, count(*) AS indeg FROM edges0 GROUP BY dst),
+    es AS (SELECT src, dst, outdeg FROM edges0 JOIN outdeg USING (src)),
+    ed AS (SELECT src, dst, indeg FROM edges0 JOIN indeg USING (dst)),
+    h0 AS (SELECT doc_id, CAST({SALSA_UNIT} AS BIGINT) AS v FROM nodes)"""
+    ]
+    for k in range(1, SALSA_ITERS + 1):
+        parts.append(
+            f""",
+    ar{k} AS (
+        SELECT es.dst AS doc_id, CAST(sum(h.v // es.outdeg) AS BIGINT) AS c
+        FROM es JOIN h{k - 1} h ON h.doc_id = es.src
+        GROUP BY es.dst
+    ),
+    a{k} AS (
+        SELECT nodes.doc_id, CAST(coalesce(c, 0) AS BIGINT) AS v
+        FROM nodes LEFT JOIN ar{k} USING (doc_id)
+    ),
+    hr{k} AS (
+        SELECT ed.src AS doc_id, CAST(sum(a.v // ed.indeg) AS BIGINT) AS c
+        FROM ed JOIN a{k} a ON a.doc_id = ed.dst
+        GROUP BY ed.src
+    ),
+    h{k} AS (
+        SELECT nodes.doc_id, CAST(coalesce(c, 0) AS BIGINT) AS v
+        FROM nodes LEFT JOIN hr{k} USING (doc_id)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT a.doc_id, a.v AS auth, h.v AS hub
+    FROM a{SALSA_ITERS} a JOIN h{SALSA_ITERS} h USING (doc_id)"""
+    )
+    return "".join(parts)
+
+
+SALSA_ORACLE_SQL = _salsa_oracle()

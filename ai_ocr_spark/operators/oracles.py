@@ -350,6 +350,46 @@ def text_token_stats() -> str:
     """
 
 
+def text_readability() -> str:
+    """Twin of textstats.text_readability: identical count definitions
+    over the shared NORM form, identical per-term integer floors
+    (DuckDB // == Spark DIV on non-negatives), NULL fk for empty docs."""
+    return f"""
+        WITH n AS (SELECT doc_id, {NORM} AS norm FROM documents),
+        t AS (SELECT doc_id, norm, string_split(norm, ' ') AS tok FROM n),
+        c AS (
+          SELECT doc_id,
+                 CASE WHEN norm = '' THEN 0
+                      ELSE len(tok) END AS n_words,
+                 CASE WHEN norm = '' THEN 0
+                      ELSE greatest(1,
+                           len(regexp_extract_all(norm, '[.!?]+'))) END
+                     AS n_sentences,
+                 CASE WHEN norm = '' THEN 0
+                      ELSE len(regexp_extract_all(norm, '[aeiouy]+'))
+                           + len(list_filter(tok,
+                                 x -> NOT regexp_matches(x, '[aeiouy]')))
+                      END AS n_syllables
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CAST(CASE WHEN n_words > 0
+                    THEN (n_words * 10000) // n_sentences
+                    ELSE 0 END AS BIGINT) AS wps_e4,
+               CAST(CASE WHEN n_words > 0
+                    THEN (n_syllables * 10000) // n_words
+                    ELSE 0 END AS BIGINT) AS spw_e4,
+               CAST(CASE WHEN n_words > 0
+                    THEN (n_words * 3900) // n_sentences
+                         + (n_syllables * 11800) // n_words - 155900
+                    END AS BIGINT) AS fk_e4
+        FROM c
+    """
+
+
 def text_quality_scores() -> str:
     stop = _sql_list(STOPWORDS_EN)
     return f"""

@@ -95,6 +95,77 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style readability as EXACT integer arithmetic —
+    the classroom-grade signal quality pipelines bucket documents by
+    (alongside the Gopher/C4 heuristics). All counts are defined over
+    the shared canonical form so both engines agree bit-for-bit:
+
+      n_words      whitespace tokens of the NORM form
+      n_sentences  greatest(1, count of [.!?]+ runs) for non-empty docs
+      n_syllables  count of [aeiouy]+ vowel runs, plus one per
+                   vowel-less word (the min-1-syllable rule)
+      wps_e4 / spw_e4   floor-scaled words-per-sentence and
+                   syllables-per-word
+      fk_e4        floor(3900*W/S) + floor(11800*Sy/W) - 155900 —
+                   the FK grade formula (0.39*wps + 11.8*spw - 15.59)
+                   in exact e4 fixed-point with per-term floors; NULL
+                   for empty docs
+
+    Scale shape: pure per-row projection (regexp counts + one array
+    filter), no shuffle, runs at scan speed like the other textstats.
+    This is OUR deterministic FK variant: per-term floor division
+    instead of float rounding, documented so the e4 values are
+    comparable across engines and runs, not against psychology
+    textbooks."""
+    docs = _docs(spark, sf_dir)
+    norm = TX.norm_text(F.col("text"))
+    tok = F.split(norm, " ")
+    n_w = _n_tokens(norm, tok).cast("long")
+    n_s = (
+        F.when(norm == "", F.lit(0))
+        .otherwise(
+            F.greatest(F.lit(1), F.regexp_count(norm, F.lit("[.!?]+")))
+        )
+        .cast("long")
+    )
+    vowel_runs = F.regexp_count(norm, F.lit("[aeiouy]+")).cast("long")
+    no_vowel = F.size(
+        F.filter(tok, lambda t: ~t.rlike("[aeiouy]"))
+    ).cast("long")
+    n_sy = (
+        F.when(norm == "", F.lit(0))
+        .otherwise(vowel_runs + no_vowel)
+        .cast("long")
+    )
+    counted = docs.select(
+        "doc_id",
+        n_w.alias("n_words"),
+        n_s.alias("n_sentences"),
+        n_sy.alias("n_syllables"),
+    )
+    # exact integer floor division (Spark DIV == DuckDB // on
+    # non-negatives), never a rounded double
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (n_words * 10000L) DIV n_sentences"
+            " ELSE 0L END"
+        ).alias("wps_e4"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (n_syllables * 10000L) DIV n_words"
+            " ELSE 0L END"
+        ).alias("spw_e4"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN (n_words * 3900L) DIV n_sentences"
+            " + (n_syllables * 11800L) DIV n_words - 155900L END"
+        ).alias("fk_e4"),
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tok_d = F.array_distinct(TX.tokens(F.col("text")))

@@ -95,6 +95,8 @@ def main() -> int:
         "ann_cosine_topk",
         "ann_ivf_topk",
         "text_quality_scores",
+        # r5: integer-exact FK readability (scan-speed projection)
+        "text_readability",
         "text_langid",
         "text_pii_scrub",
         "quality_filter_gopher",
@@ -109,6 +111,8 @@ def main() -> int:
         "agg_length_percentiles",
         "search_keyword_topk",
         "pagerank_link_graph",
+        # r5: SALSA hub/authority (two-sided co-partition pin)
+        "graph_salsa",
         "sample_stratified_split",
         "sample_pack_sequences",
         "embedding_label_outliers",
@@ -251,12 +255,10 @@ def main() -> int:
     except OSError:
         pass  # read-only checkout must not kill the bench line
 
-    def _compact_line(ndigits: int) -> str:
+    def _compact_line(ndigits: int, metric: str) -> str:
         return json.dumps(
             {
-                "metric": (
-                    "median warm wall sec; detail in BENCH/HEADLINE_r5.json"
-                ),
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": {k: round(v, ndigits) for k, v in timings.items()},
@@ -266,9 +268,18 @@ def main() -> int:
             separators=(",", ":"),
         )
 
-    line = _compact_line(2)
-    if len(line) >= 1900:  # deterministic fallback: 1-decimal medians
-        line = _compact_line(1)
+    # deterministic fallback chain: each step trades per-query median
+    # precision (full detail stays in BENCH/HEADLINE_r5.json) for line
+    # budget, never drops a contract key or a query entry
+    for ndigits, metric in (
+        (2, "median warm wall sec; detail in BENCH/HEADLINE_r5.json"),
+        (1, "median warm wall sec; detail in BENCH/HEADLINE_r5.json"),
+        (1, "see BENCH/HEADLINE_r5.json"),
+        (0, "see BENCH/HEADLINE_r5.json"),
+    ):
+        line = _compact_line(ndigits, metric)
+        if len(line) < 1900:
+            break
     assert len(line) < 1900, f"bench line {len(line)} chars >= 1900"
     print(line)
     return 0

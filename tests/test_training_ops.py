@@ -9,6 +9,7 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 SF01 = "/root/testdata/sf0.01"
+SF001 = "/root/testdata/sf0.001"
 
 
 def test_dedup_exact_covers_all_docs(spark):
@@ -1683,3 +1684,39 @@ def test_ann_ivf_pq_recall_matches_intersection(spark):
         )
         assert rec.loc[q, "n_hits"] == hits
         assert rec.loc[q, "recall_at_k"] == hits / PQ_TOP_K
+
+
+def test_text_readability_matches_python_recompute(spark):
+    """The FK components equal an independent Python recompute over the
+    same canonical form, every word contributes at least one syllable,
+    and the sentinel shape holds (fk NULL iff no words)."""
+    import re
+
+    from ai_ocr_spark.operators.textstats import text_readability
+
+    out = text_readability(spark, SF001).toPandas().set_index("doc_id")
+    docs = (
+        spark.read.parquet(f"{SF001}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    nn = out[out["n_words"] > 0]
+    assert (nn["n_syllables"] >= nn["n_words"]).all()
+    assert out["fk_e4"].isna().equals(out["n_words"] == 0)
+    for doc_id, text in zip(docs["doc_id"][:40], docs["text"][:40]):
+        norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        r = out.loc[doc_id]
+        if norm == "":
+            assert r["n_words"] == 0
+            continue
+        tok = norm.split(" ")
+        w = len(tok)
+        s = max(1, len(re.findall(r"[.!?]+", norm)))
+        sy = len(re.findall(r"[aeiouy]+", norm)) + sum(
+            1 for t in tok if not re.search(r"[aeiouy]", t)
+        )
+        assert r["n_words"] == w and r["n_sentences"] == s
+        assert r["n_syllables"] == sy
+        assert r["wps_e4"] == (w * 10000) // s
+        assert r["spw_e4"] == (sy * 10000) // w
+        assert r["fk_e4"] == (w * 3900) // s + (sy * 11800) // w - 155900
