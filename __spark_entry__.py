@@ -103,17 +103,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     build their indexes eagerly now; tokenizer_bpe_encode +
     tokenizer_vocab_coverage share the re-tupled _encoded_word_counts
     cache; search_rrf_fusion was refactored through _rrf_fuse)
+    + 2 late-r5 additions (dedup_semdedup, decontam_embedding)
     + the 3 entries that have NEVER had a driver row
     (stream_quantiles_logbin, dedup_lsh_exact_reps,
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) = 23. Tier 2 = 27 of the 36 r1/r2-row
-    entries, stalest first. The 9 r1/r2-green scalar slices that did
-    not fit (f_date_normalize, f_amount_normalize, f_lang_detect,
+    pipeline_invoice_roundtrip) = 25. Tier 2 = 25 of the 36 r1/r2-row
+    entries, stalest first. The 11 r1/r2-green scalar slices that did
+    not fit (filter_events_window, filter_keyword_headers,
+    f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-59;
+    unchanged since r1/r2, local-sweep green) sit at positions 51-61;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -434,6 +436,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # catches paraphrased eval leakage exact windows miss
         # (new in r5)
         "decontam_minhash": CU.decontam_minhash,
+        # the EMBEDDING decontamination leg: cosine against the
+        # broadcast benchmark slice — catches rewritten eval items that
+        # share no surface n-grams (new in r5)
+        "decontam_embedding": CU.decontam_embedding,
+        # SemDeDup: semantic dedup scoped to the memoized IVF clusters —
+        # within-cluster pairs only, min-id keep-first verdict per
+        # vector (new in r5)
+        "dedup_semdedup": SIM.dedup_semdedup,
         "sample_domain_cap": CU.sample_domain_cap,
         "dedup_lines_global": CU.dedup_lines_global,
         "sample_token_budget": CU.sample_token_budget,
@@ -470,6 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then never-checked, displaced, overflow, and stalest greens).
 _R5_WINDOW = [
     # -- tier 1: new in r5 --
+    "dedup_semdedup",
+    "decontam_embedding",
     "mm_ocr_text",
     "ann_rrf_hybrid",
     "ann_ivf_pq_topk",
@@ -522,8 +534,6 @@ _R5_WINDOW = [
     "join_anti_customers_without_orders",
     "topk_parts_by_price",
     "window_top3_events_per_user",
-    "filter_events_window",
-    "filter_keyword_headers",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -532,6 +542,11 @@ _R5_WINDOW = [
 # joined (all unchanged since r1/r2, local-sweep green) — first in
 # line should the window ever widen
 _R5_NEXT = [
+    # displaced from tier 2 by the two late-r5 ops (dedup_semdedup,
+    # decontam_embedding): r1/r2-green scalar projections, local-sweep
+    # green, queued first for r6's fill
+    "filter_events_window",
+    "filter_keyword_headers",
     "f_date_normalize",
     "f_amount_normalize",
     "f_lang_detect",
@@ -959,6 +974,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": ORC.dedup_embedding_cosine(),
         "ann_cosine_topk": ORC.ann_cosine_topk(),
         "ann_ivf_topk": ORC.ann_ivf_topk(),
+        "dedup_semdedup": ORC.dedup_semdedup(),
+        "decontam_embedding": ORC.decontam_embedding(),
         "dedup_embedding_lsh": ORC.dedup_embedding_lsh(),
         "text_token_stats": ORC.text_token_stats(),
         "text_unigram_rarity": ORC.text_unigram_rarity(),

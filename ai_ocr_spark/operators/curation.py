@@ -211,6 +211,78 @@ def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Semantic-decontamination threshold = the embedding near-dup family's
+# verify point (dedup_embedding_cosine / dedup_embedding_lsh /
+# dedup_semdedup all operate at the same cosine).
+EMB_DECONTAM_TAU = 0.35
+
+
+def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination — the EMBEDDING leg next to
+    decontam_ngram_overlap (exact windows) and decontam_minhash (lexical
+    fuzz): flag corpus vectors whose cosine to ANY benchmark-slice
+    vector reaches EMB_DECONTAM_TAU. Rewritten eval items that share no
+    surface n-grams still land near the original in embedding space —
+    this is the leakage tier the other two legs cannot see (cf. the
+    contamination studies behind Llama 3's and GPT-4's eval hygiene
+    sections).
+
+    Benchmark membership is the SAME hash15(vec_id) 5% slice the other
+    decontam legs use on doc_id, so the three verdicts compose row-wise.
+
+    Scale shape: the eval side is bounded by the BENCHMARK (MMLU/GSM8K-
+    sized, ~10^4 vectors in practice), so it rides a BROADCAST and the
+    corpus side never shuffles for candidate generation — a single scan
+    scoring |bench| dots per row (O(n*|eval|), NOT the ground-truth
+    oracle's O(n^2)). Only rows that hit the threshold enter the
+    per-vector aggregate, and the verdict join-back moves scalars.
+    Candidate-less vectors re-enter via a left join (0 hits, 0.0,
+    clean) so the verdict covers every corpus row — same contract as
+    the other legs.
+    """
+    from ..functions import vectors as V
+    from .similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    bench = emb.filter(_is_bench(F.col("vec_id"))).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    corpus = emb.filter(~_is_bench(F.col("vec_id")))
+    cos = V.dot(F.col("v"), F.col("bv")) / (F.col("nrm") * F.col("bn"))
+    hits = (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", "bench_id", cos.alias("cos"))
+        .filter(F.col("cos") >= EMB_DECONTAM_TAU)
+    )
+    nhits = hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("bench_id"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("bench_id").alias("best_bench_id"),
+            F.col("cos").alias("max_cos"),
+        )
+    )
+    return (
+        corpus.select("vec_id")
+        .join(nhits, "vec_id", "left")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            "best_bench_id",
+            F.coalesce(F.col("max_cos"), F.lit(0.0)).alias("max_cos"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-balanced sample: at most DOMAIN_CAP documents per source,
     preferring the longest (n_chars DESC) with doc_id ASC as the

@@ -30,6 +30,7 @@ from .similarity import (
     N_CENTROIDS,
     N_PROBE,
     N_QUERIES,
+    SEMDEDUP_TAU,
     TOP_K,
 )
 
@@ -298,9 +299,10 @@ def ann_cosine_topk() -> str:
     """
 
 
-def ann_ivf_topk() -> str:
-    return f"""
-        WITH {_E2},
+# centroid pick + nearest-centroid assignment — the DuckDB twin of
+# similarity._ivf_index, shared verbatim by the IVF probe oracle and
+# the SemDeDup oracle (same clusters feed both operators Spark-side)
+_IVF_ASG = f"""
         cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cn
                  FROM e2 ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
                  LIMIT {N_CENTROIDS}),
@@ -312,7 +314,14 @@ def ann_ivf_topk() -> str:
                               cent.centroid_id ASC) AS ark
             FROM e2, cent
           ) WHERE ark = 1
-        ),
+        )
+"""
+
+
+def ann_ivf_topk() -> str:
+    return f"""
+        WITH {_E2},
+        {_IVF_ASG},
         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
               FROM e2 WHERE vec_id < {N_QUERIES}),
         probes AS (
@@ -336,6 +345,72 @@ def ann_ivf_topk() -> str:
                AS BIGINT) AS rk
           FROM scored
         ) WHERE rk <= {IVF_TOP_K}
+    """
+
+
+def dedup_semdedup() -> str:
+    """Twin of similarity.dedup_semdedup: the SAME centroid pick +
+    assignment CTE as the IVF oracle (_IVF_ASG), within-cluster i<j
+    pairs at cosine >= SEMDEDUP_TAU, min-id keep-first verdict. max()
+    over identically-computed doubles is order-free, so no scaling is
+    needed; counts CAST BIGINT (HUGEINT trap)."""
+    return f"""
+        WITH {_E2},
+        {_IVF_ASG},
+        dup AS (
+          SELECT vec_id, CAST(count(*) AS BIGINT) AS nd, max(cos) AS mx
+          FROM (
+            SELECT b.vec_id, {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+            FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id
+                                 AND a.vec_id < b.vec_id
+          ) WHERE cos >= {SEMDEDUP_TAU}
+          GROUP BY vec_id
+        )
+        SELECT asg.vec_id, asg.centroid_id,
+               CAST(coalesce(dup.nd, 0) AS BIGINT) AS n_dups_smaller,
+               coalesce(dup.mx, 0.0) AS max_cos_smaller,
+               dup.mx IS NULL AS kept
+        FROM asg LEFT JOIN dup USING (vec_id)
+    """
+
+
+def decontam_embedding() -> str:
+    """Twin of curation.decontam_embedding: hash15(vec_id) 5% benchmark
+    slice, corpus-x-bench cosine at EMB_DECONTAM_TAU, count + argmax
+    (cos DESC, bench_id ASC) + coalesced zeros for hit-less vectors."""
+    from .curation import DECON_BENCH_THRESHOLD, EMB_DECONTAM_TAU
+
+    bench = (
+        "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) < {DECON_BENCH_THRESHOLD}"
+    )
+    return f"""
+        WITH {_E2},
+        b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bn
+              FROM e2 WHERE {bench}),
+        c AS (SELECT vec_id, v, nrm FROM e2 WHERE NOT ({bench})),
+        hits AS (
+          SELECT vec_id, bench_id, cos FROM (
+            SELECT c.vec_id, b.bench_id,
+                   {_dot('c.v', 'b.bv')} / (c.nrm * b.bn) AS cos
+            FROM c, b
+          ) WHERE cos >= {EMB_DECONTAM_TAU}
+        ),
+        nh AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits
+               FROM hits GROUP BY vec_id),
+        best AS (
+          SELECT vec_id, bench_id AS best_bench_id, cos AS max_cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cos DESC, bench_id ASC) AS rn
+            FROM hits
+          ) WHERE rn = 1
+        )
+        SELECT c.vec_id,
+               CAST(coalesce(nh.n_hits, 0) AS BIGINT) AS n_hits,
+               best.best_bench_id,
+               coalesce(best.max_cos, 0.0) AS max_cos,
+               coalesce(nh.n_hits, 0) > 0 AS contaminated
+        FROM c LEFT JOIN nh USING (vec_id) LEFT JOIN best USING (vec_id)
     """
 
 

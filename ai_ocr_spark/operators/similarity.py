@@ -261,6 +261,88 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup prune threshold = the embedding near-dup family's operating
+# point (dedup_embedding_cosine / dedup_embedding_lsh verify at the same
+# cosine), so the prune set is directly comparable to the LSH path's.
+SEMDEDUP_TAU = 0.35
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    scoped to clusters — pairwise cosine runs ONLY inside a cluster, so
+    the all-pairs n^2 cost drops to sum(c_i^2) ~= n^2/K, and K grows
+    with the corpus (the paper uses 11k clusters on LAION-440M; here the
+    clusters are _ivf_index's inverted lists, so the SAME memoized
+    artifact serves ANN search and semantic dedup — at 10^12 vectors
+    that is one clustered index feeding both).
+
+    Keep rule: a vector is pruned iff a SMALLER-id member of its own
+    cluster matches at cosine >= SEMDEDUP_TAU — the min-id keep-first
+    canonical the rest of the dedup family uses (the paper keeps the
+    member least similar to the centroid; min-id is the deterministic
+    equivalent both engines can tie-break identically). Output is one
+    row per vector: its cluster, how many smaller-id in-cluster dups it
+    has, the strongest of those cosines, and the keep verdict.
+
+    Scale shape: one equi-join on centroid_id (partition-prunable; NO
+    cartesian — pinned by test), aggregation partial-combines map-side,
+    and the verdict join-back moves (vec_id, 2 scalars) only. A skewed
+    hot cluster graduates the way the paper itself does: raise K (the
+    cluster budget is a knob, not a rewrite) or recursively re-cluster
+    the hot list; dedup_lsh_exact_reps implements the analogous
+    hot-bucket graduation for the lexical family.
+
+    Reference parity: the reference's extraction loop has no embedding
+    tier; this extends its dedup-by-content-hash intent
+    (src/api/app/services/extraction_service.py:161-166 idempotent
+    re-run skip) to semantic equivalence classes.
+    """
+    _, assigned = _ivf_index(spark, sf_dir)
+    # rename BOTH sides: a self-join of one persisted frame with
+    # identically-named columns silently resolves to one attribute
+    # (CLAUDE.md; same fix as ann_pq_topk's codes-vs-lookup join)
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+        F.col("centroid_id").alias("a_cl"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+        "centroid_id",
+    )
+    cos = V.dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    dup = (
+        a.join(
+            b,
+            (F.col("a_cl") == F.col("centroid_id"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select(F.col("b_id").alias("vec_id"), cos.alias("cos"))
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nd"),
+            F.max("cos").alias("mx"),
+        )
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias(
+                "n_dups_smaller"
+            ),
+            F.coalesce(F.col("mx"), F.lit(0.0)).alias("max_cos_smaller"),
+            F.col("mx").isNull().alias("kept"),
+        )
+    )
+
+
 # SemDeDup-style per-cluster outlier scoring: centroid components are
 # integerized (floor(x * EMB_SCALE), exact BIGINT sums) so the centroid
 # is row-order-independent — a raw double sum across rows would be

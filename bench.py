@@ -23,6 +23,52 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def compact_line(timings, total, sf, docs_per_sec) -> str:
+    """The one stdout JSON line, guaranteed under the driver's 2000-char
+    tail capture (BENCH_r04.json came back parsed:null when the r4 line
+    overran it and lost its head, including "value"). A deterministic
+    fallback chain trades per-query median precision for line budget —
+    the full-precision detail always lives in BENCH/HEADLINE_r5.json —
+    and only the last-resort tier drops entries (slowest kept, metric
+    says so). Pure function so tests can pin the budget without Spark.
+    """
+
+    def _line(ndigits, metric, qdict):
+        # ndigits=None -> whole seconds as ints (round(v, 0) still
+        # prints "1.0", which saves nothing — the r5 line outgrew the
+        # float tiers when the query list passed ~75 entries)
+        vals = (
+            {k: int(round(v)) for k, v in qdict.items()}
+            if ndigits is None
+            else {k: round(v, ndigits) for k, v in qdict.items()}
+        )
+        return json.dumps(
+            {
+                "metric": metric,
+                "value": total,
+                "unit": "sec",
+                "queries": vals,
+                "sf": sf,
+                "docs_per_sec": round(docs_per_sec, 2),
+            },
+            separators=(",", ":"),
+        )
+
+    for ndigits, metric in (
+        (2, "median warm wall sec; detail in BENCH/HEADLINE_r5.json"),
+        (1, "median warm wall sec; detail in BENCH/HEADLINE_r5.json"),
+        (1, "see BENCH/HEADLINE_r5.json"),
+        (None, "see BENCH/HEADLINE_r5.json"),
+    ):
+        line = _line(ndigits, metric, timings)
+        if len(line) < 1900:
+            return line
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+    return _line(
+        None, "slowest 40 of all; full set in BENCH/HEADLINE_r5.json", top
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -85,10 +131,15 @@ def main() -> int:
         # scale-shape query — benching it at full n would publish a
         # nested-loop join as a headline number. The scale path is:
         "dedup_embedding_lsh",
+        # r5: SemDeDup over the memoized IVF clusters (within-cluster
+        # pairs only — the scale-shaped semantic dedup)
+        "dedup_semdedup",
         "dedup_substring_spans",
         "decontam_ngram_overlap",
         # r5: the fuzzy decontamination leg over the shared band index
         "decontam_minhash",
+        # r5: the embedding decontamination leg (broadcast bench side)
+        "decontam_embedding",
         "sample_domain_cap",
         "dedup_lines_global",
         "filter_bloom_blocklist",
@@ -200,6 +251,9 @@ def main() -> int:
         # ivfpq cold prices all three builds: IVF index + PQ codebooks
         # + the code-carrying inverted lists
         "ann_ivf_pq_topk",
+        # r5: semdedup cold prices the IVF index build + the
+        # within-cluster pair pass
+        "dedup_semdedup",
         "filter_bloom_blocklist",
         "sketch_heavy_hitters_cms",
         # r4d memoized indexes: shared ranker postings + corpus stats,
@@ -255,31 +309,7 @@ def main() -> int:
     except OSError:
         pass  # read-only checkout must not kill the bench line
 
-    def _compact_line(ndigits: int, metric: str) -> str:
-        return json.dumps(
-            {
-                "metric": metric,
-                "value": total,
-                "unit": "sec",
-                "queries": {k: round(v, ndigits) for k, v in timings.items()},
-                "sf": sf,
-                "docs_per_sec": round(docs_per_sec, 2),
-            },
-            separators=(",", ":"),
-        )
-
-    # deterministic fallback chain: each step trades per-query median
-    # precision (full detail stays in BENCH/HEADLINE_r5.json) for line
-    # budget, never drops a contract key or a query entry
-    for ndigits, metric in (
-        (2, "median warm wall sec; detail in BENCH/HEADLINE_r5.json"),
-        (1, "median warm wall sec; detail in BENCH/HEADLINE_r5.json"),
-        (1, "see BENCH/HEADLINE_r5.json"),
-        (0, "see BENCH/HEADLINE_r5.json"),
-    ):
-        line = _compact_line(ndigits, metric)
-        if len(line) < 1900:
-            break
+    line = compact_line(timings, total, sf, docs_per_sec)
     assert len(line) < 1900, f"bench line {len(line)} chars >= 1900"
     print(line)
     return 0
