@@ -265,6 +265,10 @@ def main() -> int:
         "tokenizer_bpe_encode",
         "dedup_lines_global",
         "text_langid_ngram",
+        # r5: salsa cold prices the pinned two-sided edge index + the
+        # full auth power-iteration chain (warm probes recompute only
+        # the final hub half-step off the cached auth vector)
+        "graph_salsa",
     ):
         clear_caches(spark)
         t0 = time.monotonic()
