@@ -103,19 +103,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     build their indexes eagerly now; tokenizer_bpe_encode +
     tokenizer_vocab_coverage share the re-tupled _encoded_word_counts
     cache; search_rrf_fusion was refactored through _rrf_fuse)
-    + 2 late-r5 additions (dedup_semdedup, decontam_embedding)
+    + 4 late-r5 additions (dedup_semdedup, decontam_embedding,
+    ann_hamming_topk, ann_hamming_recall)
     + the 3 entries that have NEVER had a driver row
     (stream_quantiles_logbin, dedup_lsh_exact_reps,
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) = 25. Tier 2 = 25 of the 36 r1/r2-row
-    entries, stalest first. The 11 r1/r2-green scalar slices that did
-    not fit (filter_events_window, filter_keyword_headers,
+    pipeline_invoice_roundtrip) = 27. Tier 2 = 23 of the 36 r1/r2-row
+    entries, stalest first. The 13 r1/r2-green slices that did not fit
+    (window_top3_events_per_user, join_anti_customers_without_orders,
+    filter_events_window, filter_keyword_headers,
     f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-61;
+    unchanged since r1/r2, local-sweep green) sit at positions 51-63;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -165,6 +167,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
+        # binary sign-quantization ANN: integer XOR+popcount Hamming
+        # scan over the memoized 8-byte code table, exact-cosine rerank
+        # of BQ_CAND candidates — the memory tier below PQ (new in r5)
+        "ann_hamming_topk": SIM.ann_hamming_topk,
+        # the BQ honesty number, mirroring ann_ivf_recall (new in r5)
+        "ann_hamming_recall": SIM.ann_hamming_recall,
         # real Lloyd k-means: driver-side bounded centroids, map-only
         # assignment, integer floor-div updates, per-round inertia
         # (new in r4)
@@ -480,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then never-checked, displaced, overflow, and stalest greens).
 _R5_WINDOW = [
     # -- tier 1: new in r5 --
+    "ann_hamming_topk",
+    "ann_hamming_recall",
     "dedup_semdedup",
     "decontam_embedding",
     "mm_ocr_text",
@@ -531,9 +541,7 @@ _R5_WINDOW = [
     "events_daily_metrics",
     "agg_bool_checks",
     "join_semi_orders_with_items",
-    "join_anti_customers_without_orders",
     "topk_parts_by_price",
-    "window_top3_events_per_user",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -542,9 +550,12 @@ _R5_WINDOW = [
 # joined (all unchanged since r1/r2, local-sweep green) — first in
 # line should the window ever widen
 _R5_NEXT = [
-    # displaced from tier 2 by the two late-r5 ops (dedup_semdedup,
-    # decontam_embedding): r1/r2-green scalar projections, local-sweep
+    # displaced from tier 2 by the four late-r5 ops (dedup_semdedup,
+    # decontam_embedding, ann_hamming_topk, ann_hamming_recall):
+    # r1/r2-green scalar projections and window slices, local-sweep
     # green, queued first for r6's fill
+    "window_top3_events_per_user",
+    "join_anti_customers_without_orders",
     "filter_events_window",
     "filter_keyword_headers",
     "f_date_normalize",
@@ -827,6 +838,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_bpe_encode": TOK.BPE_ENCODE_ORACLE_SQL,
         "tokenizer_vocab_coverage": TOK.BPE_COVERAGE_ORACLE_SQL,
         "ann_ivf_recall": ORC.ann_ivf_recall(),
+        "ann_hamming_topk": ORC.ann_hamming_topk(),
+        "ann_hamming_recall": ORC.ann_hamming_recall(),
         "embedding_kmeans": SIM.KMEANS_ORACLE_SQL,
         "ann_pq_topk": SIM.PQ_ORACLE_SQL,
         "ann_pq_recall": ORC.ann_pq_recall(),

@@ -959,6 +959,86 @@ def ann_ivf_recall() -> str:
         FROM qs LEFT JOIN hits USING (query_id)
     """
 
+def ann_hamming_topk() -> str:
+    """Twin of similarity.ann_hamming_topk: the identical 32-bit sign
+    words (CASE-sum with the same Python-int power-of-two literals),
+    integer XOR+popcount Hamming stage with the same (hamming ASC,
+    neighbor_id ASC) cut at BQ_CAND, exact left-fold cosine rerank.
+    All stage-1 arithmetic is integer-exact; stage 2 is the shared
+    _dot fold — no rounding anywhere."""
+    from .similarity import BQ_CAND, BQ_TOP_K, BQ_WORD_BITS, EMB_DIMS
+
+    def word(lo: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v[{lo + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(BQ_WORD_BITS)
+        )
+
+    word_cols = ",\n".join(
+        f"CAST({word(lo)} AS BIGINT) AS w{i}"
+        for i, lo in enumerate(range(0, EMB_DIMS, BQ_WORD_BITS))
+    )
+    return f"""
+        WITH {_E2},
+        codes AS MATERIALIZED (SELECT vec_id, {word_cols} FROM e2),
+        q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+              FROM codes WHERE vec_id < {N_QUERIES}),
+        cand AS (
+          SELECT query_id, neighbor_id, hamming FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   CAST(bit_count(xor(c.w0, q.qw0))
+                        + bit_count(xor(c.w1, q.qw1)) AS BIGINT) AS hamming,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY bit_count(xor(c.w0, q.qw0))
+                              + bit_count(xor(c.w1, q.qw1)) ASC,
+                              c.vec_id ASC) AS hrk
+            FROM codes c, q WHERE c.vec_id <> q.query_id
+          ) WHERE hrk <= {BQ_CAND}
+        ),
+        qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+               FROM e2 WHERE vec_id < {N_QUERIES}),
+        rer AS (
+          SELECT t.query_id, t.neighbor_id, t.hamming,
+                 {_dot('qv.qv', 'e2.v')} / (qv.qn * e2.nrm) AS cos
+          FROM cand t
+          JOIN e2 ON e2.vec_id = t.neighbor_id
+          JOIN qv USING (query_id)
+        )
+        SELECT query_id, neighbor_id, hamming, cos, rk FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+               AS BIGINT) AS rk
+          FROM rer
+        ) WHERE rk <= {BQ_TOP_K}
+    """
+
+
+def ann_hamming_recall() -> str:
+    """Recall@K of the sign-quantized Hamming scan vs the exact
+    baseline — the ann_ivf_recall composition with the BQ twin
+    substituted."""
+    from .similarity import BQ_TOP_K
+
+    return f"""
+        WITH exact AS MATERIALIZED ({ann_cosine_topk()}),
+        bq AS MATERIALIZED ({ann_hamming_topk()}),
+        hits AS (
+          SELECT b.query_id, count(*) AS n_hits
+          FROM bq b
+          JOIN exact e ON e.query_id = b.query_id
+                      AND e.neighbor_id = b.neighbor_id
+                      AND e.rk <= {BQ_TOP_K}
+          GROUP BY b.query_id
+        ),
+        qs AS (SELECT DISTINCT query_id FROM bq)
+        SELECT query_id,
+               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(n_hits, 0) / {BQ_TOP_K} AS recall_at_k
+        FROM qs LEFT JOIN hits USING (query_id)
+    """
+
+
 def ann_pq_recall() -> str:
     """Recall@K of the PQ/ADC search vs the exact baseline — the two
     existing oracles composed as MATERIALIZED CTEs (the PQ twin is a

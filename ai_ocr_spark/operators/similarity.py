@@ -441,6 +441,153 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- binary (sign) quantization ANN ------------------------------------------
+
+BQ_WORD_BITS = 32      # sign bits per packed BIGINT word (2^31 < max long)
+BQ_CAND = 50           # Hamming-stage candidates per query
+BQ_TOP_K = 10
+
+
+def _bq_words(v) -> list:
+    """EMB_DIMS sign bits packed into EMB_DIMS/32 BIGINT words: word w
+    bit j is set iff v[32w + j] > 0. 32-bit words keep every addend a
+    plain Python-int literal (1 << 31 fits long; a 64-bit word would
+    need the overflowing 1 << 63) and give the DuckDB twin the exact
+    same CASE-sum arithmetic."""
+    words = []
+    for lo in range(0, EMB_DIMS, BQ_WORD_BITS):
+        w = F.lit(0).cast("long")
+        for j in range(BQ_WORD_BITS):
+            w = w + F.when(
+                F.element_at(v, lo + j + 1) > 0.0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(w)
+    return words
+
+
+def _bq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted+memoized (vec_id, w0, w1) sign-code table — at 10^12
+    vectors this 8-byte-per-vector index is the artifact you keep in
+    executor memory (64x smaller than the float32 vectors, 10x smaller
+    than the 80-bit PQ codes). Repartitioned to width first (the
+    single-split parquet footgun) and materialized eagerly (racing
+    cold stages recompute lazy memoized blocks, CLAUDE.md)."""
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    key = _cache_key(spark, sf_dir, "bq-codes")
+    codes = _SHINGLE_CACHE.get(key)
+    if codes is None:
+        emb = _emb(spark, sf_dir)
+        par = max(spark.sparkContext.defaultParallelism, 8)
+        w0, w1 = _bq_words(F.col("v"))
+        codes = (
+            emb.repartition(par, F.col("vec_id"))
+            .select("vec_id", w0.alias("w0"), w1.alias("w1"))
+            .persist()
+        )
+        codes.count()
+        _SHINGLE_CACHE[key] = codes
+    return codes
+
+
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: stage 1 scans the memoized 64-bit sign
+    codes with pure integer ops — popcount of XOR, two words — and
+    keeps the BQ_CAND Hamming-nearest per query; stage 2 reranks only
+    those candidates with the exact left-fold cosine. The sign-bit
+    Hamming distance estimates the angle (collision probability
+    1 - theta/pi per hyperplane bit, Charikar 2002 — the same SRP fact
+    dedup_embedding_lsh banks on), so the integer scan is a faithful
+    cosine surrogate and the float math runs on BQ_CAND rows per query
+    instead of the corpus.
+
+    Scale shape: queries ride a broadcast against the code table (no
+    corpus shuffle; whole-stage-codegen integer XOR/popcount next to
+    the scan), the Hamming top-N compiles to per-partition heaps via
+    the row_number window, and the rerank joins BQ_CAND ids per query
+    back to the vector table by vec_id. This is the memory tier BELOW
+    ann_pq_topk: 8 bytes/vector vs PQ's 10, no codebook training, no
+    ADC table — the first-pass filter a trillion-vector index runs
+    before IVF/PQ refine. ann_hamming_recall publishes the measured
+    recall@K this trade buys.
+
+    Reference parity: extends the reference's embedding-free similarity
+    intent the same way the other ANN ops do (SURVEY §2 ANN family);
+    no reference analogue — LLM-data-pipeline first-class op.
+    """
+    codes = _bq_codes(spark, sf_dir)
+    q = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+    ).cast("long")
+    hw = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    cand = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            ham.alias("hamming"),
+        )
+        .withColumn("hrk", F.row_number().over(hw))
+        .filter(F.col("hrk") <= BQ_CAND)
+        .drop("hrk")
+    )
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    # the candidate set (N_QUERIES x BQ_CAND rows) rides the broadcast
+    # side of the rerank join explicitly — at 10^12 vectors AQE can't
+    # see that the corpus side is the big one until too late
+    return (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", "hamming", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rk") <= BQ_TOP_K)
+    )
+
+
+def ann_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@BQ_TOP_K of the sign-quantized Hamming scan vs
+    the exact brute-force top-K — the honesty number for the 64x
+    memory compression, published as a first-class query like
+    ann_ivf_recall/ann_pq_recall (tune BQ_CAND against THIS)."""
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rk") <= BQ_TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    bq = ann_hamming_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bq.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = bq.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits / BQ_TOP_K).alias("recall_at_k"),
+    )
+
+
 # --- Lloyd's k-means over the embedding corpus --------------------------------
 
 KMEANS_K = 8

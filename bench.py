@@ -145,6 +145,9 @@ def main() -> int:
         "filter_bloom_blocklist",
         "ann_cosine_topk",
         "ann_ivf_topk",
+        # r5: binary sign-quantization ANN (integer Hamming scan over
+        # the memoized 8-byte code table + exact rerank)
+        "ann_hamming_topk",
         "text_quality_scores",
         # r5: integer-exact FK readability (scan-speed projection)
         "text_readability",
@@ -251,6 +254,8 @@ def main() -> int:
         # ivfpq cold prices all three builds: IVF index + PQ codebooks
         # + the code-carrying inverted lists
         "ann_ivf_pq_topk",
+        # r5: BQ cold prices the sign-code table build + Hamming scan
+        "ann_hamming_topk",
         # r5: semdedup cold prices the IVF index build + the
         # within-cluster pair pass
         "dedup_semdedup",
