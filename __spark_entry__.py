@@ -103,21 +103,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     build their indexes eagerly now; tokenizer_bpe_encode +
     tokenizer_vocab_coverage share the re-tupled _encoded_word_counts
     cache; search_rrf_fusion was refactored through _rrf_fuse)
-    + 4 late-r5 additions (dedup_semdedup, decontam_embedding,
-    ann_hamming_topk, ann_hamming_recall)
+    + 5 late-r5 additions (dedup_semdedup, decontam_embedding,
+    ann_hamming_topk, ann_hamming_recall, stream_join_attribution)
     + the 3 entries that have NEVER had a driver row
     (stream_quantiles_logbin, dedup_lsh_exact_reps,
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) = 27. Tier 2 = 23 of the 36 r1/r2-row
-    entries, stalest first. The 13 r1/r2-green slices that did not fit
-    (window_top3_events_per_user, join_anti_customers_without_orders,
+    pipeline_invoice_roundtrip) = 28. Tier 2 = 22 of the 36 r1/r2-row
+    entries, stalest first. The 14 r1/r2-green slices that did not fit
+    (topk_parts_by_price,
+    window_top3_events_per_user, join_anti_customers_without_orders,
     filter_events_window, filter_keyword_headers,
     f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-63;
+    unchanged since r1/r2, local-sweep green) sit at positions 51-64;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -245,6 +246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with a sentinel flush; twin is the independent islands
         # construction (new in r4)
         "stream_session_windows": SW.stream_session_windows,
+        # stream-stream interval join (the attribution shape) — the
+        # last Structured Streaming join surface (new in r5)
+        "stream_join_attribution": SW.stream_join_attribution,
         # snapshot-atomic resume value-checked: three runs against a
         # growing pages dir — anti-join resume, idempotent no-op third
         # run, lineage run_ids through the manifest (new in r4)
@@ -490,6 +494,7 @@ _R5_WINDOW = [
     # -- tier 1: new in r5 --
     "ann_hamming_topk",
     "ann_hamming_recall",
+    "stream_join_attribution",
     "dedup_semdedup",
     "decontam_embedding",
     "mm_ocr_text",
@@ -541,7 +546,6 @@ _R5_WINDOW = [
     "events_daily_metrics",
     "agg_bool_checks",
     "join_semi_orders_with_items",
-    "topk_parts_by_price",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -550,10 +554,12 @@ _R5_WINDOW = [
 # joined (all unchanged since r1/r2, local-sweep green) — first in
 # line should the window ever widen
 _R5_NEXT = [
-    # displaced from tier 2 by the four late-r5 ops (dedup_semdedup,
-    # decontam_embedding, ann_hamming_topk, ann_hamming_recall):
+    # displaced from tier 2 by the five late-r5 ops (dedup_semdedup,
+    # decontam_embedding, ann_hamming_topk, ann_hamming_recall,
+    # stream_join_attribution):
     # r1/r2-green scalar projections and window slices, local-sweep
     # green, queued first for r6's fill
+    "topk_parts_by_price",
     "window_top3_events_per_user",
     "join_anti_customers_without_orders",
     "filter_events_window",
@@ -859,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
         "text_nfc_normalize": TS.NFC_ORACLE_SQL,
         "sample_mix_epochs": CU.MIX_EPOCHS_ORACLE_SQL,
         "stream_session_windows": SW.SESSION_WINDOWS_ORACLE_SQL,
+        "stream_join_attribution": SW.ATTRIBUTION_ORACLE_SQL,
         "pipeline_resume_snapshot": RT.RESUME_SNAPSHOT_ORACLE_SQL,
         "pipeline_wet_roundtrip": RT.WET_ORACLE_SQL,
         "extract_outlinks": LNK.OUTLINKS_ORACLE_SQL,

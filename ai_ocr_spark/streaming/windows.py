@@ -437,3 +437,129 @@ def stream_quantiles_logbin(spark: "SparkSession", sf_dir: str) -> DataFrame:
         return detach(spark, out, name)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --- stream-stream interval join (attribution shape) -------------------------
+
+ATTR_WINDOW = "2 hours"     # conversion attributes to a view within 2h
+ATTR_WATERMARK = "90 days"  # > the fixture span at every SF (see docstring)
+
+
+def stream_join_attribution(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL JOIN — the last Structured Streaming join
+    surface the suite lacked (windows, sessions, dedup, arbitrary state
+    are covered elsewhere): the ad-attribution shape, a 'purchase'
+    stream inner-joined to the 'view' stream of the SAME user when the
+    purchase lands within ATTR_WINDOW of the view. Spark buffers both
+    sides as watermark-bounded state and emits a pair the moment both
+    halves exist — the canonical two-stream enrichment every
+    clickstream pipeline runs.
+
+    Determinism contract: the drain uses a watermark (90 days) LARGER
+    than the fixture's event span at any SF, so no state is evicted
+    mid-drain and the emitted set is the COMPLETE interval join — the
+    DuckDB twin is the plain batch interval join, hash-exact. The
+    eviction semantics themselves (a view older than the watermark is
+    dropped before its purchase arrives) are pinned separately in
+    pytest with a 3-file late-arrival split and a tight watermark —
+    CLAUDE.md: a 2-file split never drops late rows.
+
+    Scale shape: state is O(events inside the watermark horizon) per
+    side, keyed and co-shuffled on user_id (both sides exchange once
+    into the same hash partitioning — the streaming symmetric hash
+    join); the time bound lets Spark evict a buffered view the moment
+    the purchase-side watermark passes view_ts + ATTR_WINDOW, so at a
+    production 15-minute watermark the state is minutes of traffic,
+    never the stream. lag_us is an exact integer both engines compute
+    from microsecond epochs.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from .util import detach, drain_available_now, write_ordered_file
+
+    prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stage = tempfile.mkdtemp(prefix="stream_attr_")
+    try:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        schema = events.schema
+        now = 1_700_000_000
+        for side, etype in (("views", "view"), ("convs", "purchase")):
+            d = os.path.join(stage, side)
+            os.makedirs(d)
+            rows = events.filter(F.col("event_type") == etype)
+            for k in (0, 1):
+                write_ordered_file(
+                    rows.filter(F.col("event_id") % 2 == k),
+                    os.path.join(d, f"b{k}.parquet"),
+                    now + 100 * k,
+                )
+
+        def _read(side: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(stage, side))
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+
+        views = _read("views").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        ).withWatermark("view_ts", ATTR_WATERMARK)
+        convs = _read("convs").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ).withWatermark("purchase_ts", ATTR_WATERMARK)
+        joined = views.join(
+            convs,
+            F.expr(
+                "v_user = c_user AND purchase_ts >= view_ts "
+                f"AND purchase_ts <= view_ts + INTERVAL {ATTR_WINDOW}"
+            ),
+        )
+        name = drain_available_now(
+            joined, "append", os.path.join(stage, "ckpt"),
+            prefix="stream_attr",
+        )
+        out = spark.table(name).select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts")))
+            .cast("long")
+            .alias("lag_us"),
+            "purchase_value",
+        )
+        return detach(spark, out, name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        if prior_tz is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prior_tz)
+
+
+ATTRIBUTION_ORACLE_SQL = """
+    SELECT i.user_id,
+           i.event_id AS view_id,
+           c.event_id AS purchase_id,
+           i.ts AS view_ts,
+           c.ts AS purchase_ts,
+           CAST(epoch_us(c.ts) - epoch_us(i.ts) AS BIGINT) AS lag_us,
+           c.value AS purchase_value
+    FROM events i
+    JOIN events c
+      ON i.user_id = c.user_id
+     AND i.event_type = 'view'
+     AND c.event_type = 'purchase'
+     AND c.ts >= i.ts
+     AND c.ts <= i.ts + INTERVAL 2 HOUR
+"""
