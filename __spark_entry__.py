@@ -103,22 +103,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     build their indexes eagerly now; tokenizer_bpe_encode +
     tokenizer_vocab_coverage share the re-tupled _encoded_word_counts
     cache; search_rrf_fusion was refactored through _rrf_fuse)
-    + 5 late-r5 additions (dedup_semdedup, decontam_embedding,
-    ann_hamming_topk, ann_hamming_recall, stream_join_attribution)
+    + 6 late-r5 additions (dedup_semdedup, decontam_embedding,
+    ann_hamming_topk, ann_hamming_recall, stream_join_attribution,
+    quality_filter_fineweb)
     + the 3 entries that have NEVER had a driver row
     (stream_quantiles_logbin, dedup_lsh_exact_reps,
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) = 28. Tier 2 = 22 of the 36 r1/r2-row
-    entries, stalest first. The 14 r1/r2-green slices that did not fit
-    (topk_parts_by_price,
+    pipeline_invoice_roundtrip) = 29. Tier 2 = 21 of the 36 r1/r2-row
+    entries, stalest first. The 15 r1/r2-green slices that did not fit
+    (join_semi_orders_with_items, topk_parts_by_price,
     window_top3_events_per_user, join_anti_customers_without_orders,
     filter_events_window, filter_keyword_headers,
     f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-64;
+    unchanged since r1/r2, local-sweep green) sit at positions 51-65;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -429,6 +430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": TS.text_line_dedup,
         "url_canonicalize": TS.url_canonicalize,
         "quality_filter_gopher": TS.quality_filter_gopher,
+        # FineWeb custom filters (Penedo et al. 2024 §3.5) — the three
+        # line-structural rules on top of C4/Gopher (new in r5)
+        "quality_filter_fineweb": TS.quality_filter_fineweb,
         "agg_column_profile": R.agg_column_profile,
         "agg_rollup_category": R.agg_rollup_category,
         "sniff_roundtrip": PG.sniff_roundtrip,
@@ -495,6 +499,7 @@ _R5_WINDOW = [
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
+    "quality_filter_fineweb",
     "dedup_semdedup",
     "decontam_embedding",
     "mm_ocr_text",
@@ -545,7 +550,6 @@ _R5_WINDOW = [
     "agg_order_totals",
     "events_daily_metrics",
     "agg_bool_checks",
-    "join_semi_orders_with_items",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -556,9 +560,10 @@ _R5_WINDOW = [
 _R5_NEXT = [
     # displaced from tier 2 by the five late-r5 ops (dedup_semdedup,
     # decontam_embedding, ann_hamming_topk, ann_hamming_recall,
-    # stream_join_attribution):
+    # stream_join_attribution, quality_filter_fineweb):
     # r1/r2-green scalar projections and window slices, local-sweep
     # green, queued first for r6's fill
+    "join_semi_orders_with_items",
     "topk_parts_by_price",
     "window_top3_events_per_user",
     "join_anti_customers_without_orders",
@@ -1022,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         "text_line_dedup": ORC.text_line_dedup(),
         "url_canonicalize": ORC.url_canonicalize(),
         "quality_filter_gopher": ORC.quality_filter_gopher(),
+        "quality_filter_fineweb": ORC.quality_filter_fineweb(),
         "mm_image_features": ORC.mm_image_features(),
         "mm_image_ahash": ORC.mm_image_ahash(),
         "mm_ocr_text": ORC.mm_ocr_text(),

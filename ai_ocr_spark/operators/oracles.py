@@ -1217,6 +1217,70 @@ def quality_filter_c4() -> str:
     """
 
 
+def quality_filter_fineweb() -> str:
+    """Twin of textstats.quality_filter_fineweb: identical seeded
+    5-line document, then unnest + a per-(doc,line) count window for
+    the duplicated-line char fraction (the Spark side computes the
+    same integers with an O(L²) rowwise array probe). Integer counts
+    CAST BIGINT (HUGEINT trap); the three ratios are single IEEE
+    divisions of those integers, bit-identical."""
+    from .textstats import (
+        FW_DUP_CHAR_MAX,
+        FW_PUNCT_MIN,
+        FW_SHORT_CHARS,
+        FW_SHORT_MAX,
+    )
+
+    p = "CASE WHEN doc_id % 17 = 0 THEN '' ELSE '.' END"
+    l1 = (
+        "(CASE WHEN doc_id % 19 = 0 THEN 'hi'"
+        f" ELSE substr(coalesce(text,''), 1, 50) END || {p})"
+    )
+    seeded = (
+        f"{l1}"
+        " || chr(10) || CASE WHEN doc_id % 19 = 0 THEN 'aa bb'"
+        "      ELSE substr(coalesce(text,''), 51, 50) END"
+        " || chr(10) || CASE WHEN doc_id % 19 = 0 THEN 'tiny'"
+        "      ELSE substr(coalesce(text,''), 101, 50) END"
+        f" || chr(10) || CASE WHEN doc_id % 6 = 0 THEN {l1}"
+        f"      ELSE substr(coalesce(text,''), 151, 40) || {p} END"
+        " || chr(10) || (CASE WHEN doc_id % 19 = 0 THEN 'also tiny'"
+        "      ELSE 'A closing remark rounds out the page nicely' END"
+        f" || {p})"
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id, {seeded} AS seeded FROM documents
+        ),
+        ln AS (
+          SELECT doc_id, u.line,
+                 count(*) OVER (PARTITION BY doc_id, u.line) AS cnt
+          FROM s, unnest(string_split(seeded, chr(10))) AS u(line)
+        ),
+        st AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN regexp_matches(line, '[.!?"]$')
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_punct_lines,
+                 CAST(sum(CASE WHEN length(line) < {FW_SHORT_CHARS}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_short_lines,
+                 CAST(sum(length(line)) AS BIGINT) AS total_chars,
+                 CAST(sum(CASE WHEN cnt > 1 THEN length(line) ELSE 0 END)
+                      AS BIGINT) AS dup_chars
+          FROM ln GROUP BY doc_id
+        )
+        SELECT doc_id, n_lines, n_punct_lines, n_short_lines,
+               total_chars, dup_chars,
+               n_punct_lines / n_lines AS punct_ratio,
+               dup_chars / total_chars AS dup_char_frac,
+               n_short_lines / n_lines AS short_frac,
+               (n_punct_lines / n_lines >= {FW_PUNCT_MIN})
+                 AND (dup_chars / total_chars <= {FW_DUP_CHAR_MAX})
+                 AND (n_short_lines / n_lines < {FW_SHORT_MAX}) AS keep
+        FROM st
+    """
+
+
 def dedup_url_keep_first() -> str:
     """Twin of dedup.dedup_url_keep_first: same synthesized variants,
     same canonicalization chain as url_canonicalize, then

@@ -787,6 +787,113 @@ def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# FineWeb custom-filter thresholds (Penedo et al. 2024, §3.5: the three
+# line-structural filters added AFTER the C4 and Gopher stacks)
+FW_PUNCT_MIN = 0.12     # drop if punct-terminated line ratio is below
+FW_DUP_CHAR_MAX = 0.01  # drop if duplicated-line char fraction exceeds
+FW_SHORT_MAX = 0.67     # drop if the short-line fraction reaches this
+FW_SHORT_CHARS = 30     # a line under 30 chars counts as short
+
+
+def _fw_seeded_doc(k: Column, t: Column) -> Column:
+    """Deterministic 5-line document per row so every FineWeb rule
+    fires on the single-line fixture text (assembled IDENTICALLY in
+    the DuckDB twin): doc_id % 17 == 0 docs lose ALL terminal
+    punctuation (punct-ratio rule), % 6 == 0 docs repeat line 1 as
+    line 4 (duplicated-line char rule), % 19 == 0 docs shrink four of
+    five lines under FW_SHORT_CHARS (short-line rule)."""
+    p = F.when(k % 17 == 0, F.lit("")).otherwise(F.lit("."))
+    l1 = F.concat(
+        F.when(k % 19 == 0, F.lit("hi")).otherwise(F.substring(t, 1, 50)), p
+    )
+    l2 = F.when(k % 19 == 0, F.lit("aa bb")).otherwise(F.substring(t, 51, 50))
+    l3 = F.when(k % 19 == 0, F.lit("tiny")).otherwise(
+        F.substring(t, 101, 50)
+    )
+    l4 = F.when(k % 6 == 0, l1).otherwise(
+        F.concat(F.substring(t, 151, 40), p)
+    )
+    l5 = F.concat(
+        F.when(k % 19 == 0, F.lit("also tiny")).otherwise(
+            F.lit("A closing remark rounds out the page nicely")
+        ),
+        p,
+    )
+    return F.concat_ws("\n", l1, l2, l3, l4, l5)
+
+
+def quality_filter_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb custom filters (Penedo et al. 2024 §3.5) — the three
+    line-structural rules the FineWeb ablations added ON TOP of the C4
+    and Gopher stacks already implemented here (quality_filter_c4,
+    quality_filter_gopher, quality_filter_gopher_rep), completing the
+    named web-cleaning family:
+
+      punct_ratio   fraction of lines ending in terminal punctuation;
+                    drop below FW_PUNCT_MIN (0.12)
+      dup_char_frac fraction of characters sitting in lines that occur
+                    more than once WITHIN the doc; drop above
+                    FW_DUP_CHAR_MAX (0.01)
+      short_frac    fraction of lines under FW_SHORT_CHARS chars; drop
+                    at or above FW_SHORT_MAX (0.67)
+
+    All counts are exact integers via higher-order array functions and
+    the ratios are single IEEE divisions of those integers, so the
+    DuckDB twin (unnest + a per-(doc,line) count window) matches
+    bit-for-bit. Scale shape: pure scan-speed projection — the
+    duplicated-line probe is O(L²) per document in the lines array L,
+    computed rowwise inside codegen with NO shuffle (a real corpus has
+    tens of lines per page; the corpus-level dedup of the same lines is
+    dedup_lines_global's job).
+
+    Reference parity: extends the reference's single is-empty content
+    gate (src/api/app/services/extraction_service.py:137-141) the same
+    way the other quality gates do."""
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(_fw_seeded_doc(k, t), "\n")
+    zero = F.lit(0).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_punct = F.size(
+        F.filter(lines, lambda l: l.rlike('[.!?"]$'))
+    ).cast("long")
+    n_short = F.size(
+        F.filter(lines, lambda l: F.length(l) < FW_SHORT_CHARS)
+    ).cast("long")
+    total_chars = F.aggregate(
+        lines, zero, lambda a, x: a + F.length(x).cast("long")
+    )
+    dup_chars = F.aggregate(
+        lines,
+        zero,
+        lambda a, x: a
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1,
+            F.length(x).cast("long"),
+        ).otherwise(zero),
+    )
+    punct_ratio = n_punct / n_lines
+    dup_frac = dup_chars / total_chars
+    short_frac = n_short / n_lines
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_punct.alias("n_punct_lines"),
+        n_short.alias("n_short_lines"),
+        total_chars.alias("total_chars"),
+        dup_chars.alias("dup_chars"),
+        punct_ratio.alias("punct_ratio"),
+        dup_frac.alias("dup_char_frac"),
+        short_frac.alias("short_frac"),
+        (
+            (punct_ratio >= FW_PUNCT_MIN)
+            & (dup_frac <= FW_DUP_CHAR_MAX)
+            & (short_frac < FW_SHORT_MAX)
+        ).alias("keep"),
+    )
+
+
 def agg_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain crawl-curation rollup (the FineWeb/CCNet unit of
     keep/drop decisions is the HOST, not the page): for each source —

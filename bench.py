@@ -154,6 +154,8 @@ def main() -> int:
         "text_langid",
         "text_pii_scrub",
         "quality_filter_gopher",
+        # r5: the FineWeb line-structural filters (scan-speed)
+        "quality_filter_fineweb",
         "url_canonicalize",
         "join_asof_orders",
         "range_join_event_pairs",

@@ -1720,3 +1720,63 @@ def test_text_readability_matches_python_recompute(spark):
         assert r["wps_e4"] == (w * 10000) // s
         assert r["spw_e4"] == (sy * 10000) // w
         assert r["fk_e4"] == (w * 3900) // s + (sy * 11800) // w - 155900
+
+
+def test_fineweb_rules_fire_and_match_python(spark):
+    """quality_filter_fineweb: every rule fires, both keep outcomes
+    occur, and every stat matches an independent Python recompute of
+    the identical seeded document."""
+    import duckdb
+    import re
+
+    from ai_ocr_spark.operators.textstats import (
+        FW_DUP_CHAR_MAX,
+        FW_PUNCT_MIN,
+        FW_SHORT_CHARS,
+        FW_SHORT_MAX,
+        quality_filter_fineweb,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = quality_filter_fineweb(spark, sf).toPandas().set_index("doc_id")
+    texts = dict(
+        duckdb.connect().execute(
+            "SELECT doc_id, coalesce(text,'') FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    )
+    for doc_id, t in texts.items():
+        p = "" if doc_id % 17 == 0 else "."
+        l1 = ("hi" if doc_id % 19 == 0 else t[0:50]) + p
+        lines = [
+            l1,
+            "aa bb" if doc_id % 19 == 0 else t[50:100],
+            "tiny" if doc_id % 19 == 0 else t[100:150],
+            l1 if doc_id % 6 == 0 else t[150:190] + p,
+            (
+                "also tiny"
+                if doc_id % 19 == 0
+                else "A closing remark rounds out the page nicely"
+            )
+            + p,
+        ]
+        n = len(lines)
+        n_punct = sum(1 for l in lines if re.search(r'[.!?"]$', l))
+        n_short = sum(1 for l in lines if len(l) < FW_SHORT_CHARS)
+        total = sum(len(l) for l in lines)
+        dup = sum(len(l) for l in lines if lines.count(l) > 1)
+        r = out.loc[doc_id]
+        assert (r.n_lines, r.n_punct_lines, r.n_short_lines) == (
+            n, n_punct, n_short,
+        ), doc_id
+        assert (r.total_chars, r.dup_chars) == (total, dup), doc_id
+        assert r.keep == (
+            n_punct / n >= FW_PUNCT_MIN
+            and dup / total <= FW_DUP_CHAR_MAX
+            and n_short / n < FW_SHORT_MAX
+        ), doc_id
+    # each of the three rules fires somewhere, and both outcomes occur
+    assert (out["punct_ratio"] < FW_PUNCT_MIN).any()
+    assert (out["dup_char_frac"] > FW_DUP_CHAR_MAX).any()
+    assert (out["short_frac"] >= FW_SHORT_MAX).any()
+    assert out["keep"].any() and (~out["keep"]).any()
