@@ -103,23 +103,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     build their indexes eagerly now; tokenizer_bpe_encode +
     tokenizer_vocab_coverage share the re-tupled _encoded_word_counts
     cache; search_rrf_fusion was refactored through _rrf_fuse)
-    + 6 late-r5 additions (dedup_semdedup, decontam_embedding,
+    + 7 late-r5 additions (dedup_semdedup, decontam_embedding,
     ann_hamming_topk, ann_hamming_recall, stream_join_attribution,
-    quality_filter_fineweb)
+    quality_filter_fineweb, decontam_report)
     + the 3 entries that have NEVER had a driver row
     (stream_quantiles_logbin, dedup_lsh_exact_reps,
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) = 29. Tier 2 = 21 of the 36 r1/r2-row
-    entries, stalest first. The 15 r1/r2-green slices that did not fit
-    (join_semi_orders_with_items, topk_parts_by_price,
+    pipeline_invoice_roundtrip) = 30. Tier 2 = 20 of the 36 r1/r2-row
+    entries, stalest first. The 16 r1/r2-green slices that did not fit
+    (window_running_spend, join_semi_orders_with_items,
+    topk_parts_by_price,
     window_top3_events_per_user, join_anti_customers_without_orders,
     filter_events_window, filter_keyword_headers,
     f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-65;
+    unchanged since r1/r2, local-sweep green) sit at positions 51-66;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -452,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # catches paraphrased eval leakage exact windows miss
         # (new in r5)
         "decontam_minhash": CU.decontam_minhash,
+        # the composed 3-leg contamination verdict (new in r5)
+        "decontam_report": CU.decontam_report,
         # the EMBEDDING decontamination leg: cosine against the
         # broadcast benchmark slice — catches rewritten eval items that
         # share no surface n-grams (new in r5)
@@ -500,6 +503,7 @@ _R5_WINDOW = [
     "ann_hamming_recall",
     "stream_join_attribution",
     "quality_filter_fineweb",
+    "decontam_report",
     "dedup_semdedup",
     "decontam_embedding",
     "mm_ocr_text",
@@ -543,7 +547,6 @@ _R5_WINDOW = [
     "ann_ivf_topk",
     "q1_pricing_summary",
     "agg_keyword_score_argmax",
-    "window_running_spend",
     "window_sessionize",
     "join_nation_region_rollup",
     "join_customer_orders",
@@ -560,9 +563,11 @@ _R5_WINDOW = [
 _R5_NEXT = [
     # displaced from tier 2 by the five late-r5 ops (dedup_semdedup,
     # decontam_embedding, ann_hamming_topk, ann_hamming_recall,
-    # stream_join_attribution, quality_filter_fineweb):
+    # stream_join_attribution, quality_filter_fineweb,
+    # decontam_report):
     # r1/r2-green scalar projections and window slices, local-sweep
     # green, queued first for r6's fill
+    "window_running_spend",
     "join_semi_orders_with_items",
     "topk_parts_by_price",
     "window_top3_events_per_user",
@@ -1001,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": ORC.ann_ivf_topk(),
         "dedup_semdedup": ORC.dedup_semdedup(),
         "decontam_embedding": ORC.decontam_embedding(),
+        "decontam_report": ORC.decontam_report(),
         "dedup_embedding_lsh": ORC.dedup_embedding_lsh(),
         "text_token_stats": ORC.text_token_stats(),
         "text_unigram_rarity": ORC.text_unigram_rarity(),

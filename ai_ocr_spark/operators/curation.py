@@ -283,6 +283,57 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed decontamination verdict — the three legs fused into
+    one per-document row, which is what an eval-hygiene pipeline
+    actually gates on (the Llama 3 / GPT-4 reports each run several
+    contamination detectors and publish the union):
+
+      ngram_hit      exact 8-gram window overlap (decontam_ngram_overlap)
+      minhash_hit    lexical fuzz via the shared band index
+                     (decontam_minhash — catches paraphrase)
+      embedding_hit  semantic cosine vs the broadcast benchmark slice
+                     (decontam_embedding — catches rewrites sharing no
+                     surface n-grams)
+      n_legs         how many detectors fired (0-3)
+      contaminated   the union verdict
+
+    All three legs sample the benchmark with the SAME hash15 5% slice
+    over the same id domain, so the fusion is three equi-joins on
+    doc_id over identically-scoped frames — scalars move, never text or
+    vectors. The DuckDB twin composes the three leg oracles as
+    MATERIALIZED CTEs, so any drift in any leg surfaces here too."""
+    from .similarity import _emb  # noqa: F401  (leg import parity)
+
+    ng = decontam_ngram_overlap(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("ngram_hit")
+    )
+    mh = decontam_minhash(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("minhash_hit")
+    )
+    em = decontam_embedding(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("contaminated").alias("embedding_hit"),
+    )
+    n_legs = (
+        F.col("ngram_hit").cast("int")
+        + F.col("minhash_hit").cast("int")
+        + F.col("embedding_hit").cast("int")
+    ).cast("long")
+    return (
+        ng.join(mh, "doc_id")
+        .join(em, "doc_id")
+        .select(
+            "doc_id",
+            "ngram_hit",
+            "minhash_hit",
+            "embedding_hit",
+            n_legs.alias("n_legs"),
+            (n_legs > 0).alias("contaminated"),
+        )
+    )
+
+
 def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-balanced sample: at most DOMAIN_CAP documents per source,
     preferring the longest (n_chars DESC) with doc_id ASC as the

@@ -1281,6 +1281,30 @@ def quality_filter_fineweb() -> str:
     """
 
 
+def decontam_report() -> str:
+    """Twin of curation.decontam_report: the three leg oracles composed
+    as MATERIALIZED CTEs (each is a deep chain — inlining per reference
+    would re-derive it), fused by equi-joins on doc_id. n_legs CAST
+    BIGINT (HUGEINT trap on the int sum)."""
+    return f"""
+        WITH ng AS MATERIALIZED ({decontam_ngram_overlap()}),
+        mh AS MATERIALIZED ({decontam_minhash()}),
+        em AS MATERIALIZED ({decontam_embedding()})
+        SELECT ng.doc_id,
+               ng.contaminated AS ngram_hit,
+               mh.contaminated AS minhash_hit,
+               em.contaminated AS embedding_hit,
+               CAST(CAST(ng.contaminated AS INT)
+                    + CAST(mh.contaminated AS INT)
+                    + CAST(em.contaminated AS INT) AS BIGINT) AS n_legs,
+               (ng.contaminated OR mh.contaminated OR em.contaminated)
+                 AS contaminated
+        FROM ng
+        JOIN mh USING (doc_id)
+        JOIN em ON em.vec_id = ng.doc_id
+    """
+
+
 def dedup_url_keep_first() -> str:
     """Twin of dedup.dedup_url_keep_first: same synthesized variants,
     same canonicalization chain as url_canonicalize, then

@@ -105,3 +105,39 @@ def test_decontam_embedding_bench_side_is_broadcast(spark):
     # bounded eval set); the corpus side never shuffles to generate
     # candidates
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_decontam_report_is_the_rowwise_union_of_its_legs(spark):
+    from ai_ocr_spark.operators.curation import (
+        decontam_minhash,
+        decontam_ngram_overlap,
+        decontam_report,
+    )
+
+    rep = decontam_report(spark, SF).toPandas().set_index("doc_id")
+    ng = decontam_ngram_overlap(spark, SF).toPandas().set_index("doc_id")
+    mh = decontam_minhash(spark, SF).toPandas().set_index("doc_id")
+    em = (
+        decontam_embedding(spark, SF)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert set(rep.index) == set(ng.index) == set(mh.index) == set(em.index)
+    for d in rep.index:
+        legs = (
+            bool(ng.loc[d, "contaminated"]),
+            bool(mh.loc[d, "contaminated"]),
+            bool(em.loc[d, "contaminated"]),
+        )
+        assert (
+            rep.loc[d, "ngram_hit"],
+            rep.loc[d, "minhash_hit"],
+            rep.loc[d, "embedding_hit"],
+        ) == legs, d
+        assert rep.loc[d, "n_legs"] == sum(legs), d
+        assert rep.loc[d, "contaminated"] == any(legs), d
+    # the embedding leg catches leakage the surface legs miss (31 docs
+    # at sf0.001) — the reason the report fuses three detectors
+    emb_only = rep["embedding_hit"] & ~(rep["ngram_hit"] | rep["minhash_hit"])
+    assert emb_only.any()
+    assert (~rep["contaminated"]).any() and rep["contaminated"].any()
