@@ -69,3 +69,12 @@ def test_salsa_final_auth_is_materialized_once(spark):
     e_dst, auth = _SHINGLE_CACHE[key]
     assert auth.storageLevel.useMemory, "final auth is not persisted"
     assert e_dst.storageLevel.useMemory, "dst edge pin is not persisted"
+
+
+def test_fineweb_filter_is_a_pure_projection(spark):
+    """quality_filter_fineweb claims scan-speed: no Exchange anywhere —
+    the O(L^2) dup-line probe runs rowwise inside codegen."""
+    from ai_ocr_spark.operators.textstats import quality_filter_fineweb
+
+    names = _physical_nodes(quality_filter_fineweb(spark, SF))
+    assert not any(n.startswith("Exchange") for n in names), names
