@@ -213,8 +213,9 @@ def decontam_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Semantic-decontamination threshold = the embedding near-dup family's
 # verify point (dedup_embedding_cosine / dedup_embedding_lsh /
-# dedup_semdedup all operate at the same cosine).
-EMB_DECONTAM_TAU = 0.35
+# dedup_semdedup all operate at the same cosine) — the ONE shared
+# definition in similarity.py, not a fourth copy of the literal.
+from .similarity import EMB_NEARDUP_TAU as EMB_DECONTAM_TAU  # noqa: E402
 
 
 def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,28 +257,30 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "bench_id", cos.alias("cos"))
         .filter(F.col("cos") >= EMB_DECONTAM_TAU)
     )
-    nhits = hits.groupBy("vec_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_hits")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("bench_id"))
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("bench_id").alias("best_bench_id"),
-            F.col("cos").alias("max_cos"),
-        )
+    # ONE aggregate computes both the hit count and the argmax (review
+    # finding r5: a count aggregate + a separate row_number window each
+    # consumed the unpersisted `hits` subtree, planning the dominant
+    # O(n*|bench|) scan-and-score pass twice per action). The argmax
+    # tie-break (cos DESC, bench_id ASC) becomes max(struct(cos,
+    # -bench_id)) — field-wise struct max over exact values, identical
+    # winner, and the whole leg is a single corpus pass again.
+    agg = hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.max(
+            F.struct(
+                F.col("cos").alias("cos"),
+                (-F.col("bench_id")).alias("neg_bid"),
+            )
+        ).alias("mx"),
     )
     return (
         corpus.select("vec_id")
-        .join(nhits, "vec_id", "left")
-        .join(best, "vec_id", "left")
+        .join(agg, "vec_id", "left")
         .select(
             "vec_id",
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            "best_bench_id",
-            F.coalesce(F.col("max_cos"), F.lit(0.0)).alias("max_cos"),
+            (-F.col("mx.neg_bid")).cast("long").alias("best_bench_id"),
+            F.coalesce(F.col("mx.cos"), F.lit(0.0)).alias("max_cos"),
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
@@ -303,8 +306,6 @@ def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id over identically-scoped frames — scalars move, never text or
     vectors. The DuckDB twin composes the three leg oracles as
     MATERIALIZED CTEs, so any drift in any leg surfaces here too."""
-    from .similarity import _emb  # noqa: F401  (leg import parity)
-
     ng = decontam_ngram_overlap(spark, sf_dir).select(
         "doc_id", F.col("contaminated").alias("ngram_hit")
     )

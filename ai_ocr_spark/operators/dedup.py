@@ -594,13 +594,16 @@ def connected_components_labels(
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.35 over all i<j pairs.
+    """Embedding near-dup pairs: cosine >= EMB_NEARDUP_TAU (the family's
+    one shared operating point, similarity.py) over all i<j pairs.
 
     Brute force is the *verification* baseline (exact); at 10^12 rows the
     candidate generation must come from operators/similarity.py's
     IVF/bucketed path — this operator is the oracle-checkable ground
     truth for it. Norms are precomputed per side before the join so the
     pair stage multiplies two scalars instead of re-folding 64 floats."""
+    from .similarity import EMB_NEARDUP_TAU
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
@@ -614,7 +617,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos"),
         )
-        .filter(F.col("cos") >= 0.35)
+        .filter(F.col("cos") >= EMB_NEARDUP_TAU)
     )
 
 

@@ -270,13 +270,15 @@ _E2 = f"""
 
 
 def dedup_embedding_cosine() -> str:
+    from .similarity import EMB_NEARDUP_TAU
+
     return f"""
         WITH {_E2}
         SELECT vec_a, vec_b, cos FROM (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                  {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
           FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id
-        ) WHERE cos >= 0.35
+        ) WHERE cos >= {EMB_NEARDUP_TAU}
     """
 
 
@@ -934,30 +936,39 @@ def mm_audio_stats() -> str:
 
 
 
-def ann_ivf_recall() -> str:
-    """Recall@K of the IVF search vs the exact baseline: the two
-    existing ANN oracles composed as nested-CTE subqueries, so any
-    drift in either path surfaces here too. recall_at_k is one IEEE
-    division of exact integers."""
-    from .similarity import IVF_TOP_K
-
+def _recall_sql(approx_sql: str, k: int) -> str:
+    """The ONE recall@K twin composition every ANN honesty oracle
+    shares (mirrors similarity._recall_vs_exact): the approximate and
+    exact subqueries as MATERIALIZED CTEs (each is a deep chain —
+    inlining per reference would re-derive it), intersected and
+    coalesced per query."""
     return f"""
-        WITH exact AS ({ann_cosine_topk()}),
-        ivf AS ({ann_ivf_topk()}),
+        WITH exact AS MATERIALIZED ({ann_cosine_topk()}),
+        approx AS MATERIALIZED ({approx_sql}),
         hits AS (
-          SELECT i.query_id, count(*) AS n_hits
-          FROM ivf i
-          JOIN exact e ON e.query_id = i.query_id
-                      AND e.neighbor_id = i.neighbor_id
-                      AND e.rk <= {IVF_TOP_K}
-          GROUP BY i.query_id
+          SELECT a.query_id, count(*) AS n_hits
+          FROM approx a
+          JOIN exact e ON e.query_id = a.query_id
+                      AND e.neighbor_id = a.neighbor_id
+                      AND e.rk <= {k}
+          GROUP BY a.query_id
         ),
-        qs AS (SELECT DISTINCT query_id FROM ivf)
+        qs AS (SELECT DISTINCT query_id FROM approx)
         SELECT query_id,
                CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-               coalesce(n_hits, 0) / {IVF_TOP_K} AS recall_at_k
+               coalesce(n_hits, 0) / {k} AS recall_at_k
         FROM qs LEFT JOIN hits USING (query_id)
     """
+
+
+def ann_ivf_recall() -> str:
+    """Recall@K of the IVF search vs the exact baseline (shared
+    _recall_sql composition, so any drift in either path surfaces
+    here too)."""
+    from .similarity import IVF_TOP_K
+
+    return _recall_sql(ann_ivf_topk(), IVF_TOP_K)
+
 
 def ann_hamming_topk() -> str:
     """Twin of similarity.ann_hamming_topk: the identical 32-bit sign
@@ -1016,77 +1027,27 @@ def ann_hamming_topk() -> str:
 
 def ann_hamming_recall() -> str:
     """Recall@K of the sign-quantized Hamming scan vs the exact
-    baseline — the ann_ivf_recall composition with the BQ twin
-    substituted."""
+    baseline (shared _recall_sql composition)."""
     from .similarity import BQ_TOP_K
 
-    return f"""
-        WITH exact AS MATERIALIZED ({ann_cosine_topk()}),
-        bq AS MATERIALIZED ({ann_hamming_topk()}),
-        hits AS (
-          SELECT b.query_id, count(*) AS n_hits
-          FROM bq b
-          JOIN exact e ON e.query_id = b.query_id
-                      AND e.neighbor_id = b.neighbor_id
-                      AND e.rk <= {BQ_TOP_K}
-          GROUP BY b.query_id
-        ),
-        qs AS (SELECT DISTINCT query_id FROM bq)
-        SELECT query_id,
-               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-               coalesce(n_hits, 0) / {BQ_TOP_K} AS recall_at_k
-        FROM qs LEFT JOIN hits USING (query_id)
-    """
+    return _recall_sql(ann_hamming_topk(), BQ_TOP_K)
 
 
 def ann_pq_recall() -> str:
-    """Recall@K of the PQ/ADC search vs the exact baseline — the two
-    existing oracles composed as MATERIALIZED CTEs (the PQ twin is a
-    deep chain; inlining it per reference would re-train the
-    codebooks)."""
+    """Recall@K of the PQ/ADC search vs the exact baseline (shared
+    _recall_sql composition; the PQ twin re-trains its codebooks
+    independently)."""
     from .similarity import PQ_ORACLE_SQL, PQ_TOP_K
 
-    return f"""
-        WITH exact AS MATERIALIZED ({ann_cosine_topk()}),
-        pq AS MATERIALIZED ({PQ_ORACLE_SQL}),
-        hits AS (
-          SELECT p.query_id, count(*) AS n_hits
-          FROM pq p
-          JOIN exact e ON e.query_id = p.query_id
-                      AND e.neighbor_id = p.neighbor_id
-                      AND e.rk <= {PQ_TOP_K}
-          GROUP BY p.query_id
-        ),
-        qs AS (SELECT DISTINCT query_id FROM pq)
-        SELECT query_id,
-               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-               coalesce(n_hits, 0) / {PQ_TOP_K} AS recall_at_k
-        FROM qs LEFT JOIN hits USING (query_id)
-    """
+    return _recall_sql(PQ_ORACLE_SQL, PQ_TOP_K)
 
 
 def ann_ivf_pq_recall() -> str:
-    """Recall@K of the IVFADC search vs the exact baseline — the
-    ann_pq_recall composition with the IVFPQ twin substituted."""
+    """Recall@K of the IVFADC search vs the exact baseline (shared
+    _recall_sql composition with the IVFPQ twin substituted)."""
     from .similarity import IVFPQ_ORACLE_SQL, PQ_TOP_K
 
-    return f"""
-        WITH exact AS MATERIALIZED ({ann_cosine_topk()}),
-        ivfpq AS MATERIALIZED ({IVFPQ_ORACLE_SQL}),
-        hits AS (
-          SELECT p.query_id, count(*) AS n_hits
-          FROM ivfpq p
-          JOIN exact e ON e.query_id = p.query_id
-                      AND e.neighbor_id = p.neighbor_id
-                      AND e.rk <= {PQ_TOP_K}
-          GROUP BY p.query_id
-        ),
-        qs AS (SELECT DISTINCT query_id FROM ivfpq)
-        SELECT query_id,
-               CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-               coalesce(n_hits, 0) / {PQ_TOP_K} AS recall_at_k
-        FROM qs LEFT JOIN hits USING (query_id)
-    """
+    return _recall_sql(IVFPQ_ORACLE_SQL, PQ_TOP_K)
 
 
 def dedup_embedding_lsh() -> str:

@@ -168,7 +168,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 LSH_TABLES = 6       # independent hash tables (OR-amplification)
 LSH_PLANES = 6       # hyperplanes per table (AND within a table)
 EMB_DIMS = 64
-LSH_COS_THRESHOLD = 0.35
+# THE embedding near-dup operating point — one definition for the whole
+# family: the SRP-LSH verify (dedup_embedding_lsh), the exact ground
+# truth (dedup_embedding_cosine + its oracle), SemDeDup's prune, and
+# the embedding decontamination leg all gate on this cosine; retuning
+# it here retunes them together (review finding r5: three copies of
+# the 0.35 literal could silently de-align).
+EMB_NEARDUP_TAU = 0.35
+LSH_COS_THRESHOLD = EMB_NEARDUP_TAU
 
 
 def _hyperplanes() -> list[list[list[float]]]:
@@ -264,7 +271,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup prune threshold = the embedding near-dup family's operating
 # point (dedup_embedding_cosine / dedup_embedding_lsh verify at the same
 # cosine), so the prune set is directly comparable to the LSH path's.
-SEMDEDUP_TAU = 0.35
+SEMDEDUP_TAU = EMB_NEARDUP_TAU
 
 
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,6 +416,35 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_outlier", F.col("rn") <= OUTLIER_BOTTOM_K)
 
 
+def _exact_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    return (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _recall_vs_exact(approx: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """The ONE recall@K computation every ANN honesty gauge shares
+    (review finding r5: four verbatim copies had accumulated):
+    intersection of the approximate and exact top-K id sets per query,
+    coalesced count, one IEEE division of exact integers — so the
+    DuckDB twins (composed through the shared _recall_sql) match
+    bit-for-bit."""
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = approx.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits / k).alias("recall_at_k"),
+    )
+
+
 def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@K of the IVF index vs the exact brute-force
     ground truth — the honesty gauge the fixed-K/N_PROBE configuration
@@ -421,23 +457,10 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     one IEEE division of exact integers, so the DuckDB twin (the two
     existing ANN oracles composed as CTEs) matches bit-for-bit.
     """
-    exact = (
-        ann_cosine_topk(spark, sf_dir)
-        .filter(F.col("rk") <= IVF_TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        ivf.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    qs = ivf.select("query_id").distinct()
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return qs.join(hits, "query_id", "left").select(
-        "query_id",
-        n_hits.cast("long").alias("n_hits"),
-        (n_hits / IVF_TOP_K).alias("recall_at_k"),
+    return _recall_vs_exact(
+        ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        _exact_topk(spark, sf_dir, IVF_TOP_K),
+        IVF_TOP_K,
     )
 
 
@@ -568,23 +591,10 @@ def ann_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact brute-force top-K — the honesty number for the 64x
     memory compression, published as a first-class query like
     ann_ivf_recall/ann_pq_recall (tune BQ_CAND against THIS)."""
-    exact = (
-        ann_cosine_topk(spark, sf_dir)
-        .filter(F.col("rk") <= BQ_TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-    bq = ann_hamming_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        bq.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    qs = bq.select("query_id").distinct()
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return qs.join(hits, "query_id", "left").select(
-        "query_id",
-        n_hits.cast("long").alias("n_hits"),
-        (n_hits / BQ_TOP_K).alias("recall_at_k"),
+    return _recall_vs_exact(
+        ann_hamming_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        _exact_topk(spark, sf_dir, BQ_TOP_K),
+        BQ_TOP_K,
     )
 
 
@@ -1140,23 +1150,10 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: two tiny K-rows-per-query frames, broadcast intersection,
     one integer division per query — all the heavy lifting already
     happened (and is cached) inside the two composed queries."""
-    exact = (
-        ann_cosine_topk(spark, sf_dir)
-        .filter(F.col("rk") <= PQ_TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-    pq = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        pq.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    qs = pq.select("query_id").distinct()
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return qs.join(hits, "query_id", "left").select(
-        "query_id",
-        n_hits.cast("long").alias("n_hits"),
-        (n_hits / PQ_TOP_K).alias("recall_at_k"),
+    return _recall_vs_exact(
+        ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        _exact_topk(spark, sf_dir, PQ_TOP_K),
+        PQ_TOP_K,
     )
 
 
@@ -1332,21 +1329,8 @@ def ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     by PQ's recall: pruning also removes ADC distractors, so IVFADC
     can beat exhaustive ADC. This value is what the 100x-scale
     N_PROBE-vs-PQ_KS budget conversation trades against, per corpus."""
-    exact = (
-        ann_cosine_topk(spark, sf_dir)
-        .filter(F.col("rk") <= PQ_TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-    ivfpq = ann_ivf_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        ivfpq.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    qs = ivfpq.select("query_id").distinct()
-    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
-    return qs.join(hits, "query_id", "left").select(
-        "query_id",
-        n_hits.cast("long").alias("n_hits"),
-        (n_hits / PQ_TOP_K).alias("recall_at_k"),
+    return _recall_vs_exact(
+        ann_ivf_pq_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        _exact_topk(spark, sf_dir, PQ_TOP_K),
+        PQ_TOP_K,
     )

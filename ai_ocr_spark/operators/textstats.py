@@ -844,7 +844,14 @@ def quality_filter_fineweb(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-line probe is O(L²) per document in the lines array L,
     computed rowwise inside codegen with NO shuffle (a real corpus has
     tens of lines per page; the corpus-level dedup of the same lines is
-    dedup_lines_global's job).
+    dedup_lines_global's job). Known, accepted inlining: `lines` is
+    referenced from five sibling expressions and from inside the
+    dup-probe lambda, so CollapseProject re-evaluates the seeded
+    concat+split per reference — a per-row codegen cost, not a
+    re-executed stage; measured 0.64s warm at sf0.1, on par with the
+    other scan-speed gates, and a persist barrier here would
+    materialize the corpus for a projection (the CLAUDE.md barrier fix
+    is for hash-heavy persisted frames, not rowwise gates).
 
     Reference parity: extends the reference's single is-empty content
     gate (src/api/app/services/extraction_service.py:137-141) the same
