@@ -111,8 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) = 30. Tier 2 = 20 of the 36 r1/r2-row
-    entries, stalest first. The 16 r1/r2-green slices that did not fit
+    pipeline_invoice_roundtrip) + the 2 newest positional-retrieval
+    ops (search_phrase_topk, search_proximity_topk) = 32. Tier 2 = 18
+    of the 36 r1/r2-row entries, stalest first. The 16 r1/r2-green slices that did not fit
     (window_running_spend, join_semi_orders_with_items,
     topk_parts_by_price,
     window_top3_events_per_user, join_anti_customers_without_orders,
@@ -147,6 +148,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # increment-only scan, merged df/N, top-K under the refreshed
         # idf == batch rebuild (the twin IS the rebuild) (new in r4d)
         "search_index_refresh": SRCH.search_index_refresh,
+        # exact-phrase retrieval over a memoized positional index:
+        # anchor-join (pos - offset) match, phrase tf * integer idf
+        # (new in r5)
+        "search_phrase_topk": SRCH.search_phrase_topk,
+        # proximity "near" operator: term-pair co-occurrence within a
+        # token window over the same positional postings, ranked by
+        # in-window pair count then tightest distance (new in r5)
+        "search_proximity_topk": SRCH.search_proximity_topk,
         # tokenizer-training corpus primitive: BPE merge-pair counts
         # over the deduplicated vocabulary, corpus read once (new in r4)
         "tokenizer_bpe_pairs": TOK.tokenizer_bpe_pairs,
@@ -499,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then never-checked, displaced, overflow, and stalest greens).
 _R5_WINDOW = [
     # -- tier 1: new in r5 --
+    "search_phrase_topk",
+    "search_proximity_topk",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -551,8 +562,6 @@ _R5_WINDOW = [
     "join_nation_region_rollup",
     "join_customer_orders",
     "agg_order_totals",
-    "events_daily_metrics",
-    "agg_bool_checks",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -561,6 +570,12 @@ _R5_WINDOW = [
 # joined (all unchanged since r1/r2, local-sweep green) — first in
 # line should the window ever widen
 _R5_NEXT = [
+    # displaced from tier 2 by the positional-retrieval pair
+    # (search_phrase_topk, search_proximity_topk — newest r5 entries):
+    # r1-green aggregate slices, local-sweep green, first in line for
+    # the next fill
+    "events_daily_metrics",
+    "agg_bool_checks",
     # displaced from tier 2 by the five late-r5 ops (dedup_semdedup,
     # decontam_embedding, ann_hamming_topk, ann_hamming_recall,
     # stream_join_attribution, quality_filter_fineweb,
@@ -849,6 +864,8 @@ def oracle_sql() -> dict[str, str]:
         "search_rrf_fusion": SRCH.RRF_ORACLE_SQL,
         "ann_rrf_hybrid": SRCH.HYBRID_ORACLE_SQL,
         "search_index_refresh": SRCH.IDX_REFRESH_ORACLE_SQL,
+        "search_phrase_topk": SRCH.PHRASE_ORACLE_SQL,
+        "search_proximity_topk": SRCH.PROX_ORACLE_SQL,
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,
         "tokenizer_bpe_encode": TOK.BPE_ENCODE_ORACLE_SQL,

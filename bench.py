@@ -220,6 +220,10 @@ def main() -> int:
         "search_rrf_fusion",
         "search_index_refresh",
         "sketch_quantiles_logbin",
+        # r5: positional retrieval over the memoized positional index —
+        # exact-phrase anchor join + in-window proximity pairs
+        "search_phrase_topk",
+        "search_proximity_topk",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
@@ -276,6 +280,9 @@ def main() -> int:
         # full auth power-iteration chain (warm probes recompute only
         # the final hub half-step off the cached auth vector)
         "graph_salsa",
+        # r5: phrase cold prices the positional-postings index build
+        # (shared with search_proximity_topk) + the anchor-join probe
+        "search_phrase_topk",
     ):
         clear_caches(spark)
         t0 = time.monotonic()

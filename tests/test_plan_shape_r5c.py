@@ -1,0 +1,96 @@
+"""Plan-shape invariants for the r5 positional-retrieval pair: the
+vocabulary probe must sit BELOW every aggregate (so only phrase /
+proximity terms' positional postings ever shuffle), the per-query
+top-K must compile to WindowGroupLimit, and the proximity self-join
+must keep its equality keys (a shared-lineage attribute collapse would
+degrade it to a nested-loop scan — the CLAUDE.md rename-before-join
+footgun)."""
+
+import re
+
+from ai_ocr_spark.plans.audit import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fresh(spark):
+    from ai_ocr_spark.operators.dedup import clear_caches
+
+    clear_caches()
+    return spark
+
+
+def _depth(line: str) -> int:
+    m = re.search(r"[A-Za-z]", line)
+    return m.start() if m else 0
+
+
+def _probe_below_every_aggregate(plan: str, gen_pat: str) -> bool:
+    """r4d's walk, generalized to posexplode: from every positional
+    Generate, walking UP the printed tree (nearest strictly-shallower
+    line) must meet a Join before any Aggregate — the vocab probe
+    happens before anything shuffles. Works on the embedded cached
+    physical plan text too (the persisted index build)."""
+    lines = plan.splitlines()
+    gens = [i for i, ln in enumerate(lines) if gen_pat in ln]
+    assert gens, plan
+    for g in gens:
+        d = _depth(lines[g])
+        i = g - 1
+        seen_join = False
+        while i >= 0:
+            di = _depth(lines[i])
+            if di < d:
+                d = di
+                if "Join" in lines[i]:
+                    seen_join = True
+                if "Aggregate" in lines[i] and not seen_join:
+                    return False
+            i -= 1
+    return True
+
+
+def test_phrase_probe_below_anchor_aggregate(spark):
+    """The positional-index build (embedded in the plan as the cached
+    relation) must vocab-probe the posexplode output before any
+    aggregate, and the phrase query must read that persisted index,
+    not re-scan the corpus."""
+    from ai_ocr_spark.operators.search import search_phrase_topk
+
+    df = search_phrase_topk(_fresh(spark), SF)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in lp, lp
+    assert _probe_below_every_aggregate(lp, "Generate posexplode"), lp
+
+
+def test_positional_topk_window_group_limit(spark):
+    from ai_ocr_spark.operators.search import (
+        search_phrase_topk,
+        search_proximity_topk,
+    )
+
+    for fn in (search_phrase_topk, search_proximity_topk):
+        plan = formatted_plan(fn(spark, SF))
+        assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_proximity_join_keeps_equality_keys(spark):
+    """Both proximity sides read the SAME persisted postings frame; the
+    right side is renamed before the join so the (query, doc) equality
+    keys survive. A silent key collapse (trivially-true predicate)
+    would surface as a nested-loop / cartesian physical join."""
+    from ai_ocr_spark.operators.search import search_proximity_topk
+
+    plan = formatted_plan(search_proximity_topk(spark, SF))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_pos_postings_memoized_once(spark):
+    """Repeated phrase/proximity calls must probe ONE persisted
+    positional index (the stored-index stand-in), not rebuild it."""
+    from ai_ocr_spark.operators.search import _pos_postings
+
+    a = _pos_postings(_fresh(spark), SF)
+    b = _pos_postings(spark, SF)
+    assert a is b
