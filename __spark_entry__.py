@@ -111,9 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) + the 2 newest positional-retrieval
-    ops (search_phrase_topk, search_proximity_topk) = 32. Tier 2 = 18
-    of the 36 r1/r2-row entries, stalest first. The 16 r1/r2-green slices that did not fit
+    pipeline_invoice_roundtrip) + the 3 newest additions
+    (search_phrase_topk, search_proximity_topk, collocations_pmi)
+    = 33. Tier 2 = 17 of the 36 r1/r2-row entries, stalest first. The 16 r1/r2-green slices that did not fit
     (window_running_spend, join_semi_orders_with_items,
     topk_parts_by_price,
     window_top3_events_per_user, join_anti_customers_without_orders,
@@ -223,6 +223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on provenance labels, integer log-likelihood-ratio score, no
         # truncating division on negatives (new in r4)
         "quality_classifier_nb": QL.quality_classifier_nb,
+        # PMI collocation mining over the one-scan bigram pair table —
+        # the phrase-vocabulary-induction pass (integer-ln PMI, support
+        # floor, survivors-only marginal joins) (new in r5)
+        "collocations_pmi": QL.collocations_pmi,
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
@@ -510,6 +514,7 @@ _R5_WINDOW = [
     # -- tier 1: new in r5 --
     "search_phrase_topk",
     "search_proximity_topk",
+    "collocations_pmi",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -561,7 +566,6 @@ _R5_WINDOW = [
     "window_sessionize",
     "join_nation_region_rollup",
     "join_customer_orders",
-    "agg_order_totals",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -570,10 +574,10 @@ _R5_WINDOW = [
 # joined (all unchanged since r1/r2, local-sweep green) — first in
 # line should the window ever widen
 _R5_NEXT = [
-    # displaced from tier 2 by the positional-retrieval pair
-    # (search_phrase_topk, search_proximity_topk — newest r5 entries):
-    # r1-green aggregate slices, local-sweep green, first in line for
-    # the next fill
+    # displaced from tier 2 by the positional-retrieval pair and the
+    # PMI collocation miner (newest r5 entries): r1-green aggregate
+    # slices, local-sweep green, first in line for the next fill
+    "agg_order_totals",
     "events_daily_metrics",
     "agg_bool_checks",
     # displaced from tier 2 by the five late-r5 ops (dedup_semdedup,
@@ -883,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_perplexity_bigram": QL.BIGRAM_ORACLE_SQL,
         "quality_perplexity_kn": QL.KN_ORACLE_SQL,
         "quality_classifier_nb": QL.NB_ORACLE_SQL,
+        "collocations_pmi": QL.PMI_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,
         "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,

@@ -1309,3 +1309,135 @@ DSIR_EVAL_ORACLE_SQL = f"""
     FROM sel s JOIN documents d USING (doc_id)
     GROUP BY d.source
 """
+
+
+# --- collocation mining: pointwise mutual information over bigrams -----------
+
+PMI_MIN_COUNT = 3  # hapax/near-hapax bigrams carry no PMI signal
+PMI_TOP_K = 20
+
+
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: the PMI_TOP_K adjacent-word
+    pairs with the highest pointwise mutual information — the phrase
+    -vocabulary-induction pass tokenizer and phrase-query pipelines run
+    before committing multi-word units (Mikolov et al. 2013 word2vec
+    phrases use exactly this score with a discount; the discount here
+    is the PMI_MIN_COUNT support floor).
+
+        pmi = ln( c12 * T / (c1 * c2) )
+
+    with ALL terms drawn from one (w1, w2, c12) pair table: c1/c2 are
+    the left/right marginals, T the total bigram count — so the corpus
+    is scanned exactly once and every statistic after that is pair-
+    table-sized (Heaps-law sublinear). Computed as
+    iln(c12*PREC) + iln(T*PREC) - iln(c1*PREC) - iln(c2*PREC) via the
+    shared 256-entry integer-ln table: every intermediate is a BIGINT,
+    bit-identical in DuckDB, tracking float PMI to ~2^-8.
+
+    Scale shape: ONE corpus-wide bigram shuffle with map-side combine
+    builds the pair table; the marginals are pair-table aggregates; the
+    marginal join-backs run only on the support-filtered survivors
+    (c12 >= PMI_MIN_COUNT), a tiny fraction of the pair table, against
+    broadcast marginal dims capped the same way (a marginal of a
+    surviving pair is itself >= the pair's count, so the filtered
+    marginal tables lose nothing); global top-K compiles to
+    TakeOrderedAndProject (deterministic tie-break pmi desc, bigram
+    asc). Nothing after the first shuffle is corpus-sized.
+
+    Reference parity: the reference's keyword lists are hand-curated
+    multi-word cues (src/api/app/validators/excel_validator.py:331-352);
+    this is the statistic that DISCOVERS such units from the corpus.
+    """
+    bigr = _bigram_corpus(spark, sf_dir)
+    pairs = (
+        bigr.select(
+            F.col("w1"),
+            F.element_at(F.split(F.col("bg"), " "), 2).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    key = _cache_key(spark, sf_dir, "pmi-pairs")
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is None:
+        pairs = pairs.persist()
+        pairs.count()
+        _SHINGLE_CACHE[key] = pairs
+    else:
+        pairs = cached
+    surv = pairs.filter(F.col("c12") >= PMI_MIN_COUNT)
+    # marginals restricted to surviving keys: c1(w1) >= c12 of any
+    # surviving pair >= PMI_MIN_COUNT, so filtering the marginal tables
+    # to survivors-only drops nothing the join needs
+    c1 = (
+        pairs.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+        .join(surv.select("w1").distinct(), "w1")
+    )
+    c2 = (
+        pairs.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+        .join(surv.select("w2").distinct(), "w2")
+    )
+    t_row = pairs.agg(F.sum("c12").cast("long").alias("t_bg"))
+    scored = (
+        surv.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(t_row))
+        .select(
+            F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("bigram"),
+            F.col("c12").cast("long").alias("c12"),
+            (
+                F.expr(_iln_sql(f"(c12 * {PREC})", "spark"))
+                + F.expr(_iln_sql(f"(t_bg * {PREC})", "spark"))
+                - F.expr(_iln_sql(f"(c1 * {PREC})", "spark"))
+                - F.expr(_iln_sql(f"(c2 * {PREC})", "spark"))
+            ).cast("long").alias("pmi_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_scaled").desc(), F.col("bigram").asc()
+    ).limit(PMI_TOP_K)
+
+
+PMI_ORACLE_SQL = f"""
+    WITH tokraw AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS token,
+               generate_subscripts(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '), 1) AS rawpos
+        FROM documents
+    ),
+    ptok AS (
+        SELECT doc_id, token,
+               row_number() OVER (PARTITION BY doc_id ORDER BY rawpos) AS pos
+        FROM tokraw WHERE token <> ''
+    ),
+    pairs AS (
+        SELECT a.token AS w1, b.token AS w2, count(*) AS c12
+        FROM ptok a JOIN ptok b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.token, b.token
+    ),
+    m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pairs GROUP BY w1),
+    m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM pairs GROUP BY w2),
+    t AS (SELECT CAST(sum(c12) AS BIGINT) AS t_bg FROM pairs),
+    scored AS (
+        SELECT pairs.w1 || ' ' || pairs.w2 AS bigram,
+               CAST(pairs.c12 AS BIGINT) AS c12,
+               CAST({_iln_sql(f"(pairs.c12 * {PREC})", "duckdb")}
+                    + {_iln_sql(f"(t.t_bg * {PREC})", "duckdb")}
+                    - {_iln_sql(f"(m1.c1 * {PREC})", "duckdb")}
+                    - {_iln_sql(f"(m2.c2 * {PREC})", "duckdb")}
+                    AS BIGINT) AS pmi_scaled
+        FROM pairs
+        JOIN m1 USING (w1)
+        JOIN m2 USING (w2)
+        CROSS JOIN t
+        WHERE pairs.c12 >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, c12, pmi_scaled
+    FROM scored ORDER BY pmi_scaled DESC, bigram ASC LIMIT {PMI_TOP_K}
+"""

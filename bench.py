@@ -224,6 +224,8 @@ def main() -> int:
         # exact-phrase anchor join + in-window proximity pairs
         "search_phrase_topk",
         "search_proximity_topk",
+        # r5: PMI collocation mining over the one-scan bigram pair table
+        "collocations_pmi",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
@@ -283,6 +285,9 @@ def main() -> int:
         # r5: phrase cold prices the positional-postings index build
         # (shared with search_proximity_topk) + the anchor-join probe
         "search_phrase_topk",
+        # r5: pmi cold prices the bigram pair-table build + the
+        # marginal joins and top-K
+        "collocations_pmi",
     ):
         clear_caches(spark)
         t0 = time.monotonic()

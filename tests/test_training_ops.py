@@ -1780,3 +1780,90 @@ def test_fineweb_rules_fire_and_match_python(spark):
     assert (out["dup_char_frac"] > FW_DUP_CHAR_MAX).any()
     assert (out["short_frac"] >= FW_SHORT_MAX).any()
     assert out["keep"].any() and (~out["keep"]).any()
+
+
+def test_collocations_pmi_matches_python_bruteforce(spark):
+    """The integer PMI equals an independent Python recompute with the
+    same integer-ln tables, tracks float PMI to table precision (four
+    iln calls -> |err| < 4 * ln(1 + 2^-8)), respects the support floor,
+    and the top-K ordering is the true deterministic order."""
+    import math
+    import re
+    from collections import Counter
+
+    from ai_ocr_spark.operators.quality_lm import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        collocations_pmi,
+    )
+    from ai_ocr_spark.operators.search import (
+        BM25_LN2,
+        BM25_LN_TABLE,
+        BM25_LNPREC,
+        BM25_PREC,
+    )
+
+    def iln(v: int) -> int:
+        bits = v.bit_length()
+        mant = (v >> max(bits - 9, 0)) - 256
+        return (bits - 1) * BM25_LN2 + BM25_LN_TABLE[mant] - BM25_LNPREC
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    pairs: Counter = Counter()
+    for r in rows:
+        tk = re.sub(r"\s+", " ", (r.text or "").lower()).strip().split(" ")
+        tk = [t for t in tk if t]
+        for a, b in zip(tk, tk[1:]):
+            pairs[(a, b)] += 1
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for (a, b), c in pairs.items():
+        c1[a] += c
+        c2[b] += c
+    t_bg = sum(pairs.values())
+
+    expect = []
+    for (a, b), c in pairs.items():
+        if c < PMI_MIN_COUNT:
+            continue
+        pmi = (
+            iln(c * BM25_PREC)
+            + iln(t_bg * BM25_PREC)
+            - iln(c1[a] * BM25_PREC)
+            - iln(c2[b] * BM25_PREC)
+        )
+        expect.append((f"{a} {b}", c, pmi))
+    expect.sort(key=lambda x: (-x[2], x[0]))
+    expect = expect[:PMI_TOP_K]
+
+    got = [
+        (r.bigram, r.c12, r.pmi_scaled)
+        for r in collocations_pmi(spark, SF).collect()
+    ]
+    assert got == expect, (got[:5], expect[:5])
+
+    # integer PMI tracks the real float PMI to table precision
+    tol = 4 * math.log(1 + 2**-8)
+    for bg, c, pmi in got:
+        a, b = bg.split(" ")
+        fpmi = math.log(c * t_bg / (c1[a] * c2[b]))
+        assert abs(pmi / BM25_PREC - fpmi) < tol, (bg, pmi / BM25_PREC, fpmi)
+    # every surfaced bigram clears the support floor
+    assert all(c >= PMI_MIN_COUNT for _, c, _ in got)
+    assert len(got) == PMI_TOP_K
+
+
+def test_collocations_pmi_topk_plan(spark):
+    """Global top-K compiles to TakeOrderedAndProject (no global sort
+    materializes the full scored frame)."""
+    from ai_ocr_spark.operators.dedup import clear_caches
+    from ai_ocr_spark.operators.quality_lm import collocations_pmi
+    from ai_ocr_spark.plans.audit import formatted_plan
+
+    clear_caches()
+    plan = formatted_plan(collocations_pmi(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
