@@ -111,9 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) + the 3 newest additions
-    (search_phrase_topk, search_proximity_topk, collocations_pmi)
-    = 33. Tier 2 = 17 of the 36 r1/r2-row entries, stalest first. The 16 r1/r2-green slices that did not fit
+    pipeline_invoice_roundtrip) + the 4 newest additions
+    (search_phrase_topk, search_proximity_topk, search_snippet_topk,
+    collocations_pmi) = 34. Tier 2 = 16 of the 36 r1/r2-row entries,
+    stalest first. The 16 r1/r2-green slices that did not fit
     (window_running_spend, join_semi_orders_with_items,
     topk_parts_by_price,
     window_top3_events_per_user, join_anti_customers_without_orders,
@@ -152,6 +153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # anchor-join (pos - offset) match, phrase tf * integer idf
         # (new in r5)
         "search_phrase_topk": SRCH.search_phrase_topk,
+        # result-page snippet generation: token window around the first
+        # exact phrase occurrence, broadcast hit-list doc-store lookup
+        # (new in r5)
+        "search_snippet_topk": SRCH.search_snippet_topk,
         # proximity "near" operator: term-pair co-occurrence within a
         # token window over the same positional postings, ranked by
         # in-window pair count then tightest distance (new in r5)
@@ -514,6 +519,7 @@ _R5_WINDOW = [
     # -- tier 1: new in r5 --
     "search_phrase_topk",
     "search_proximity_topk",
+    "search_snippet_topk",
     "collocations_pmi",
     "ann_hamming_topk",
     "ann_hamming_recall",
@@ -565,7 +571,6 @@ _R5_WINDOW = [
     "agg_keyword_score_argmax",
     "window_sessionize",
     "join_nation_region_rollup",
-    "join_customer_orders",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -577,6 +582,7 @@ _R5_NEXT = [
     # displaced from tier 2 by the positional-retrieval pair and the
     # PMI collocation miner (newest r5 entries): r1-green aggregate
     # slices, local-sweep green, first in line for the next fill
+    "join_customer_orders",
     "agg_order_totals",
     "events_daily_metrics",
     "agg_bool_checks",
@@ -869,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_rrf_hybrid": SRCH.HYBRID_ORACLE_SQL,
         "search_index_refresh": SRCH.IDX_REFRESH_ORACLE_SQL,
         "search_phrase_topk": SRCH.PHRASE_ORACLE_SQL,
+        "search_snippet_topk": SRCH.SNIPPET_ORACLE_SQL,
         "search_proximity_topk": SRCH.PROX_ORACLE_SQL,
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
         "tokenizer_bpe_train": TOK.BPE_TRAIN_ORACLE_SQL,

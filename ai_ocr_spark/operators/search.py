@@ -1022,3 +1022,104 @@ PROX_ORACLE_SQL = f"""
     SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_pairs, min_dist
     FROM r WHERE rnk <= {SEARCH_TOP_K}
 """
+
+
+# --- snippet generation over the phrase hits ----------------------------------
+
+SNIPPET_PRE = 3  # tokens of left context before the first phrase hit
+SNIPPET_POST = 2  # tokens of right context after the phrase
+
+
+def search_snippet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result-page snippet generation — the presentation step every
+    retrieval stack runs after ranking: for each phrase query's top-K
+    documents, rebuild the token window around the FIRST exact
+    occurrence ([anchor - PRE, anchor + plen - 1 + POST], clamped).
+
+    Shape: ranking and first-occurrence anchors both come off the
+    memoized positional postings (nothing new is corpus-sized); the
+    K-docs-per-query hit list then BROADCASTS into a join against the
+    corpus, so snippet text extraction is one scan with a broadcast
+    semi-probe — only surviving rows ever tokenize (at 10^12 docs this
+    join is the doc-store point-lookup; the broadcast stands in for
+    it). Token-slice + array_join rebuilds the snippet identically in
+    both engines (list_slice/array_to_string vs slice/array_join on
+    the same filtered token stream — snippets are never empty, so
+    DuckDB's NULL-for-empty array_to_string cannot diverge).
+    """
+    posts = _pos_postings(spark, sf_dir)
+    qrows = [
+        (q, t, o, len(ts))
+        for q, ts in PHRASE_QUERIES.items()
+        for o, t in enumerate(ts)
+    ]
+    qoff = spark.createDataFrame(
+        qrows, "query_id string, token string, off int, plen int"
+    )
+    anch = posts.join(F.broadcast(qoff), "token").select(
+        "query_id",
+        "doc_id",
+        (F.col("pos") - F.col("off")).alias("anchor"),
+        "plen",
+    )
+    occ = anch.groupBy("query_id", "doc_id", "anchor", "plen").agg(
+        F.count(F.lit(1)).alias("nmatch")
+    )
+    firsts = (
+        occ.filter(F.col("nmatch") == F.col("plen"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.min("anchor").alias("a0"),
+            F.max("plen").alias("plen"),  # constant per query
+        )
+    )
+    hits = search_phrase_topk(spark, sf_dir).join(
+        firsts, ["query_id", "doc_id"]
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
+    start0 = F.greatest(F.col("a0") - SNIPPET_PRE, F.lit(0))
+    length = F.col("a0") + F.col("plen") - 1 + SNIPPET_POST - start0 + 1
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .select(
+            "query_id",
+            "rnk",
+            "doc_id",
+            F.col("a0").cast("long").alias("first_anchor"),
+            F.array_join(F.slice(toks, start0 + 1, length), " ").alias(
+                "snippet"
+            ),
+        )
+    )
+
+
+SNIPPET_ORACLE_SQL = f"""
+    WITH {_POS_TOK_SQL},
+    q(query_id, token, off, plen) AS (VALUES {_phrase_values()}),
+    anch AS (
+        SELECT q.query_id, ptok.doc_id, ptok.pos - q.off AS anchor, q.plen
+        FROM ptok JOIN q USING (token)
+    ),
+    occ AS (
+        SELECT query_id, doc_id, anchor, plen, count(*) AS nmatch
+        FROM anch GROUP BY query_id, doc_id, anchor, plen
+    ),
+    firsts AS (
+        SELECT query_id, doc_id, min(anchor) AS a0, max(plen) AS plen
+        FROM occ WHERE nmatch = plen GROUP BY query_id, doc_id
+    ),
+    top AS (SELECT * FROM ({PHRASE_ORACLE_SQL})),
+    tk AS (
+        SELECT doc_id, list(token ORDER BY pos) AS l
+        FROM ptok GROUP BY doc_id
+    )
+    SELECT t.query_id, t.rnk, t.doc_id,
+           CAST(f.a0 AS BIGINT) AS first_anchor,
+           array_to_string(
+               list_slice(tk.l, greatest(f.a0 - {SNIPPET_PRE}, 0) + 1,
+                          f.a0 + f.plen + {SNIPPET_POST}), ' ') AS snippet
+    FROM top t
+    JOIN firsts f USING (query_id, doc_id)
+    JOIN tk ON tk.doc_id = t.doc_id
+"""

@@ -224,6 +224,9 @@ def main() -> int:
         # exact-phrase anchor join + in-window proximity pairs
         "search_phrase_topk",
         "search_proximity_topk",
+        # r5: snippet generation — phrase ranking + first-occurrence
+        # window + broadcast doc-store lookup, all inside the timed run
+        "search_snippet_topk",
         # r5: PMI collocation mining over the one-scan bigram pair table
         "collocations_pmi",
     ]

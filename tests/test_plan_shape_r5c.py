@@ -94,3 +94,61 @@ def test_pos_postings_memoized_once(spark):
     a = _pos_postings(_fresh(spark), SF)
     b = _pos_postings(spark, SF)
     assert a is b
+
+
+def test_snippet_contains_phrase_and_matches_bruteforce(spark):
+    """Every snippet embeds its phrase verbatim, and the whole result
+    equals an independent Python recompute (tokenize -> first anchor ->
+    clamped window) joined to the phrase top-K."""
+    import re
+
+    from ai_ocr_spark.operators.search import (
+        PHRASE_QUERIES,
+        SNIPPET_POST,
+        SNIPPET_PRE,
+        search_phrase_topk,
+        search_snippet_topk,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {}
+    for r in rows:
+        tk = re.sub(r"\s+", " ", (r.text or "").lower()).strip().split(" ")
+        toks[r.doc_id] = [t for t in tk if t]
+
+    def first_anchor(doc_id, phrase):
+        tk = toks[doc_id]
+        for i in range(len(tk) - len(phrase) + 1):
+            if tk[i : i + len(phrase)] == phrase:
+                return i
+        return None
+
+    top = {
+        (r.query_id, r.doc_id): r.rnk
+        for r in search_phrase_topk(spark, SF).collect()
+    }
+    got = {
+        (r.query_id, r.doc_id): (r.rnk, r.first_anchor, r.snippet)
+        for r in search_snippet_topk(spark, SF).collect()
+    }
+    assert set(got) == set(top)
+    for (qid, did), (rnk, a0, snippet) in got.items():
+        phrase = PHRASE_QUERIES[qid]
+        assert rnk == top[(qid, did)]
+        exp_a0 = first_anchor(did, phrase)
+        assert a0 == exp_a0, (qid, did, a0, exp_a0)
+        s = max(a0 - SNIPPET_PRE, 0)
+        e = a0 + len(phrase) - 1 + SNIPPET_POST
+        assert snippet == " ".join(toks[did][s : e + 1]), (qid, did)
+        assert " ".join(phrase) in snippet
+
+
+def test_snippet_doc_lookup_is_broadcast(spark):
+    """The hit list (K docs/query) must broadcast into the corpus join —
+    the doc-store point-lookup stand-in — never shuffle the corpus."""
+    from ai_ocr_spark.operators.search import search_snippet_topk
+
+    plan = formatted_plan(search_snippet_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
