@@ -111,11 +111,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) + the 4 newest additions
+    pipeline_invoice_roundtrip) + the 5 newest additions
     (search_phrase_topk, search_proximity_topk, search_snippet_topk,
-    collocations_pmi) = 34. Tier 2 = 16 of the 36 r1/r2-row entries,
-    stalest first. The 16 r1/r2-green slices that did not fit
-    (window_running_spend, join_semi_orders_with_items,
+    collocations_pmi, dedup_bloom_probe) = 35. Tier 2 = 15 of the 36
+    r1/r2-row entries,
+    stalest first. The 17 r1/r2-green slices that did not fit
+    (join_nation_region_rollup,
+    window_running_spend, join_semi_orders_with_items,
     topk_parts_by_price,
     window_top3_events_per_user, join_anti_customers_without_orders,
     filter_events_window, filter_keyword_headers,
@@ -181,6 +183,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # percentile path next to the exact agg_length_percentiles;
         # bit-exact integer binning both engines (new in r4d)
         "sketch_quantiles_logbin": SK.sketch_quantiles_logbin,
+        # Dolma-style Bloom-filter dedup membership: crawl increment
+        # probes a mergeable bit_or bitmap over the base corpus'
+        # fingerprints, exact leg measures the FPR (new in r5)
+        "dedup_bloom_probe": SK.dedup_bloom_probe,
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
@@ -521,6 +527,7 @@ _R5_WINDOW = [
     "search_proximity_topk",
     "search_snippet_topk",
     "collocations_pmi",
+    "dedup_bloom_probe",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -570,7 +577,6 @@ _R5_WINDOW = [
     "q1_pricing_summary",
     "agg_keyword_score_argmax",
     "window_sessionize",
-    "join_nation_region_rollup",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -579,9 +585,11 @@ _R5_WINDOW = [
 # joined (all unchanged since r1/r2, local-sweep green) — first in
 # line should the window ever widen
 _R5_NEXT = [
-    # displaced from tier 2 by the positional-retrieval pair and the
-    # PMI collocation miner (newest r5 entries): r1-green aggregate
-    # slices, local-sweep green, first in line for the next fill
+    # displaced from tier 2 by the positional-retrieval pair, the
+    # PMI collocation miner and the Bloom dedup probe (newest r5
+    # entries): r1-green slices, local-sweep green, first in line
+    # for the next fill
+    "join_nation_region_rollup",
     "join_customer_orders",
     "agg_order_totals",
     "events_daily_metrics",
@@ -854,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_stable": SK.SAMPLE_ORACLE_SQL,
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
         "sketch_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,
+        "dedup_bloom_probe": SK.BLOOM_ORACLE_SQL,
         # the streaming drain of the same sketch must equal the same
         # batch recompute — one oracle text, two execution paths
         "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,

@@ -678,3 +678,162 @@ QSKETCH_ORACLE_SQL = f"""
            )}
     FROM cum GROUP BY lang
 """
+
+
+# --- Bloom-filter dedup membership (Dolma-style) ------------------------------
+
+BLOOM_WORDS = 1024  # (word, bits) rows in the filter table
+BLOOM_WBITS = 62  # payload bits per word (positive-int64-safe)
+BLOOM_B = BLOOM_WORDS * BLOOM_WBITS  # 63,488 bits total
+BLOOM_K = 4  # hash functions = disjoint 8-hex md5 slices
+
+
+def _bloom_cells(digest, flt=None):
+    """(pos -> word, bitval) cells for one content digest column: the
+    BLOOM_K positions are disjoint 32-bit slices of the SAME md5 the
+    exact-dup key uses (digest slicing — the multi-hash economy proven
+    by minhash_digests), so membership and ground truth share one hash
+    computation. pow(2.0, bit) is exact through 2^61 and immune to the
+    shiftleft Python-int-position slot (CLAUDE.md footgun)."""
+    pos = F.explode(
+        F.array(
+            *[
+                F.conv(F.substring(digest, 1 + 8 * i, 8), 16, 10).cast(
+                    "long"
+                )
+                % BLOOM_B
+                for i in range(BLOOM_K)
+            ]
+        )
+    ).alias("pos")
+    word = F.floor(F.col("pos") / F.lit(BLOOM_WBITS)).cast("long").alias("word")
+    bitval = (
+        F.pow(F.lit(2.0), (F.col("pos") % BLOOM_WBITS).cast("double"))
+        .cast("long")
+        .alias("bitval")
+    )
+    return pos, word, bitval
+
+
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup membership — the Dolma recipe's exact-dedup
+    primitive (Soldaini et al. 2024 §2.3 run exact URL/doc/paragraph
+    dedup over trillions of keys through a Bloom filter precisely
+    because the full key set never fits anywhere): the crawl increment
+    (hash60(doc_id) % INCR_NEW_MOD == 0, dedup_incremental_lsh's split)
+    probes a bitmap built over the BASE corpus' content fingerprints
+    and each new doc gets a maybe-seen verdict, next to the exact
+    ground-truth verdict so the false-positive rate is a measured
+    number (false negatives are impossible by construction — the test
+    pins both).
+
+    Scale shape: the filter is RELATIONAL — (word, bits) rows folded by
+    bit_or, a map-side-combinable aggregate whose state is constant
+    (BLOOM_WORDS rows) regardless of corpus size, mergeable across
+    shards/days by the same bit_or (the property that lets a 10^12-key
+    filter build as one aggregation pass instead of Dolma's
+    single-machine 800 GB bitmap: at that scale BLOOM_WORDS grows to
+    ~10^9 rows and the probe's broadcast becomes a word-keyed co-located
+    equi-join, K rows per probe doc — never O(corpus^2)). At test scale
+    the bitmap broadcasts (plan-pinned). The exact leg shuffles the base
+    fingerprints once — the honesty witness, same role as
+    dedup_lsh_recall's ground truth.
+
+    Reference parity: the reference dedups uploads by full-file
+    identity before re-processing (storage_service.py:48 content
+    addressing); this is that gate as a constant-memory sketch.
+    """
+    from .dedup import _SHINGLE_CACHE, _cache_key, _docs_wide, _is_new_doc
+
+    d = TX.md5_hex(TX.norm_text(F.col("text")))
+    key = _cache_key(spark, sf_dir, "bloom-table")
+    bloom = _SHINGLE_CACHE.get(key)
+    if bloom is None:
+        base = _docs_wide(spark, sf_dir).filter(
+            ~_is_new_doc(F.col("doc_id"))
+        )
+        pos, word, bitval = _bloom_cells(F.col("d"))
+        bloom = (
+            base.select(d.alias("d"))
+            .select(pos)
+            .select(word, bitval)
+            .groupBy("word")
+            .agg(F.bit_or("bitval").alias("bits"))
+            .persist()
+        )
+        bloom.count()  # eager: lazily-persisted memoized frames race
+        _SHINGLE_CACHE[key] = bloom
+    inc = _docs_wide(spark, sf_dir).filter(_is_new_doc(F.col("doc_id")))
+    incf = inc.select("doc_id", d.alias("d"))
+    pos, word, bitval = _bloom_cells(F.col("d"))
+    probe = (
+        incf.select("doc_id", pos)
+        .select("doc_id", word, bitval)
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("bits"), F.lit(0))
+                .bitwiseAND(F.col("bitval"))
+                != 0
+            ).alias("bloom_hit")
+        )
+    )
+    base_fps = (
+        _docs_wide(spark, sf_dir)
+        .filter(~_is_new_doc(F.col("doc_id")))
+        .select(d.alias("d"))
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    exact = incf.join(base_fps, "d", "left").select(
+        "doc_id", F.coalesce(F.col("seen"), F.lit(False)).alias("exact_dup")
+    )
+    return (
+        probe.join(exact, "doc_id")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "bloom_hit", "exact_dup")
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_D_SQL = """d AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(coalesce(text, '')),
+                   '\\s+', ' ', 'g'))) AS d,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 5 = 0 AS is_new
+        FROM documents
+    )"""
+
+BLOOM_ORACLE_SQL = f"""
+    WITH {_BLOOM_D_SQL},
+    cells AS (
+        SELECT doc_id, is_new,
+               p // {BLOOM_WBITS} AS word,
+               1::BIGINT << CAST(p % {BLOOM_WBITS} AS INT) AS bitval
+        FROM (
+            SELECT doc_id, is_new,
+                   CAST(('0x' || substr(d, 1 + 8 * k.i, 8)) AS BIGINT)
+                       % {BLOOM_B} AS p
+            FROM d, (VALUES (0), (1), (2), (3)) AS k(i)
+        )
+    ),
+    bloom AS (
+        SELECT word, bit_or(bitval) AS bits
+        FROM cells WHERE NOT is_new GROUP BY word
+    ),
+    probe AS (
+        SELECT c.doc_id,
+               bool_and((coalesce(b.bits, 0) & c.bitval) <> 0) AS bloom_hit
+        FROM cells c LEFT JOIN bloom b USING (word)
+        WHERE c.is_new GROUP BY c.doc_id
+    ),
+    seen AS (SELECT DISTINCT d FROM d WHERE NOT is_new),
+    ex AS (
+        SELECT dd.doc_id, s.d IS NOT NULL AS exact_dup
+        FROM d dd LEFT JOIN seen s USING (d) WHERE dd.is_new
+    )
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.bloom_hit, e.exact_dup
+    FROM probe p JOIN ex e USING (doc_id)
+    ORDER BY doc_id
+"""

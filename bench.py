@@ -229,6 +229,9 @@ def main() -> int:
         "search_snippet_topk",
         # r5: PMI collocation mining over the one-scan bigram pair table
         "collocations_pmi",
+        # r5: Dolma-style Bloom dedup membership — warm probes ride the
+        # memoized bit_or bitmap; the exact leg prices the FPR witness
+        "dedup_bloom_probe",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
@@ -291,6 +294,8 @@ def main() -> int:
         # r5: pmi cold prices the bigram pair-table build + the
         # marginal joins and top-K
         "collocations_pmi",
+        # r5: bloom cold prices the bit_or bitmap build + first probe
+        "dedup_bloom_probe",
     ):
         clear_caches(spark)
         t0 = time.monotonic()
