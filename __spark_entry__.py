@@ -111,12 +111,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     url_domain_etld1_dim), + the 2 displaced r2-row binary roundtrips
     (pipeline_pdf_roundtrip, pipeline_warc_roundtrip) + the 2 r4
     tier-1 overflows (dedup_embedding_keep_canonical,
-    pipeline_invoice_roundtrip) + the 5 newest additions
+    pipeline_invoice_roundtrip) + the 9 newest additions
     (search_phrase_topk, search_proximity_topk, search_snippet_topk,
-    collocations_pmi, dedup_bloom_probe) = 35. Tier 2 = 15 of the 36
-    r1/r2-row entries,
-    stalest first. The 17 r1/r2-green slices that did not fit
-    (join_nation_region_rollup,
+    collocations_pmi, dedup_bloom_probe, search_query_expansion,
+    search_spell_suggest, graph_triangle_count,
+    sketch_hll_merge_shards) = 39.
+    Tier 2 = 11 of the 36 r1/r2-row entries,
+    stalest first. The 21 r1/r2-green slices that did not fit
+    (ann_ivf_topk, q1_pricing_summary, agg_keyword_score_argmax,
+    window_sessionize, join_nation_region_rollup,
     window_running_spend, join_semi_orders_with_items,
     topk_parts_by_price,
     window_top3_events_per_user, join_anti_customers_without_orders,
@@ -124,7 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-66;
+    unchanged since r1/r2, local-sweep green) sit at positions 51-71;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -163,6 +166,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token window over the same positional postings, ranked by
         # in-window pair count then tightest distance (new in r5)
         "search_proximity_topk": SRCH.search_proximity_topk,
+        # pseudo-relevance-feedback query expansion: BM25 top-K as the
+        # feedback set, expansion terms by feedback-tf x integer idf,
+        # everything past the ranker feedback-bounded (new in r5)
+        "search_query_expansion": SRCH.search_query_expansion,
+        # SymSpell spell suggestion: deletion-neighborhood equi-join
+        # over the Heaps-bounded vocab index, levenshtein verify on
+        # candidates only (new in r5)
+        "search_spell_suggest": SRCH.search_spell_suggest,
         # tokenizer-training corpus primitive: BPE merge-pair counts
         # over the deduplicated vocabulary, corpus read once (new in r4)
         "tokenizer_bpe_pairs": TOK.tokenizer_bpe_pairs,
@@ -187,6 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # probes a mergeable bit_or bitmap over the base corpus'
         # fingerprints, exact leg measures the FPR (new in r5)
         "dedup_bloom_probe": SK.dedup_bloom_probe,
+        # HLL mergeability as a value-checked witness: per-shard
+        # registers merged by max must equal the direct single-pass
+        # registers exactly (new in r5)
+        "sketch_hll_merge_shards": SK.sketch_hll_merge_shards,
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
@@ -358,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer DIV is the normalization, mass bounded forever,
         # two-sided Pregel co-partition pin (new in r5)
         "graph_salsa": G.graph_salsa,
+        # per-node triangle counts + clustering coefficient via the
+        # degree-oriented closure: exchange-free wedge self-join on the
+        # cached lo-pinned orientation, O(m^1.5) wedges (new in r5)
+        "graph_triangle_count": G.graph_triangle_count,
         # composition that executes the changed components path
         "dedup_minhash_keep_canonical": CU.dedup_minhash_keep_canonical,
         # search.py gained shared BM25 helpers this round
@@ -528,6 +547,10 @@ _R5_WINDOW = [
     "search_snippet_topk",
     "collocations_pmi",
     "dedup_bloom_probe",
+    "search_query_expansion",
+    "search_spell_suggest",
+    "graph_triangle_count",
+    "sketch_hll_merge_shards",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -573,10 +596,6 @@ _R5_WINDOW = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "ann_cosine_topk",
-    "ann_ivf_topk",
-    "q1_pricing_summary",
-    "agg_keyword_score_argmax",
-    "window_sessionize",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -589,6 +608,10 @@ _R5_NEXT = [
     # PMI collocation miner and the Bloom dedup probe (newest r5
     # entries): r1-green slices, local-sweep green, first in line
     # for the next fill
+    "ann_ivf_topk",
+    "q1_pricing_summary",
+    "agg_keyword_score_argmax",
+    "window_sessionize",
     "join_nation_region_rollup",
     "join_customer_orders",
     "agg_order_totals",
@@ -863,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_length_percentiles": SK.PERCENTILE_ORACLE_SQL,
         "sketch_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,
         "dedup_bloom_probe": SK.BLOOM_ORACLE_SQL,
+        "sketch_hll_merge_shards": SK.HLL_MERGE_ORACLE_SQL,
         # the streaming drain of the same sketch must equal the same
         # batch recompute — one oracle text, two execution paths
         "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,
@@ -884,6 +908,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_rrf_hybrid": SRCH.HYBRID_ORACLE_SQL,
         "search_index_refresh": SRCH.IDX_REFRESH_ORACLE_SQL,
         "search_phrase_topk": SRCH.PHRASE_ORACLE_SQL,
+        "search_query_expansion": SRCH.EXPANSION_ORACLE_SQL,
+        "search_spell_suggest": SRCH.SPELL_ORACLE_SQL,
         "search_snippet_topk": SRCH.SNIPPET_ORACLE_SQL,
         "search_proximity_topk": SRCH.PROX_ORACLE_SQL,
         "tokenizer_bpe_pairs": TOK.BPE_ORACLE_SQL,
@@ -928,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_metrics_report": RT.METRICS_REPORT_ORACLE_SQL,
         "pagerank_link_graph": G.PAGERANK_ORACLE_SQL,
         "graph_salsa": G.SALSA_ORACLE_SQL,
+        "graph_triangle_count": G.TRIANGLE_ORACLE_SQL,
         "sample_stratified_split": SK.SPLIT_ORACLE_SQL,
         # nbsp (chr(160)) replaced before the \\s collapse to mirror the
         # kernel's collapse_ws exactly (RE2's \\s is ASCII-only)

@@ -378,3 +378,185 @@ def _salsa_oracle() -> str:
 
 
 SALSA_ORACLE_SQL = _salsa_oracle()
+
+
+# --- triangle counting / clustering coefficient -------------------------------
+
+CC_SCALE = 10**6
+
+
+def _tri_oriented(spark: SparkSession, sf_dir: str) -> tuple:
+    """Degree-oriented undirected edge index for triangle counting,
+    memoized like the other graph pins: symmetrize the directed crawl
+    edges into {a<b} pairs, compute undirected degree, then orient
+    every edge from the (deg, id)-smaller endpoint to the larger.
+    Orientation is THE triangle-counting scale trick (Chiba-Nishizeki;
+    Suri & Vassilvitskii's MR-friendly form): the oriented out-degree
+    is bounded by O(sqrt(m)), so wedge generation is O(m^1.5) total
+    instead of sum(deg^2) — the difference between feasible and not on
+    a power-law web graph whose max degree is ~N."""
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = _cache_key(spark, sf_dir, "tri-oriented")
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    _, e_src = _graph_pins(spark, sf_dir)
+    und = (
+        e_src.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .repartition(par, "node")
+        .persist()
+    )
+    o = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("dega")), "a"
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("degb")), "b"
+        )
+        .select(
+            F.when(F.col("dega") <= F.col("degb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(F.col("dega") <= F.col("degb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("hi"),
+        )
+        .repartition(par, "lo")
+        .persist()
+    )
+    deg.count()  # eager: lazy memoized persists race (CLAUDE.md)
+    o.count()
+    _SHINGLE_CACHE[key] = (deg, o)
+    return deg, o
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient — the
+    third classical link-graph primitive next to PageRank/SALSA:
+    triangle density separates genuine topical communities from
+    link-farm stars (a farm hub has huge degree but near-zero
+    clustering), and the coefficient is the standard spam/community
+    feature in web-graph curation.
+
+    Algorithm: degree-oriented closure (see _tri_oriented). Each
+    triangle x≺y≺z (in (deg,id) order) is found EXACTLY once as the
+    wedge (x→y, x→z) closed by the oriented edge y→z, so the count is
+    a plain join cardinality — no post-hoc division by 3/6, which
+    keeps the per-node explode exact.
+
+    Scale shape: the wedge self-join keys on the oriented source `lo`
+    and BOTH sides are the same cached frame hash-pinned on lo, so
+    wedge generation is exchange-free (plan-pinned: the only Exchanges
+    past the pins belong to the closure join and the two bounded
+    aggregates); wedge volume is bounded by sum(outdeg^2) = O(m^1.5)
+    under orientation; the closure join and per-node count shuffle
+    triangle-sized frames, never corpus-sized ones. Self-join columns
+    are RENAMED before joining (shared-lineage equality keys would
+    otherwise collapse to one attribute — CLAUDE.md).
+
+    Determinism: counts and degrees are exact integers; the
+    coefficient is reported as cc_e6 = (2·tri·10^6) DIV (deg·(deg−1))
+    (NULL below deg 2) so both engines emit identical BIGINTs.
+    """
+    deg, o = _tri_oriented(spark, sf_dir)
+    docs, _ = _graph_pins(spark, sf_dir)
+    e1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = o.select(F.col("lo").alias("u2"), F.col("hi").alias("w"))
+    e3 = o.select(F.col("lo").alias("v3"), F.col("hi").alias("w3"))
+    wedges = (
+        e1.join(e2, (F.col("u") == F.col("u2")) & (F.col("v") != F.col("w")))
+        .select("u", "v", "w")
+    )
+    tris = wedges.join(
+        e3, (F.col("v") == F.col("v3")) & (F.col("w") == F.col("w3"))
+    ).select("u", "v", "w")
+    pernode = (
+        tris.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    return (
+        docs.join(deg.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(pernode.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+            F.when(
+                F.coalesce(F.col("deg"), F.lit(0)) >= 2,
+                F.expr(
+                    f"CAST((2 * coalesce(tri, 0) * {CC_SCALE})"
+                    " DIV (deg * (deg - 1)) AS BIGINT)"
+                ),
+            ).alias("cc_e6"),
+        )
+    )
+
+
+def _triangle_oracle() -> str:
+    fanout_values = ", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))
+    return f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    edges0 AS (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * doc_id + j * 31 + 7) % n.n AS dst
+        FROM documents CROSS JOIN n
+        CROSS JOIN (VALUES {fanout_values}) AS t(j)
+        WHERE (doc_id * doc_id + j * 31 + 7) % n.n <> doc_id
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges0
+    ),
+    deg AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+        ) GROUP BY node
+    ),
+    o AS (
+        SELECT CASE WHEN da.deg <= db.deg THEN u.a ELSE u.b END AS lo,
+               CASE WHEN da.deg <= db.deg THEN u.b ELSE u.a END AS hi
+        FROM und u
+        JOIN deg da ON da.node = u.a
+        JOIN deg db ON db.node = u.b
+    ),
+    tri AS (
+        SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        FROM o e1
+        JOIN o e2 ON e2.lo = e1.lo AND e1.hi <> e2.hi
+        JOIN o e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    ),
+    pernode AS (
+        SELECT node, count(*) AS tri FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v AS node FROM tri
+            UNION ALL SELECT w AS node FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(g.deg, 0) AS BIGINT) AS deg,
+           CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+           CASE WHEN coalesce(g.deg, 0) >= 2
+                THEN CAST((2 * coalesce(p.tri, 0) * {CC_SCALE})
+                          // (g.deg * (g.deg - 1)) AS BIGINT)
+                ELSE NULL END AS cc_e6
+    FROM documents d
+    LEFT JOIN deg g ON g.node = d.doc_id
+    LEFT JOIN pernode p ON p.node = d.doc_id
+"""
+
+
+TRIANGLE_ORACLE_SQL = _triangle_oracle()

@@ -1123,3 +1123,256 @@ SNIPPET_ORACLE_SQL = f"""
     JOIN firsts f USING (query_id, doc_id)
     JOIN tk ON tk.doc_id = t.doc_id
 """
+
+
+# --- pseudo-relevance-feedback query expansion --------------------------------
+
+EXP_TOP_N = 5  # expansion terms reported per query
+
+
+def search_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion — the Rocchio/RM step
+    between ranking and re-ranking (Rocchio 1971; Lavrenko & Croft's
+    relevance models): assume the BM25 top-K are relevant, mine the
+    terms that characterize them, and report the top expansion terms
+    per query (weight = feedback tf x the integer idf proven in
+    search_keyword_topk, original query terms excluded).
+
+    Scale shape: everything downstream of the ranker is bounded by the
+    FEEDBACK set, not the corpus — (a) the K-docs-per-query hit list
+    BROADCASTS into the corpus scan, so only feedback docs ever
+    tokenize (the doc-store point-lookup stand-in, same as
+    search_snippet_topk); (b) the candidate vocabulary (distinct
+    feedback-doc terms, Heaps-bounded by K·|Q| docs) BROADCASTS into a
+    second scan whose (doc, token) shuffle carries only candidate-term
+    postings — the probe-below-aggregate shape pinned in r4d; at 10^12
+    docs that df probe is a point-read into the stored per-term df
+    metadata (exactly search_index_refresh's merged-stat table), and
+    the per-query term ranking touches EXP-candidate rows only. No
+    corpus-sized exchange anywhere past the ranker it composes.
+    """
+    fb = search_bm25_topk(spark, sf_dir).select("query_id", "doc_id")
+    docs, _ = _docs_and_stats(spark, sf_dir)
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
+    fbtok = (
+        docs.join(F.broadcast(fb), "doc_id")
+        .select("query_id", "doc_id", F.explode(toks).alias("token"))
+    )
+    qterms, _ = _qterm_frames(spark)
+    fbtf = (
+        fbtok.groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).alias("fb_tf"))
+        .join(F.broadcast(qterms), ["query_id", "token"], "left_anti")
+    )
+    cands = fbtf.select("token").distinct()
+    cand_df = (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .join(F.broadcast(cands), "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        fbtf.join(cand_df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "query_id",
+            "token",
+            F.col("fb_tf").cast("long").alias("fb_tf"),
+            F.expr(
+                f"CAST(fb_tf * (({IDF_SCALE} * n_docs) DIV df) AS BIGINT)"
+            ).alias("weight"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("weight").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= EXP_TOP_N)
+        .select(
+            "query_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "token",
+            "fb_tf",
+            "weight",
+        )
+    )
+
+
+EXPANSION_ORACLE_SQL = f"""
+    WITH fb AS (SELECT query_id, doc_id FROM ({BM25_ORACLE_SQL})),
+    tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    q(query_id, token) AS (VALUES {_values_clause()}),
+    fbtf AS (
+        SELECT f.query_id, t.token, count(*) AS fb_tf
+        FROM fb f JOIN tok2 t USING (doc_id)
+        GROUP BY f.query_id, t.token
+    ),
+    fbtf2 AS (
+        SELECT * FROM fbtf
+        WHERE NOT EXISTS (
+            SELECT 1 FROM q
+            WHERE q.query_id = fbtf.query_id AND q.token = fbtf.token
+        )
+    ),
+    cand_df AS (
+        SELECT token, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, token FROM tok2
+              WHERE token IN (SELECT DISTINCT token FROM fbtf2))
+        GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT f.query_id, f.token,
+               CAST(f.fb_tf AS BIGINT) AS fb_tf,
+               CAST(f.fb_tf * (({IDF_SCALE} * n.n_docs) // d.df)
+                    AS BIGINT) AS weight
+        FROM fbtf2 f JOIN cand_df d USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT query_id, token, fb_tf, weight,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY weight DESC, token ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, token, fb_tf, weight
+    FROM ranked WHERE rnk <= {EXP_TOP_N}
+"""
+
+
+# --- SymSpell-style spell suggestion ------------------------------------------
+
+SPELL_MIN_LEN = 4  # vocab floor: bounds deletion-key fan-in (keys >= 3 chars)
+SPELL_TOP_N = 3
+
+
+def _spell_typos() -> list[str]:
+    """Deterministic misspelling seeds: every query-vocabulary term of
+    length >= SPELL_MIN_LEN with its second character dropped — the
+    classic single-deletion typo class, derivable identically by both
+    engines with no external data."""
+    terms = sorted(
+        {t for ts in SEARCH_QUERIES.values() for t in ts if len(t) >= SPELL_MIN_LEN}
+    )
+    return sorted({t[0] + t[2:] for t in terms})
+
+
+_DEL_KEYS = (
+    "array_union(array({c}), transform(sequence(1, length({c})),"
+    " i -> concat(substr({c}, 1, i - 1), substr({c}, i + 1))))"
+)
+
+
+def search_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell suggestion over the corpus vocabulary — the
+    query-understanding step in front of every retrieval stack, in
+    SymSpell's deletion-neighborhood form (Garbe's symmetric delete
+    algorithm; same family as Norvig's corrector but join-shaped):
+    a pair within edit distance 1 ALWAYS shares a key in the union of
+    {word} and its single-deletion set (substitution deletes the
+    differing position from both sides; insertion/deletion makes one
+    side a key of the other), so candidate generation is an EQUI-JOIN
+    on deletion keys — never a cross product — and the exact
+    `levenshtein` verify (built into both engines) runs on candidate
+    pairs only.
+
+    Scale shape: the vocabulary is a Heaps-law aggregate (one
+    map-side-combined token shuffle, the only corpus-sized exchange);
+    the deletion index is (len+1)x vocab rows, built once — at 10^12
+    docs it IS the stored spell index, exactly like the positional
+    postings; the typo side is query-sized and BROADCASTS into the
+    index; ranking touches verified candidates only. SPELL_MIN_LEN
+    floors key length at 3 chars so no deletion bucket degenerates
+    into a stop-key flood; the distance-2 graduation is the standard
+    SymSpell recursion (deletes of deletes), same join shape.
+
+    Determinism: rank by (distance asc, corpus count desc, word asc) —
+    every tie-break key is an exact integer or string on both engines.
+    """
+    docs, _ = _docs_and_stats(spark, sf_dir)
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.length("token") >= SPELL_MIN_LEN)
+    )
+    vindex = vocab.select(
+        F.col("token").alias("cand"),
+        "cnt",
+        F.explode(F.expr(_DEL_KEYS.format(c="token"))).alias("k"),
+    )
+    typos = spark.createDataFrame([(t,) for t in _spell_typos()], "typo string")
+    tindex = typos.select(
+        "typo", F.explode(F.expr(_DEL_KEYS.format(c="typo"))).alias("k")
+    )
+    cands = (
+        vindex.join(F.broadcast(tindex), "k")
+        .select("typo", "cand", "cnt")
+        .distinct()
+        .withColumn("dist", F.levenshtein("typo", "cand").cast("long"))
+        .filter(F.col("dist") <= 1)
+    )
+    w_rank = Window.partitionBy("typo").orderBy(
+        F.col("dist").asc(), F.col("cnt").desc(), F.col("cand").asc()
+    )
+    return (
+        cands.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= SPELL_TOP_N)
+        .select("typo", F.col("rnk").cast("long").alias("rnk"), "cand", "dist", "cnt")
+    )
+
+
+def _spell_oracle() -> str:
+    typo_values = ", ".join(f"('{t}')" for t in _spell_typos())
+    del_keys = (
+        "list_distinct(list_append(list_transform(range(1, length({c}) + 1),"
+        " i -> substr({c}, 1, i - 1) || substr({c}, i + 1)), {c}))"
+    )
+    return f"""
+    WITH tok AS (
+        SELECT unnest(string_split(trim(regexp_replace(
+            lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        WHERE token <> '' GROUP BY token HAVING length(token) >= {SPELL_MIN_LEN}
+    ),
+    vindex AS (
+        SELECT token AS cand, cnt,
+               unnest({del_keys.format(c='token')}) AS k
+        FROM vocab
+    ),
+    typos(typo) AS (VALUES {typo_values}),
+    tindex AS (
+        SELECT typo, unnest({del_keys.format(c='typo')}) AS k FROM typos
+    ),
+    cands AS (
+        SELECT DISTINCT typo, cand, cnt FROM tindex JOIN vindex USING (k)
+    ),
+    verified AS (
+        SELECT typo, cand, cnt,
+               CAST(levenshtein(typo, cand) AS BIGINT) AS dist
+        FROM cands WHERE levenshtein(typo, cand) <= 1
+    ),
+    ranked AS (
+        SELECT typo, cand, cnt, dist,
+               row_number() OVER (PARTITION BY typo
+                   ORDER BY dist ASC, cnt DESC, cand ASC) AS rnk
+        FROM verified
+    )
+    SELECT typo, CAST(rnk AS BIGINT) AS rnk, cand, dist, cnt
+    FROM ranked WHERE rnk <= {SPELL_TOP_N}
+"""
+
+
+SPELL_ORACLE_SQL = _spell_oracle()

@@ -232,6 +232,19 @@ def main() -> int:
         # r5: Dolma-style Bloom dedup membership — warm probes ride the
         # memoized bit_or bitmap; the exact leg prices the FPR witness
         "dedup_bloom_probe",
+        # r5: pseudo-relevance-feedback expansion — runs the BM25
+        # ranker inside the timed section, then the feedback-bounded
+        # term mining (prices the full two-pass PRF loop)
+        "search_query_expansion",
+        # r5: SymSpell deletion-neighborhood suggestion — prices the
+        # vocab aggregate + deletion-index build + candidate verify
+        "search_spell_suggest",
+        # r5: degree-oriented triangle closure over the cached
+        # orientation (wedge self-join exchange-free on the lo pin)
+        "graph_triangle_count",
+        # r5: HLL shard-merge witness — three map-side-combinable
+        # aggregations, constant state per source
+        "sketch_hll_merge_shards",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
