@@ -1441,3 +1441,139 @@ PMI_ORACLE_SQL = f"""
     SELECT bigram, c12, pmi_scaled
     FROM scored ORDER BY pmi_scaled DESC, bigram ASC LIMIT {PMI_TOP_K}
 """
+
+
+# --- Zipf exponent fit ----------------------------------------------------------
+
+ZIPF_RANKS = 64  # top ranks fitted per source
+ZIPF_DOWN = 4096  # iln downscale so regression products stay in BIGINT
+ZIPF_OUT = 1_000_000  # slope reported as slope_e6
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf exponent over the token frequency spectrum — the
+    classic corpus-health diagnostic (Zipf 1949; used by corpus-quality
+    audits to flag template/boilerplate floods, which flatten the
+    slope, and degenerate generators, which steepen it): fit
+    ln(freq) = a + s * ln(rank) over the top ZIPF_RANKS tokens by
+    ordinary least squares and report s (≈ −1 for natural text).
+
+    Exactness: x = iln(rank·PREC) DIV ZIPF_DOWN and y = iln(cnt·PREC)
+    DIV ZIPF_DOWN ride the shared 256-entry integer-ln table, so every
+    point is a BIGINT both engines derive identically; the OLS slope
+
+        s_e6 = sign(n·Σxy − Σx·Σy) · (ZIPF_OUT·|n·Σxy − Σx·Σy|)
+                                        DIV (n·Σxx − (Σx)²)
+
+    applies the truncating division to a NON-NEGATIVE numerator only
+    (the repo rule: negative DIV is engine-divergent between flooring
+    and truncating semantics), and the ZIPF_DOWN downscale bounds
+    |x|,|y| ≤ ~5e3 so n·Σxy ≤ ~2e9 and the scaled numerator stays
+    orders of magnitude inside int64. One verified exception: the x/y
+    downscale itself sees iln(PREC) = −580 (table-rounding jitter at
+    rank 1 / cnt 1), and Spark DIV and DuckDB // BOTH truncate toward
+    zero on integer operands (checked: (-5)//4096 = 0, (-5000)//4096 =
+    −1 in DuckDB), so the one negative input both engines can see maps
+    to 0 identically — the pytest twin replicates with truncating, not
+    flooring, division.
+
+    Scale shape: one map-side-combined (source, token) count shuffle —
+    the same aggregate every quality op shares; the per-source top-N
+    compiles to WindowGroupLimit (each map task forwards ≤ N rows per
+    source), and the regression is a constant-state per-source rollup.
+    Nothing after the first shuffle is corpus-sized.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
+    counts = (
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    ranked = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ZIPF_RANKS)
+        .select(
+            "source",
+            F.expr(
+                f"CAST({_iln_sql(f'(rnk * {PREC})', 'spark')}"
+                f" DIV {ZIPF_DOWN} AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                f"CAST({_iln_sql(f'(cnt * {PREC})', 'spark')}"
+                f" DIV {ZIPF_DOWN} AS BIGINT)"
+            ).alias("y"),
+            "cnt",
+        )
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.max("cnt").alias("top1_cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    q = F.expr(
+        f"CAST(({ZIPF_OUT} * abs(n_ranks * sxy - sx * sy))"
+        " DIV (n_ranks * sxx - sx * sx) AS BIGINT)"
+    )
+    return (
+        agg.filter(F.col("n_ranks") >= 2)
+        .select(
+            "source",
+            "n_ranks",
+            "top1_cnt",
+            F.when(num < 0, -q).otherwise(q).cast("long").alias("slope_e6"),
+        )
+    )
+
+
+ZIPF_ORACLE_SQL = f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok WHERE token <> '' GROUP BY source, token
+    ),
+    ranked AS (
+        SELECT source, cnt,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY cnt DESC, token ASC) AS rnk
+        FROM counts
+    ),
+    pts AS (
+        SELECT source, cnt,
+               CAST({_iln_sql(f'(rnk * {PREC})', 'duckdb')}
+                    // {ZIPF_DOWN} AS BIGINT) AS x,
+               CAST({_iln_sql(f'(cnt * {PREC})', 'duckdb')}
+                    // {ZIPF_DOWN} AS BIGINT) AS y
+        FROM ranked WHERE rnk <= {ZIPF_RANKS}
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_ranks,
+               CAST(max(cnt) AS BIGINT) AS top1_cnt,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY source
+    )
+    SELECT source, n_ranks, top1_cnt,
+           CAST(CASE WHEN n_ranks * sxy - sx * sy < 0
+                THEN -(({ZIPF_OUT} * abs(n_ranks * sxy - sx * sy))
+                       // (n_ranks * sxx - sx * sx))
+                ELSE (({ZIPF_OUT} * abs(n_ranks * sxy - sx * sy))
+                      // (n_ranks * sxx - sx * sx)) END AS BIGINT) AS slope_e6
+    FROM agg WHERE n_ranks >= 2
+"""

@@ -245,6 +245,9 @@ def main() -> int:
         # r5: HLL shard-merge witness — three map-side-combinable
         # aggregations, constant state per source
         "sketch_hll_merge_shards",
+        # r5: integer-exact Zipf exponent fit — one token shuffle,
+        # WindowGroupLimit top-64, constant-state per-source OLS
+        "text_zipf_fit",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
