@@ -115,10 +115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (search_phrase_topk, search_proximity_topk, search_snippet_topk,
     collocations_pmi, dedup_bloom_probe, search_query_expansion,
     search_spell_suggest, graph_triangle_count,
-    sketch_hll_merge_shards, text_zipf_fit) = 40.
-    Tier 2 = 10 of the 36 r1/r2-row entries,
-    stalest first. The 22 r1/r2-green slices that did not fit
-    (ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
+    sketch_hll_merge_shards, text_zipf_fit, text_keyphrases,
+    langid_eval_confusion) = 42.
+    Tier 2 = 8 of the 36 r1/r2-row entries,
+    stalest first. The 24 r1/r2-green slices that did not fit
+    (dedup_embedding_cosine, dedup_embedding_lsh,
+    ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
     agg_keyword_score_argmax,
     window_sessionize, join_nation_region_rollup,
     window_running_spend, join_semi_orders_with_items,
@@ -128,7 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-72;
+    unchanged since r1/r2, local-sweep green) sit at positions 51-74;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -257,6 +259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-source Zipf exponent by integer-exact OLS over the
         # top-64 rank/frequency log-log points (new in r5)
         "text_zipf_fit": QL.text_zipf_fit,
+        # per-document TF-IDF keyphrase top-K — skew-split tf⋈df
+        # join-back, WindowGroupLimit per doc (new in r5)
+        "text_keyphrases": QL.text_keyphrases,
+        # trained-langid confusion matrix with integer-exact per-cell
+        # precision/recall against gold labels (new in r5)
+        "langid_eval_confusion": TS.langid_eval_confusion,
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
@@ -556,6 +564,8 @@ _R5_WINDOW = [
     "graph_triangle_count",
     "sketch_hll_merge_shards",
     "text_zipf_fit",
+    "text_keyphrases",
+    "langid_eval_confusion",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -598,8 +608,6 @@ _R5_WINDOW = [
     "dedup_simhash",
     "text_dup_fraction",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -612,6 +620,8 @@ _R5_NEXT = [
     # PMI collocation miner and the Bloom dedup probe (newest r5
     # entries): r1-green slices, local-sweep green, first in line
     # for the next fill
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "q1_pricing_summary",
@@ -936,6 +946,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_nb": QL.NB_ORACLE_SQL,
         "collocations_pmi": QL.PMI_ORACLE_SQL,
         "text_zipf_fit": QL.ZIPF_ORACLE_SQL,
+        "text_keyphrases": QL.KEYPHRASE_ORACLE_SQL,
+        "langid_eval_confusion": TS.LANGID_CONFUSION_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,
         "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,

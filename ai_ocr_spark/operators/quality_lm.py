@@ -1577,3 +1577,108 @@ ZIPF_ORACLE_SQL = f"""
                       // (n_ranks * sxx - sx * sx)) END AS BIGINT) AS slope_e6
     FROM agg WHERE n_ranks >= 2
 """
+
+
+# --- per-document TF-IDF keyphrases ----------------------------------------------
+
+KEYPHRASE_K = 5  # tokens reported per document
+
+
+def text_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyphrase extraction by integer-exact TF-IDF — the
+    document-side dual of search_keyword_topk (there the query probes
+    the corpus; here every document reports the tokens that most
+    distinguish it), the standard first-pass keyword tagger a curation
+    pipeline runs to route documents to topic mixtures.
+
+    Score = tf · iln(((N+1)·PREC) DIV df) with the shared 256-entry
+    integer-ln table, so both engines derive identical BIGINTs; the one
+    integer division has a non-negative numerator by construction
+    (df ≤ N ⇒ the iln argument ≥ PREC). At corpus sizes where
+    N·PREC overflows the iln bound the idf argument saturates at
+    iln(PREC) = −580 for corpus-saturating tokens (df = N), which only
+    strengthens the ranking's stopword suppression — ordering stays
+    engine-identical because both compute the same integers.
+
+    Scale shape: the same one map-side-combined (doc_id, token) tf
+    shuffle the whole quality family shares; df aggregates the
+    already-reduced tf rows (vocabulary-sized, not corpus-sized); the
+    tf⋈df join-back is Zipf-hot on token so it rides the shared
+    _skew_left_join (top-HEAD_K df rows broadcast, only the de-skewed
+    tail shuffles); the per-doc top-K compiles to WindowGroupLimit
+    (each map task forwards ≤ K rows per doc). Nothing after the tf
+    aggregate is corpus-row-sized.
+
+    Reference parity: the reference tags extractions with free-form
+    "keywords" fields produced by the LLM pass
+    (src/processor/app/extractors/langchain_extractor.py extraction
+    schema); this is that tagger rebuilt as a corpus-statistical
+    distributed plan.
+    """
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        _skew_left_join(tf, dfc, "token", "df")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "idf",
+            F.expr(
+                _iln_sql(f"(((n_docs + 1) * {PREC}) DIV df)", "spark")
+            ).cast("long"),
+        )
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf") * F.col("idf")).cast("long").alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KEYPHRASE_K)
+        .select("doc_id", "rank", "token", "tf", "df", "score_scaled")
+    )
+
+
+KEYPHRASE_ORACLE_SQL = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dfc AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+               CAST(tf.tf * {_iln_sql(
+                   f'(((stats.n_docs + 1) * {PREC}) // dfc.df)', 'duckdb'
+               )} AS BIGINT) AS score_scaled
+        FROM tf JOIN dfc USING (token) CROSS JOIN stats
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_scaled DESC, token ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, rank, token, tf, df, score_scaled
+    FROM ranked WHERE rank <= {KEYPHRASE_K}
+"""

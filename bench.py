@@ -248,6 +248,12 @@ def main() -> int:
         # r5: integer-exact Zipf exponent fit — one token shuffle,
         # WindowGroupLimit top-64, constant-state per-source OLS
         "text_zipf_fit",
+        # r5: per-doc TF-IDF keyphrases — shared tf shuffle, skew-split
+        # tf⋈df join-back, WindowGroupLimit top-5 per doc
+        "text_keyphrases",
+        # r5: trained-langid confusion matrix — langid plan + one
+        # 25-cell aggregate with map-side combine
+        "langid_eval_confusion",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
