@@ -116,10 +116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     collocations_pmi, dedup_bloom_probe, search_query_expansion,
     search_spell_suggest, graph_triangle_count,
     sketch_hll_merge_shards, text_zipf_fit, text_keyphrases,
-    langid_eval_confusion) = 42.
-    Tier 2 = 8 of the 36 r1/r2-row entries,
-    stalest first. The 24 r1/r2-green slices that did not fit
-    (dedup_embedding_cosine, dedup_embedding_lsh,
+    langid_eval_confusion, search_autocomplete,
+    text_winnow_fingerprints) = 44.
+    Tier 2 = 6 of the 36 r1/r2-row entries,
+    stalest first. The 26 r1/r2-green slices that did not fit
+    (text_dup_fraction, dedup_ngram_jaccard,
+    dedup_embedding_cosine, dedup_embedding_lsh,
     ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
     agg_keyword_score_argmax,
     window_sessionize, join_nation_region_rollup,
@@ -130,7 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-74;
+    unchanged since r1/r2, local-sweep green) sit at positions 51-76;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -265,6 +267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trained-langid confusion matrix with integer-exact per-cell
         # precision/recall against gold labels (new in r5)
         "langid_eval_confusion": TS.langid_eval_confusion,
+        # prefix→top-K completion index over the vocabulary (the
+        # MostPopularCompletion QAC baseline) (new in r5)
+        "search_autocomplete": SRCH.search_autocomplete,
+        # MOSS winnowing fingerprints — per-window rightmost-min over
+        # k-gram hashes, zero-shuffle array plan (new in r5)
+        "text_winnow_fingerprints": TS.text_winnow_fingerprints,
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
@@ -566,6 +574,8 @@ _R5_WINDOW = [
     "text_zipf_fit",
     "text_keyphrases",
     "langid_eval_confusion",
+    "search_autocomplete",
+    "text_winnow_fingerprints",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -606,8 +616,6 @@ _R5_WINDOW = [
     "stream_events_daily",
     "dedup_exact",
     "dedup_simhash",
-    "text_dup_fraction",
-    "dedup_ngram_jaccard",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -620,6 +628,8 @@ _R5_NEXT = [
     # PMI collocation miner and the Bloom dedup probe (newest r5
     # entries): r1-green slices, local-sweep green, first in line
     # for the next fill
+    "text_dup_fraction",
+    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "ann_cosine_topk",
@@ -948,6 +958,8 @@ def oracle_sql() -> dict[str, str]:
         "text_zipf_fit": QL.ZIPF_ORACLE_SQL,
         "text_keyphrases": QL.KEYPHRASE_ORACLE_SQL,
         "langid_eval_confusion": TS.LANGID_CONFUSION_ORACLE_SQL,
+        "search_autocomplete": SRCH.AUTOCOMPLETE_ORACLE_SQL,
+        "text_winnow_fingerprints": TS.WINNOW_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,
         "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,

@@ -1376,3 +1376,97 @@ def _spell_oracle() -> str:
 
 
 SPELL_ORACLE_SQL = _spell_oracle()
+
+
+# --- prefix autocomplete index ------------------------------------------------
+
+AC_PREFIX_LENS = (2, 3, 4)  # prefix lengths materialized in the index
+AC_TOP_K = 3  # completions served per prefix
+AC_MIN_CNT = 2  # hapax completions are noise, not suggestions
+
+
+def search_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full prefix→top-K completion index — the type-ahead artifact
+    every retrieval stack serves next to spell suggestion (completion
+    by corpus frequency is the classic QAC baseline; Bar-Yossef &
+    Kraus, WWW'11 call it MostPopularCompletion). The OUTPUT is the
+    index itself: every prefix of the materialized lengths with its
+    top-K corpus completions, which is exactly what a production
+    system precomputes and ships to the edge.
+
+    Scale shape: the vocabulary is the one corpus-sized exchange (the
+    same map-side-combined token aggregate the spell index builds);
+    prefixes explode from the VOCABULARY (Heaps-law sublinear, ≤
+    |AC_PREFIX_LENS| rows per distinct word — the corpus is never
+    re-scanned); the per-prefix top-K compiles to WindowGroupLimit so
+    each map task forwards ≤ K rows per prefix. At 10^12 docs the
+    prefix table IS the stored autocomplete index, rebuilt by the same
+    increment-merge path search_index_refresh proves.
+
+    Determinism: rank by (count desc, token asc) — exact integers and
+    strings on both engines; AC_MIN_CNT floors out hapax legomena so
+    the suggestion list is stable under single-document edits.
+    """
+    docs, _ = _docs_and_stats(spark, sf_dir)
+    toks = F.filter(TX.tokens(F.col("text")), lambda t: t != "")
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= AC_MIN_CNT)
+    )
+    prefixes = F.filter(
+        F.array(
+            *[
+                F.when(
+                    F.length("token") >= p, F.substring("token", 1, p)
+                )
+                for p in AC_PREFIX_LENS
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pref = vocab.select(
+        F.explode(prefixes).alias("prefix"), "token", "cnt"
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    return (
+        pref.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= AC_TOP_K)
+        .select("prefix", "rank", "token", "cnt")
+    )
+
+
+def _autocomplete_oracle() -> str:
+    legs = "\n        UNION ALL\n".join(
+        f"        SELECT substr(token, 1, {p}) AS prefix, token, cnt"
+        f" FROM vocab WHERE length(token) >= {p}"
+        for p in AC_PREFIX_LENS
+    )
+    return f"""
+    WITH tok AS (
+        SELECT unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok WHERE token <> '' GROUP BY token
+        HAVING count(*) >= {AC_MIN_CNT}
+    ),
+    pref AS (
+{legs}
+    ),
+    ranked AS (
+        SELECT prefix, token, cnt,
+               CAST(row_number() OVER (PARTITION BY prefix
+                   ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+        FROM pref
+    )
+    SELECT prefix, rank, token, cnt FROM ranked WHERE rank <= {AC_TOP_K}
+"""
+
+
+AUTOCOMPLETE_ORACLE_SQL = _autocomplete_oracle()

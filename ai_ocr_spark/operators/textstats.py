@@ -1672,3 +1672,159 @@ def _langid_confusion_oracle_sql() -> str:
 
 
 LANGID_CONFUSION_ORACLE_SQL = _langid_confusion_oracle_sql()
+
+
+# --- winnowing fingerprints (Schleimer et al., SIGMOD'03) --------------------
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # hashes per winnowing window
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints — the MOSS algorithm (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03): hash every char k-gram, slide a
+    window of WINNOW_W consecutive hashes, select the minimum per
+    window (rightmost occurrence on ties), and the distinct selected
+    (position, hash) pairs are the document's fingerprint set. Unlike
+    uniform sampling, winnowing GUARANTEES any shared substring of
+    length ≥ k + w − 1 contributes a shared fingerprint, with expected
+    density 2/(w+1) — the local-similarity dual of the global MinHash
+    sketch the dedup family uses.
+
+    Exactness: the per-gram hash is the shared md5-derived hash15
+    (identical hex path both engines; a production kernel would swap
+    in an incremental Karp-Rabin — same selection semantics, the
+    "rolling" part is only a seq-scan optimization); selection,
+    dedup, and the per-doc rollup (count, xor-fold digest over the
+    re-hashed "pos:hash" keys, min/max, e6 density) are pure integer
+    ops. The Spark plan is array-native (nested higher-order
+    transforms, zero shuffles — winnowing is embarrassingly per-doc);
+    the DuckDB twin is an independent RELATIONAL formulation (gram
+    unnest → window-index join → per-window row_number pick), so the
+    two engines agree through entirely different evaluation orders.
+
+    Scale shape: scan-speed projection, NO Exchange (plan-pinned);
+    each doc's state is its own hash array. The fingerprint ROWS (the
+    join-key form plagiarism detection buckets on) are one explode
+    away; this op publishes the per-doc rollup an index-build step
+    would checkpoint.
+    """
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    )
+    base = docs.select(
+        "doc_id", TX.norm_text(F.col("text")).alias("s")
+    ).withColumn("n", (F.length("s") - F.lit(WINNOW_K - 1)).cast("long"))
+    hs = F.when(
+        F.col("n") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: TX.hash15(F.substring(F.col("s"), i, F.lit(WINNOW_K))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wn = F.greatest(F.col("n") - F.lit(WINNOW_W - 1), F.lit(1))
+    ww = F.least(F.lit(WINNOW_W), F.col("n")).cast("int")
+
+    def _win_key(i):
+        sl = F.slice(F.col("hs"), i, ww)
+        m = F.array_min(sl)
+        jmax = F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), ww),
+                lambda j: F.when(F.element_at(sl, j) == m, j).otherwise(
+                    F.lit(0)
+                ),
+            )
+        )
+        return F.concat_ws(
+            ":", (i + jmax - 1).cast("string"), m.cast("string")
+        )
+
+    keys = F.when(
+        F.col("n") >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), wn), _win_key)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        base.withColumn("hs", hs)
+        .withColumn("fps", keys)
+        .select(
+            "doc_id",
+            F.greatest(F.col("n"), F.lit(0)).cast("long").alias("n_kgrams"),
+            F.size("fps").cast("long").alias("n_fp"),
+            F.aggregate(
+                F.col("fps"),
+                F.lit(0).cast("long"),
+                lambda a, x: a.bitwiseXOR(TX.hash15(x)),
+            ).cast("long").alias("fp_digest"),
+            F.when(
+                F.col("n") >= 1,
+                F.expr(f"(1000000 * size(fps)) DIV n"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("density_e6"),
+        )
+    )
+
+
+WINNOW_ORACLE_SQL = f"""
+    WITH base AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ',
+                    'g')) AS s
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, s,
+               CAST(length(s) - {WINNOW_K - 1} AS BIGINT) AS n
+        FROM base
+    ),
+    grams AS (
+        SELECT doc_id, n,
+               unnest(range(1, n + 1)) AS pos
+        FROM d WHERE n >= 1
+    ),
+    hashed AS (
+        SELECT g.doc_id, g.n, g.pos,
+               CAST(('0x' || substr(md5(substr(d.s, CAST(g.pos AS INT),
+                    {WINNOW_K})), 1, 15)) AS BIGINT) AS h
+        FROM grams g JOIN d USING (doc_id)
+    ),
+    widx AS (
+        SELECT doc_id, n,
+               unnest(range(1, greatest(n - {WINNOW_W - 1}, 1) + 1)) AS wi,
+               least({WINNOW_W}, n) AS ww
+        FROM d WHERE n >= 1
+    ),
+    inwin AS (
+        SELECT w.doc_id, w.wi, h.pos, h.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.wi
+                   ORDER BY h.h ASC, h.pos DESC) AS rk
+        FROM widx w JOIN hashed h
+          ON h.doc_id = w.doc_id
+         AND h.pos BETWEEN w.wi AND w.wi + w.ww - 1
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               CAST(pos AS VARCHAR) || ':' || CAST(h AS VARCHAR) AS key
+        FROM inwin WHERE rk = 1
+    ),
+    roll AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_fp,
+               CAST(bit_xor(CAST(('0x' || substr(md5(key), 1, 15))
+                    AS BIGINT)) AS BIGINT) AS fp_digest
+        FROM fps GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(greatest(d.n, 0) AS BIGINT) AS n_kgrams,
+           CAST(coalesce(r.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST(coalesce(r.fp_digest, 0) AS BIGINT) AS fp_digest,
+           CAST(CASE WHEN d.n >= 1
+                THEN (1000000 * coalesce(r.n_fp, 0)) // d.n
+                ELSE 0 END AS BIGINT) AS density_e6
+    FROM d LEFT JOIN roll r USING (doc_id)
+"""

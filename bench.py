@@ -254,6 +254,12 @@ def main() -> int:
         # r5: trained-langid confusion matrix — langid plan + one
         # 25-cell aggregate with map-side combine
         "langid_eval_confusion",
+        # r5: prefix->top-K completion index — vocab-sized explode,
+        # WindowGroupLimit per prefix
+        "search_autocomplete",
+        # r5: MOSS winnowing fingerprints — zero-shuffle array plan,
+        # per-doc rightmost-min window selection
+        "text_winnow_fingerprints",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
