@@ -1009,3 +1009,132 @@ def dedup_lsh_exact_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = star.unionByName(rep_pairs)
     return connected_components_labels(docs.select("doc_id"), edges)
+
+
+# --- winnowing-fingerprint pair detection ------------------------------------
+
+WINNOW_PAIR_CAP = 10  # stop-fingerprint cap: h shared by more docs is dropped
+WINNOW_PAIR_MIN_SHARED = 2  # candidate pairs need >= 2 shared fingerprints
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-similarity near-dup pairs via shared winnowing fingerprints
+    — the MOSS detection join (Schleimer et al., SIGMOD'03 §4) and the
+    complement to the dedup family's global MinHash: winnowing's
+    guarantee (any shared substring of length ≥ k+w−1 shares a
+    fingerprint) catches CONTAINMENT — a quoted paragraph, a syndicated
+    article inside a longer page — that whole-document Jaccard dilutes
+    below the LSH threshold.
+
+    Algorithm: each document's distinct fingerprint HASHES (position
+    dropped — shared content anywhere counts) post into hash buckets;
+    hashes held by < 2 docs cannot form pairs and hashes held by >
+    WINNOW_PAIR_CAP docs are dropped as stop-fingerprints (MOSS's own
+    noise rule — boilerplate k-grams — and the hot-bucket bound that
+    caps the pair join at CAP² rows per hash, the same graduation
+    policy dedup_lsh_exact_reps proves for LSH bands); surviving
+    postings self-join on the hash (columns renamed first — the
+    shared-lineage footgun), pairs aggregate shared-fingerprint counts,
+    and containment_e6 = (10^6·shared) DIV min(|fp_a|,|fp_b|) scores
+    overlap against the SMALLER fingerprint set (asymmetric-containment
+    normalization), all integer-exact.
+
+    Scale shape: fingerprints explode scan-side from _winnow_fp_frame's
+    zero-shuffle arrays; the bucket count and pair aggregate are the
+    only shuffles, both map-side combined; the stop-fingerprint cap
+    bounds every bucket's pair fan-out. At 10^12 docs the posting
+    table IS the stored fingerprint index (same increment path as the
+    LSH band index).
+    """
+    from .textstats import _winnow_fp_frame
+
+    fr = _winnow_fp_frame(spark, sf_dir)
+    dh = fr.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(F.col("fps"), lambda x: x["h"])
+            )
+        ).alias("h"),
+    )
+    nfp = dh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    keep = (
+        dh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("dcnt"))
+        .filter(
+            (F.col("dcnt") >= 2) & (F.col("dcnt") <= WINNOW_PAIR_CAP)
+        )
+        .select("h")
+    )
+    posts = dh.join(keep, "h")
+    right = posts.select(
+        F.col("h").alias("h_r"), F.col("doc_id").alias("doc_b")
+    )
+    pairs = (
+        posts.select(F.col("h"), F.col("doc_id").alias("doc_a"))
+        .join(right, F.col("h") == F.col("h_r"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= WINNOW_PAIR_MIN_SHARED)
+    )
+    na = nfp.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+    )
+    nb = nfp.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                "(1000000 * shared) DIV least(n_fp_a, n_fp_b)"
+            ).cast("long").alias("containment_e6"),
+        )
+    )
+
+
+def _winnow_pairs_oracle() -> str:
+    from .textstats import _WINNOW_CTES
+
+    return f"""
+    WITH {_WINNOW_CTES},
+    dh AS (
+        SELECT DISTINCT doc_id, h FROM inwin WHERE rk = 1
+    ),
+    nfp AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+        FROM dh GROUP BY doc_id
+    ),
+    keep AS (
+        SELECT h FROM dh GROUP BY h
+        HAVING count(*) BETWEEN 2 AND {WINNOW_PAIR_CAP}
+    ),
+    posts AS (SELECT doc_id, h FROM dh JOIN keep USING (h)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM posts a JOIN posts b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {WINNOW_PAIR_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+           CAST((1000000 * p.shared) // least(na.n_fp, nb.n_fp)
+                AS BIGINT) AS containment_e6
+    FROM pairs p
+    JOIN nfp na ON p.doc_a = na.doc_id
+    JOIN nfp nb ON p.doc_b = nb.doc_id
+"""
+
+
+WINNOW_PAIRS_ORACLE_SQL = _winnow_pairs_oracle()

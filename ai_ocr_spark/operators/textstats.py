@@ -1680,7 +1680,7 @@ WINNOW_K = 8  # char k-gram width
 WINNOW_W = 4  # hashes per winnowing window
 
 
-def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _winnow_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints — the MOSS algorithm (Schleimer,
     Wilkerson & Aiken, SIGMOD'03): hash every char k-gram, slide a
     window of WINNOW_W consecutive hashes, select the minimum per
@@ -1704,10 +1704,10 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     two engines agree through entirely different evaluation orders.
 
     Scale shape: scan-speed projection, NO Exchange (plan-pinned);
-    each doc's state is its own hash array. The fingerprint ROWS (the
-    join-key form plagiarism detection buckets on) are one explode
-    away; this op publishes the per-doc rollup an index-build step
-    would checkpoint.
+    each doc's state is its own hash array. Returns (doc_id, n, fps)
+    with fps the DISTINCT struct<pos,h> fingerprint array — the shared
+    core of text_winnow_fingerprints (per-doc rollup) and
+    dedup_winnow_pairs (the fingerprint-bucket pair join).
     """
     par = max(spark.sparkContext.defaultParallelism, 8)
     docs = (
@@ -1726,7 +1726,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     wn = F.greatest(F.col("n") - F.lit(WINNOW_W - 1), F.lit(1))
     ww = F.least(F.lit(WINNOW_W), F.col("n")).cast("int")
 
-    def _win_key(i):
+    def _win_sel(i):
         sl = F.slice(F.col("hs"), i, ww)
         m = F.array_min(sl)
         jmax = F.array_max(
@@ -1737,41 +1737,54 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        return F.concat_ws(
-            ":", (i + jmax - 1).cast("string"), m.cast("string")
+        return F.struct(
+            (i + jmax - 1).cast("long").alias("pos"), m.alias("h")
         )
 
-    keys = F.when(
+    fps = F.when(
         F.col("n") >= 1,
         F.array_distinct(
-            F.transform(F.sequence(F.lit(1), wn), _win_key)
+            F.transform(F.sequence(F.lit(1), wn), _win_sel)
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<struct<pos:bigint,h:bigint>>"))
     return (
         base.withColumn("hs", hs)
-        .withColumn("fps", keys)
-        .select(
-            "doc_id",
-            F.greatest(F.col("n"), F.lit(0)).cast("long").alias("n_kgrams"),
-            F.size("fps").cast("long").alias("n_fp"),
-            F.aggregate(
-                F.col("fps"),
-                F.lit(0).cast("long"),
-                lambda a, x: a.bitwiseXOR(TX.hash15(x)),
-            ).cast("long").alias("fp_digest"),
-            F.when(
-                F.col("n") >= 1,
-                F.expr(f"(1000000 * size(fps)) DIV n"),
-            )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("density_e6"),
-        )
+        .withColumn("fps", fps)
+        .select("doc_id", "n", "fps")
     )
 
 
-WINNOW_ORACLE_SQL = f"""
-    WITH base AS (
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing rollup — see _winnow_fp_frame for the
+    selection algorithm and scale shape; this op publishes the rollup
+    (count, xor-fold digest over the re-hashed "pos:hash" keys, min/max
+    density) an index-build step would checkpoint."""
+    fr = _winnow_fp_frame(spark, sf_dir)
+    key = lambda x: F.concat_ws(  # noqa: E731
+        ":", x["pos"].cast("string"), x["h"].cast("string")
+    )
+    return fr.select(
+        "doc_id",
+        F.greatest(F.col("n"), F.lit(0)).cast("long").alias("n_kgrams"),
+        F.size("fps").cast("long").alias("n_fp"),
+        F.aggregate(
+            F.col("fps"),
+            F.lit(0).cast("long"),
+            lambda a, x: a.bitwiseXOR(TX.hash15(key(x))),
+        ).cast("long").alias("fp_digest"),
+        F.when(
+            F.col("n") >= 1,
+            F.expr("(1000000 * size(fps)) DIV n"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("density_e6"),
+    )
+
+
+# shared winnowing CTE chain (through the per-window rightmost-min
+# pick), reused by the rollup and pair-join oracles
+_WINNOW_CTES = f"""base AS (
         SELECT doc_id,
                trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ',
                     'g')) AS s
@@ -1806,7 +1819,11 @@ WINNOW_ORACLE_SQL = f"""
         FROM widx w JOIN hashed h
           ON h.doc_id = w.doc_id
          AND h.pos BETWEEN w.wi AND w.wi + w.ww - 1
-    ),
+    )"""
+
+
+WINNOW_ORACLE_SQL = f"""
+    WITH {_WINNOW_CTES},
     fps AS (
         SELECT DISTINCT doc_id,
                CAST(pos AS VARCHAR) || ':' || CAST(h AS VARCHAR) AS key

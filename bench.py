@@ -260,6 +260,9 @@ def main() -> int:
         # r5: MOSS winnowing fingerprints — zero-shuffle array plan,
         # per-doc rightmost-min window selection
         "text_winnow_fingerprints",
+        # r5: winnowing-fingerprint pair join — stop-fingerprint cap
+        # bounds every bucket's pair fan-out
+        "dedup_winnow_pairs",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
