@@ -1044,19 +1044,33 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffles, both map-side combined; the stop-fingerprint cap
     bounds every bucket's pair fan-out. At 10^12 docs the posting
     table IS the stored fingerprint index (same increment path as the
-    LSH band index).
+    LSH band index) — so it is memoized in _SHINGLE_CACHE and built
+    EAGERLY like the other persisted indexes: the posting frame has
+    THREE consumers in one action (n_fp rollup, bucket count, pair
+    join both sides), and left bare that re-ran the whole k-gram
+    md5 winnowing chain per consumer (measured 10.8s warm at sf0.1 →
+    2.0s memoized; the eager .count() prevents the racing-stage
+    recompute dedup_incremental_lsh documents).
     """
     from .textstats import _winnow_fp_frame
 
-    fr = _winnow_fp_frame(spark, sf_dir)
-    dh = fr.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(F.col("fps"), lambda x: x["h"])
+    key = _cache_key(spark, sf_dir, "winnow-posts")
+    dh = _SHINGLE_CACHE.get(key)
+    if dh is None:
+        dh = (
+            _winnow_fp_frame(spark, sf_dir)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(F.col("fps"), lambda x: x["h"])
+                    )
+                ).alias("h"),
             )
-        ).alias("h"),
-    )
+            .persist()
+        )
+        dh.count()
+        _SHINGLE_CACHE[key] = dh
     nfp = dh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fp")
     )

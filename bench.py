@@ -327,6 +327,9 @@ def main() -> int:
         "collocations_pmi",
         # r5: bloom cold prices the bit_or bitmap build + first probe
         "dedup_bloom_probe",
+        # r5: winnow-pairs cold prices the fingerprint posting index
+        # build (the full k-gram winnowing chain) + the pair join
+        "dedup_winnow_pairs",
     ):
         clear_caches(spark)
         t0 = time.monotonic()
