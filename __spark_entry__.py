@@ -117,10 +117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     search_spell_suggest, graph_triangle_count,
     sketch_hll_merge_shards, text_zipf_fit, text_keyphrases,
     langid_eval_confusion, search_autocomplete,
-    text_winnow_fingerprints, dedup_winnow_pairs) = 45.
-    Tier 2 = 5 of the 36 r1/r2-row entries,
-    stalest first. The 27 r1/r2-green slices that did not fit
-    (dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
+    text_winnow_fingerprints, dedup_winnow_pairs,
+    graph_degree_powerlaw) = 46.
+    Tier 2 = 4 of the 36 r1/r2-row entries,
+    stalest first. The 28 r1/r2-green slices that did not fit
+    (dedup_exact, dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh,
     ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
     agg_keyword_score_argmax,
@@ -132,7 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-77;
+    unchanged since r1/r2, local-sweep green) sit at positions 51-78;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -276,6 +277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local-similarity near-dup pairs via shared winnowing
         # fingerprints with the MOSS stop-fingerprint cap (new in r5)
         "dedup_winnow_pairs": D.dedup_winnow_pairs,
+        # in-degree power-law exponent over the pinned link graph —
+        # the graph-side sibling of text_zipf_fit (new in r5)
+        "graph_degree_powerlaw": G.graph_degree_powerlaw,
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
@@ -580,6 +584,7 @@ _R5_WINDOW = [
     "search_autocomplete",
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
+    "graph_degree_powerlaw",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -618,7 +623,6 @@ _R5_WINDOW = [
     "pipeline_sections",
     "pipeline_table_roundtrip",
     "stream_events_daily",
-    "dedup_exact",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -631,6 +635,7 @@ _R5_NEXT = [
     # PMI collocation miner and the Bloom dedup probe (newest r5
     # entries): r1-green slices, local-sweep green, first in line
     # for the next fill
+    "dedup_exact",
     "dedup_simhash",
     "text_dup_fraction",
     "dedup_ngram_jaccard",
@@ -965,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "search_autocomplete": SRCH.AUTOCOMPLETE_ORACLE_SQL,
         "text_winnow_fingerprints": TS.WINNOW_ORACLE_SQL,
         "dedup_winnow_pairs": D.WINNOW_PAIRS_ORACLE_SQL,
+        "graph_degree_powerlaw": G.DEGREE_POWERLAW_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,
         "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,

@@ -560,3 +560,124 @@ def _triangle_oracle() -> str:
 
 
 TRIANGLE_ORACLE_SQL = _triangle_oracle()
+
+
+# --- in-degree power-law fit --------------------------------------------------
+
+DEG_DOWN = 4096  # iln downscale (same bound proof as text_zipf_fit)
+DEG_OUT = 1_000_000  # slope reported as slope_e6
+
+
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree power-law fit over the link graph — the classic
+    web-graph health diagnostic (Broder et al., WWW'00 measure the web's
+    in-degree exponent at ≈2.1; a crawl whose exponent drifts is
+    link-farmed or mis-sampled): OLS of ln(#nodes with in-degree d)
+    against ln(d) over every occupied degree, the graph-side sibling of
+    text_zipf_fit and the same integer-exact machinery — x/y points
+    ride the shared 256-entry integer-ln table (via the BM25 iln SQL),
+    downscaled by DEG_DOWN so all regression products stay far inside
+    int64, the slope division's numerator is made non-negative before
+    the truncating DIV with the sign applied after.
+
+    Scale shape: the in-degree aggregate rides the memoized co-
+    partitioned edge pin (one map-side-combined count per dst); the
+    degree HISTOGRAM collapses node-sized data to ≤ max-degree rows
+    (bounded by the graph's hub size, not the corpus), and the OLS is
+    a single constant-state global aggregate. Nothing after the
+    in-degree count is node-sized.
+    """
+    from .search import _iln_sql
+    from .search import BM25_PREC as PREC
+
+    _, e = _graph_pins(spark, sf_dir)
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    hist = indeg.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    pts = hist.select(
+        "deg",
+        "n_nodes",
+        F.expr(
+            f"CAST({_iln_sql(f'(deg * {PREC})', 'spark')}"
+            f" DIV {DEG_DOWN} AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            f"CAST({_iln_sql(f'(n_nodes * {PREC})', 'spark')}"
+            f" DIV {DEG_DOWN} AS BIGINT)"
+        ).alias("y"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("n_nodes").cast("long").alias("n_linked"),
+        F.max("deg").cast("long").alias("max_deg"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_points") * F.col("sxy") - F.col("sx") * F.col("sy")
+    q = F.expr(
+        f"CAST(({DEG_OUT} * abs(n_points * sxy - sx * sy))"
+        " DIV (n_points * sxx - sx * sx) AS BIGINT)"
+    )
+    return agg.filter(F.col("n_points") >= 2).select(
+        "n_points",
+        "n_linked",
+        "max_deg",
+        F.when(num < 0, -q).otherwise(q).cast("long").alias("slope_e6"),
+    )
+
+
+def _degree_powerlaw_oracle() -> str:
+    from .search import _iln_sql
+    from .search import BM25_PREC as PREC
+
+    fanout_values = ", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))
+    return f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    edges0 AS (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * doc_id + j * 31 + 7) % n.n AS dst
+        FROM documents CROSS JOIN n
+        CROSS JOIN (VALUES {fanout_values}) AS t(j)
+        WHERE (doc_id * doc_id + j * 31 + 7) % n.n <> doc_id
+    ),
+    indeg AS (
+        SELECT dst, CAST(count(*) AS BIGINT) AS deg
+        FROM edges0 GROUP BY dst
+    ),
+    hist AS (
+        SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM indeg GROUP BY deg
+    ),
+    pts AS (
+        SELECT deg, n_nodes,
+               CAST({_iln_sql(f'(deg * {PREC})', 'duckdb')}
+                    // {DEG_DOWN} AS BIGINT) AS x,
+               CAST({_iln_sql(f'(n_nodes * {PREC})', 'duckdb')}
+                    // {DEG_DOWN} AS BIGINT) AS y
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               CAST(sum(n_nodes) AS BIGINT) AS n_linked,
+               CAST(max(deg) AS BIGINT) AS max_deg,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n_points, n_linked, max_deg,
+           CAST(CASE WHEN n_points * sxy - sx * sy < 0
+                THEN -(({DEG_OUT} * abs(n_points * sxy - sx * sy))
+                       // (n_points * sxx - sx * sx))
+                ELSE (({DEG_OUT} * abs(n_points * sxy - sx * sy))
+                      // (n_points * sxx - sx * sx)) END AS BIGINT)
+               AS slope_e6
+    FROM agg WHERE n_points >= 2
+"""
+
+
+DEGREE_POWERLAW_ORACLE_SQL = _degree_powerlaw_oracle()

@@ -263,6 +263,9 @@ def main() -> int:
         # r5: winnowing-fingerprint pair join — stop-fingerprint cap
         # bounds every bucket's pair fan-out
         "dedup_winnow_pairs",
+        # r5: in-degree power-law fit — pinned-edge aggregate, degree
+        # histogram, constant-state global OLS
+        "graph_degree_powerlaw",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

@@ -125,3 +125,76 @@ def test_zipf_tracks_float_ols(spark):
             slope_e6,
             f_slope,
         )
+
+
+def _python_degree_fit(spark):
+    """Independent recompute of graph_degree_powerlaw: synthetic edge
+    rule -> in-degree histogram -> integer OLS (truncating division,
+    same engine semantics as the zipf twin)."""
+    import math
+
+    from ai_ocr_spark.operators.graph import DEG_DOWN, DEG_OUT, PR_FANOUT
+    from ai_ocr_spark.operators.quality_lm import PREC
+    from ai_ocr_spark.operators.search import (
+        BM25_LN2,
+        BM25_LN_TABLE,
+        BM25_LNPREC,
+    )
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    edges = set()
+    for src in ids:
+        for j in range(1, PR_FANOUT + 1):
+            dst = (src * src + j * 31 + 7) % n
+            if dst != src:
+                edges.add((src, dst))
+    indeg = {}
+    for _, dst in edges:
+        indeg[dst] = indeg.get(dst, 0) + 1
+    hist = {}
+    for d in indeg.values():
+        hist[d] = hist.get(d, 0) + 1
+    pts = [
+        (
+            _tdiv(_iln(d * PREC, BM25_LN2, BM25_LNPREC, BM25_LN_TABLE), DEG_DOWN),
+            _tdiv(_iln(c * PREC, BM25_LN2, BM25_LNPREC, BM25_LN_TABLE), DEG_DOWN),
+        )
+        for d, c in hist.items()
+    ]
+    np_ = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    num = np_ * sxy - sx * sy
+    den = np_ * sxx - sx * sx
+    q = (DEG_OUT * abs(num)) // den
+    slope = -q if num < 0 else q
+    # float OLS over the true ln points for the tracking bound
+    fx = [math.log(d) for d in hist]
+    fy = [math.log(c) for c in hist.values()]
+    fsx, fsy = sum(fx), sum(fy)
+    fsxy = sum(a * b for a, b in zip(fx, fy))
+    fsxx = sum(a * a for a in fx)
+    f_slope = (np_ * fsxy - fsx * fsy) / (np_ * fsxx - fsx * fsx)
+    return (np_, sum(hist.values()), max(hist), slope), f_slope
+
+
+def test_degree_powerlaw_matches_python_and_tracks_float(spark):
+    from ai_ocr_spark.operators.graph import DEG_OUT, graph_degree_powerlaw
+
+    expected, f_slope = _python_degree_fit(spark)
+    rows = graph_degree_powerlaw(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_points, r.n_linked, r.max_deg, r.slope_e6) == expected
+    # the quadratic edge rule produces a skewed, DECREASING in-degree
+    # spectrum (hubs are rare) — the fitted exponent must be negative
+    assert r.slope_e6 < 0, r
+    assert abs(r.slope_e6 / DEG_OUT - f_slope) < 0.02, (r.slope_e6, f_slope)
