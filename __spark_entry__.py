@@ -120,7 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_winnow_fingerprints, dedup_winnow_pairs,
     graph_degree_powerlaw) = 46.
     Tier 2 = 4 of the 36 r1/r2-row entries,
-    stalest first. The 28 r1/r2-green slices that did not fit
+    stalest first. The 32 r1/r2-green slices that did not fit
     (dedup_exact, dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh,
     ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
@@ -133,7 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_date_normalize, f_amount_normalize, f_lang_detect,
     f_json_parse_fallback, agg_first3_events_per_user, f_doc_type_case,
     f_clamp_score, union_head_tail, orders_page2 — pure projections
-    unchanged since r1/r2, local-sweep green) sit at positions 51-78;
+    unchanged since r1/r2, local-sweep green — the names above are the
+    headline members; _R5_NEXT is the authoritative full order) sit at
+    positions 51-82;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
