@@ -118,10 +118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sketch_hll_merge_shards, text_zipf_fit, text_keyphrases,
     langid_eval_confusion, search_autocomplete,
     text_winnow_fingerprints, dedup_winnow_pairs,
-    graph_degree_powerlaw) = 46.
-    Tier 2 = 4 of the 36 r1/r2-row entries,
-    stalest first. The 32 r1/r2-green slices that did not fit
-    (dedup_exact, dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
+    graph_degree_powerlaw, mm_video_scene_cut) = 47.
+    Tier 2 = 3 of the 36 r1/r2-row entries,
+    stalest first. The 33 r1/r2-green slices that did not fit
+    (stream_events_daily, dedup_exact, dedup_simhash,
+    text_dup_fraction, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh,
     ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
     agg_keyword_score_argmax,
@@ -135,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_clamp_score, union_head_tail, orders_page2 — pure projections
     unchanged since r1/r2, local-sweep green — the names above are the
     headline members; _R5_NEXT is the authoritative full order) sit at
-    positions 51-82;
+    positions 51-83;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -282,6 +283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-degree power-law exponent over the pinned link graph —
         # the graph-side sibling of text_zipf_fit (new in r5)
         "graph_degree_powerlaw": G.graph_degree_powerlaw,
+        # shot-boundary detection over the Y4M frame walk — adjacent-
+        # frame SAD with a measured threshold (new in r5)
+        "mm_video_scene_cut": MM.mm_video_scene_cut_q,
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
@@ -587,6 +591,7 @@ _R5_WINDOW = [
     "text_winnow_fingerprints",
     "dedup_winnow_pairs",
     "graph_degree_powerlaw",
+    "mm_video_scene_cut",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -624,7 +629,6 @@ _R5_WINDOW = [
     "pipeline_gzip_roundtrip",
     "pipeline_sections",
     "pipeline_table_roundtrip",
-    "stream_events_daily",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -637,6 +641,7 @@ _R5_NEXT = [
     # PMI collocation miner and the Bloom dedup probe (newest r5
     # entries): r1-green slices, local-sweep green, first in line
     # for the next fill
+    "stream_events_daily",
     "dedup_exact",
     "dedup_simhash",
     "text_dup_fraction",
@@ -973,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_fingerprints": TS.WINNOW_ORACLE_SQL,
         "dedup_winnow_pairs": D.WINNOW_PAIRS_ORACLE_SQL,
         "graph_degree_powerlaw": G.DEGREE_POWERLAW_ORACLE_SQL,
+        "mm_video_scene_cut": ORC.mm_video_scene_cut(),
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,
         "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,

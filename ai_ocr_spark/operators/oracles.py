@@ -2008,3 +2008,40 @@ def crawl_delta_report() -> str:
                     ELSE 'changed' END AS status
         FROM a FULL OUTER JOIN b ON a.url = b.url
     """
+
+
+def mm_video_scene_cut() -> str:
+    """Twin of multimodal.mm_video_scene_cut: frames are the 64-byte
+    text slices the Y4M container carries (same reconstruction as
+    mm_frame_sample), every adjacent-pair SAD rebuilt with nested list
+    lambdas over the hex-decoded byte list — the hash pins the frame
+    walk AND the cut rule. DuckDB range(a, b) with b <= a is empty, so
+    the 0- and 1-frame edges fall out of the same expressions."""
+    from .multimodal import SCENE_CUT_THR
+
+    return f"""
+        WITH {_media_bytes_cte(2)},
+        fr AS (SELECT doc_id, bytes, n_bytes // 64 AS n_frames FROM byt),
+        sad AS (
+          SELECT doc_id, n_frames,
+                 list_transform(
+                   range(0, CAST(n_frames - 1 AS INTEGER)),
+                   f -> list_sum(list_transform(range(1, 65),
+                        i -> abs(bytes[64*f + i] - bytes[64*(f+1) + i])))
+                 ) AS sads
+          FROM fr
+        )
+        SELECT doc_id,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(len(list_filter(sads, s -> s > {SCENE_CUT_THR}))
+                    AS BIGINT) AS n_cuts,
+               coalesce(array_to_string(
+                 list_transform(
+                   list_filter(range(0, CAST(n_frames - 1 AS INTEGER)),
+                               f -> sads[f + 1] > {SCENE_CUT_THR}),
+                   f -> CAST(f + 1 AS VARCHAR)),
+                 ','), '') AS cut_frames,
+               CAST(coalesce(list_max(sads), 0) AS BIGINT) AS max_sad,
+               CAST(NULL AS VARCHAR) AS error
+        FROM sad
+    """

@@ -266,6 +266,9 @@ def main() -> int:
         # r5: in-degree power-law fit — pinned-edge aggregate, degree
         # histogram, constant-state global OLS
         "graph_degree_powerlaw",
+        # r5: shot-boundary detection — fused decoder mapInPandas,
+        # adjacent-frame SAD, no shuffle
+        "mm_video_scene_cut",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
