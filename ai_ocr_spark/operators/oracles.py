@@ -2045,3 +2045,44 @@ def mm_video_scene_cut() -> str:
                CAST(NULL AS VARCHAR) AS error
         FROM sad
     """
+
+
+def mm_audio_vad() -> str:
+    """Twin of multimodal.mm_audio_vad: windows are VAD_WIN-byte slices
+    of the PCM byte list (the data chunk is the utf-8 text, same
+    reconstruction as mm_audio_stats), energies exact integer sums,
+    segments counted as rising edges (active AND NOT prev-active) so
+    the whole segmenter replays in list lambdas."""
+    from .multimodal import VAD_THR, VAD_WIN
+
+    return f"""
+        WITH {_media_bytes_cte(1)},
+        w AS (SELECT doc_id, bytes, n_bytes // {VAD_WIN} AS n_win FROM byt),
+        en AS (
+          SELECT doc_id, n_win,
+                 list_transform(
+                   range(0, CAST(n_win AS INTEGER)),
+                   f -> list_sum(list_transform(range(1, {VAD_WIN + 1}),
+                        i -> (bytes[{VAD_WIN}*f + i] - 128)
+                           * (bytes[{VAD_WIN}*f + i] - 128)))
+                 ) AS ens
+          FROM w
+        ),
+        seg AS (
+          SELECT doc_id, n_win, ens,
+                 list_transform(ens, e -> e > {VAD_THR}) AS act
+          FROM en
+        )
+        SELECT doc_id,
+               CAST(n_win AS BIGINT) AS n_windows,
+               CAST(len(list_filter(act, a -> a)) AS BIGINT) AS n_active,
+               CAST(len(list_filter(range(0, CAST(n_win AS INTEGER)),
+                        f -> act[f + 1] AND (f = 0 OR NOT act[f])))
+                    AS BIGINT) AS n_segments,
+               CAST(CASE WHEN n_win > 0
+                    THEN (1000000 * len(list_filter(act, a -> a))) // n_win
+                    ELSE 0 END AS BIGINT) AS active_frac_e6,
+               CAST(coalesce(list_max(ens), 0) AS BIGINT) AS max_energy,
+               CAST(NULL AS VARCHAR) AS error
+        FROM seg
+    """

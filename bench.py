@@ -269,6 +269,9 @@ def main() -> int:
         # r5: shot-boundary detection — fused decoder mapInPandas,
         # adjacent-frame SAD, no shuffle
         "mm_video_scene_cut",
+        # r5: energy-VAD segmentation — fused decoder, windowed
+        # energies, rising-edge segments, no shuffle
+        "mm_audio_vad",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
