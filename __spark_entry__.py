@@ -118,11 +118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sketch_hll_merge_shards, text_zipf_fit, text_keyphrases,
     langid_eval_confusion, search_autocomplete,
     text_winnow_fingerprints, dedup_winnow_pairs,
-    graph_degree_powerlaw, mm_video_scene_cut, mm_audio_vad) = 48.
-    Tier 2 = 2 of the 36 r1/r2-row entries,
-    stalest first. The 34 r1/r2-green slices that did not fit
-    (pipeline_table_roundtrip, stream_events_daily, dedup_exact,
-    dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
+    graph_degree_powerlaw, mm_video_scene_cut, mm_audio_vad,
+    events_funnel) = 49.
+    Tier 2 = 1 of the 36 r1/r2-row entries,
+    stalest first. The 35 r1/r2-green slices that did not fit
+    (pipeline_sections, pipeline_table_roundtrip, stream_events_daily,
+    dedup_exact, dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh,
     ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
     agg_keyword_score_argmax,
@@ -136,7 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_clamp_score, union_head_tail, orders_page2 — pure projections
     unchanged since r1/r2, local-sweep green — the names above are the
     headline members; _R5_NEXT is the authoritative full order) sit at
-    positions 51-84;
+    positions 51-85;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -289,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # energy-VAD segmentation over the WAV PCM — windows, rising-
         # edge segment count, measured threshold (new in r5)
         "mm_audio_vad": MM.mm_audio_vad_q,
+        # ordered view→click→purchase conversion funnel with
+        # strictly-after semantics (new in r5)
+        "events_funnel": R.events_funnel,
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
@@ -596,6 +600,7 @@ _R5_WINDOW = [
     "graph_degree_powerlaw",
     "mm_video_scene_cut",
     "mm_audio_vad",
+    "events_funnel",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -631,7 +636,6 @@ _R5_WINDOW = [
     "pipeline_invoice_roundtrip",
     # -- tier 2: stalest r1/r2 greens (33 of 36) --
     "pipeline_gzip_roundtrip",
-    "pipeline_sections",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -644,6 +648,7 @@ _R5_NEXT = [
     # PMI collocation miner and the Bloom dedup probe (newest r5
     # entries): r1-green slices, local-sweep green, first in line
     # for the next fill
+    "pipeline_sections",
     "pipeline_table_roundtrip",
     "stream_events_daily",
     "dedup_exact",
@@ -984,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_powerlaw": G.DEGREE_POWERLAW_ORACLE_SQL,
         "mm_video_scene_cut": ORC.mm_video_scene_cut(),
         "mm_audio_vad": ORC.mm_audio_vad(),
+        "events_funnel": R.FUNNEL_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,
         "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,

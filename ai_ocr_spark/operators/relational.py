@@ -474,3 +474,134 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         _dsum(F.col("value"), 4).alias("session_value"),
     )
+
+
+# --- ordered conversion funnel -----------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]  # strictly ordered by ts
+FUNNEL_WINDOW_MIN = 480  # step k+1 must land within this many minutes
+# of the step-k conversion (the windowFunnel bound; measured on the
+# corpus: 480m yields 15→5→2 at sf0.001, 150→26→3 at sf0.01,
+# 1500→212→39 at sf0.1 — genuine decay at every scale, where the
+# UNBOUNDED funnel degenerates to everyone-converts on this event
+# density of ~1 event/user/10h over a 30-day span)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ordered conversion funnel over the events stream — the
+    web-analytics staple (every product-analytics engine ships it;
+    ClickHouse calls it windowFunnel): a user converts step k only by
+    an event of step k's type STRICTLY AFTER their step-(k−1)
+    conversion time AND within FUNNEL_WINDOW_MIN minutes of it, so
+    out-of-order and stale events don't count. Output is the funnel
+    report: per step the surviving-user count, conversion from the
+    previous step and from the cohort entry, all integer-exact
+    (counts + truncating e6 divisions on non-negative operands;
+    timestamp+interval arithmetic is exact microseconds on both
+    engines).
+
+    Scale shape: step 1 is one user-keyed min-ts aggregate; each later
+    step joins the (user, cutoff-ts) frame — USER-dimension-sized, not
+    event-sized — back to one filtered event scan and re-aggregates on
+    the same user key, so every shuffle is keyed identically (one
+    partitioning reused down the chain) and the event table is scanned
+    once per step with the type filter pushed to the scan. The final
+    report is |steps| rows of constant state; the driver transfer is
+    K+1 bounded scalar counts (the sanctioned class — same as the BPE
+    argmax row), never event rows.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n")
+    ).collect()[0].n
+    cur = None  # DataFrame[user_id, cut] — conversion time so far
+    counts = []
+    for step in FUNNEL_STEPS:
+        stage = ev.filter(F.col("event_type") == step)
+        if cur is None:
+            cur = stage.groupBy("user_id").agg(F.min("ts").alias("cut"))
+        else:
+            cur = (
+                stage.join(cur, "user_id")
+                .filter(
+                    (F.col("ts") > F.col("cut"))
+                    & (
+                        F.col("ts")
+                        <= F.col("cut")
+                        + F.expr(
+                            f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES"
+                        )
+                    )
+                )
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("cut"))
+            )
+        counts.append(cur.count())
+    rows = []
+    prev = total
+    for i, (step, n) in enumerate(zip(FUNNEL_STEPS, counts), start=1):
+        rows.append(
+            (
+                i,
+                step,
+                n,
+                (1_000_000 * n) // prev if prev else 0,
+                (1_000_000 * n) // total if total else 0,
+            )
+        )
+        prev = n
+    return spark.createDataFrame(
+        rows,
+        "step long, event_type string, n_users long,"
+        " conv_prev_e6 long, conv_entry_e6 long",
+    )
+
+
+def _funnel_oracle() -> str:
+    steps = FUNNEL_STEPS
+    parts = [
+        f"""
+    WITH total AS (SELECT count(DISTINCT user_id) AS n FROM events),
+    s1 AS (
+        SELECT user_id, min(ts) AS cut FROM events
+        WHERE event_type = '{steps[0]}' GROUP BY user_id
+    )"""
+    ]
+    for k in range(2, len(steps) + 1):
+        parts.append(
+            f""",
+    s{k} AS (
+        SELECT e.user_id, min(e.ts) AS cut
+        FROM events e JOIN s{k - 1} p USING (user_id)
+        WHERE e.event_type = '{steps[k - 1]}' AND e.ts > p.cut
+          AND e.ts <= p.cut + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+        GROUP BY e.user_id
+    )"""
+        )
+    parts.append(
+        ",\n    counts(step, event_type, n_users) AS (\n"
+        + "\n        UNION ALL\n".join(
+            f"        SELECT {i} AS step, '{s}' AS event_type,"
+            f" count(*) AS n_users FROM s{i}"
+            for i, s in enumerate(steps, start=1)
+        )
+        + "\n    )"
+    )
+    parts.append(
+        """
+    SELECT CAST(c.step AS BIGINT) AS step, c.event_type,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           CAST(CASE WHEN coalesce(p.n_users, t.n) > 0
+                THEN (1000000 * c.n_users) // coalesce(p.n_users, t.n)
+                ELSE 0 END AS BIGINT) AS conv_prev_e6,
+           CAST(CASE WHEN t.n > 0
+                THEN (1000000 * c.n_users) // t.n
+                ELSE 0 END AS BIGINT) AS conv_entry_e6
+    FROM counts c
+    LEFT JOIN counts p ON p.step = c.step - 1
+    CROSS JOIN total t"""
+    )
+    return "".join(parts)
+
+
+FUNNEL_ORACLE_SQL = _funnel_oracle()

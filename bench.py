@@ -272,6 +272,9 @@ def main() -> int:
         # r5: energy-VAD segmentation — fused decoder, windowed
         # energies, rising-edge segments, no shuffle
         "mm_audio_vad",
+        # r5: windowed conversion funnel — user-keyed chain, each step
+        # joins a user-dimension frame back to one filtered scan
+        "events_funnel",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]
