@@ -119,10 +119,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     langid_eval_confusion, search_autocomplete,
     text_winnow_fingerprints, dedup_winnow_pairs,
     graph_degree_powerlaw, mm_video_scene_cut, mm_audio_vad,
-    events_funnel) = 49.
-    Tier 2 = 1 of the 36 r1/r2-row entries,
-    stalest first. The 35 r1/r2-green slices that did not fit
-    (pipeline_sections, pipeline_table_roundtrip, stream_events_daily,
+    events_funnel, events_retention) = 50.
+    Tier 2 = 0 this round — the 14 newest additions filled the window;
+    all 36 r1/r2-row entries queue in _R5_NEXT,
+    stalest first. The 36 r1/r2-green slices that did not fit
+    (pipeline_gzip_roundtrip,
+    pipeline_sections, pipeline_table_roundtrip, stream_events_daily,
     dedup_exact, dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh,
     ann_cosine_topk, ann_ivf_topk, q1_pricing_summary,
@@ -137,7 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_clamp_score, union_head_tail, orders_page2 — pure projections
     unchanged since r1/r2, local-sweep green — the names above are the
     headline members; _R5_NEXT is the authoritative full order) sit at
-    positions 51-85;
+    positions 51-86;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -293,6 +295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered view→click→purchase conversion funnel with
         # strictly-after semantics (new in r5)
         "events_funnel": R.events_funnel,
+        # weekly retention cohort matrix — ISO-week cohorts, exact
+        # day-diff offsets, e6 retention vs week-0 size (new in r5)
+        "events_retention": R.events_retention,
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
@@ -601,6 +606,7 @@ _R5_WINDOW = [
     "mm_video_scene_cut",
     "mm_audio_vad",
     "events_funnel",
+    "events_retention",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -635,7 +641,6 @@ _R5_WINDOW = [
     "dedup_embedding_keep_canonical",
     "pipeline_invoice_roundtrip",
     # -- tier 2: stalest r1/r2 greens (33 of 36) --
-    "pipeline_gzip_roundtrip",
 ]
 
 # positions 51-59: the r1/r2-green scalar slices the 50-slot window
@@ -648,6 +653,7 @@ _R5_NEXT = [
     # PMI collocation miner and the Bloom dedup probe (newest r5
     # entries): r1-green slices, local-sweep green, first in line
     # for the next fill
+    "pipeline_gzip_roundtrip",
     "pipeline_sections",
     "pipeline_table_roundtrip",
     "stream_events_daily",
@@ -990,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_video_scene_cut": ORC.mm_video_scene_cut(),
         "mm_audio_vad": ORC.mm_audio_vad(),
         "events_funnel": R.FUNNEL_ORACLE_SQL,
+        "events_retention": R.RETENTION_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,
         "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,

@@ -605,3 +605,94 @@ def _funnel_oracle() -> str:
 
 
 FUNNEL_ORACLE_SQL = _funnel_oracle()
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix — the second product-analytics
+    staple next to the funnel: users cohort by the ISO week of their
+    FIRST event, and cell (cohort, k) counts how many came back in
+    week k. Both engines truncate weeks to ISO Monday (Spark
+    date_trunc('week') == DuckDB date_trunc('week')), the offset is an
+    exact day-difference DIV 7 (cohort and activity weeks are both
+    Monday-aligned so the difference is always a multiple of 7), and
+    retention_e6 is the truncating division against the cohort size
+    (the week-0 row, where every cohort member is active by
+    definition — pinned in pytest).
+
+    Scale shape: one user-keyed min aggregate (cohort assignment), one
+    distinct over (user, week) — both map-side combined — then the
+    user-keyed equi-join of activity to cohort and a final
+    (cohort, offset) aggregate whose output is CALENDAR-sized
+    (weeks² / 2 cells), not user-sized. Nothing after the distinct is
+    user-row-sized.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    cells = (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week"))
+                / F.lit(7)
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    size = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(size, "cohort_week")
+        .select(
+            # ISO string, not DATE: the driver compare is dtype-kind
+            # strict and Spark dates arrive as pandas object while
+            # DuckDB DATEs arrive as datetime64
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("(1000000 * n_active) DIV cohort_size")
+            .cast("long")
+            .alias("retention_e6"),
+        )
+    )
+
+
+RETENTION_ORACLE_SQL = """
+    WITH cohort AS (
+        SELECT user_id,
+               CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    cells AS (
+        SELECT c.cohort_week,
+               CAST(datediff('day', c.cohort_week, a.week) // 7
+                    AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM active a JOIN cohort c USING (user_id)
+        GROUP BY c.cohort_week, 2
+    ),
+    sz AS (
+        SELECT cohort_week, n_active AS cohort_size
+        FROM cells WHERE week_offset = 0
+    )
+    SELECT CAST(cells.cohort_week AS VARCHAR) AS cohort_week,
+           cells.week_offset, cells.n_active,
+           CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+           CAST((1000000 * cells.n_active) // sz.cohort_size
+                AS BIGINT) AS retention_e6
+    FROM cells JOIN sz USING (cohort_week)
+"""

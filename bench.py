@@ -275,6 +275,9 @@ def main() -> int:
         # r5: windowed conversion funnel — user-keyed chain, each step
         # joins a user-dimension frame back to one filtered scan
         "events_funnel",
+        # r5: weekly retention cohorts — two user-keyed aggregates,
+        # calendar-sized matrix
+        "events_retention",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

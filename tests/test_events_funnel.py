@@ -78,3 +78,45 @@ def test_funnel_matches_python_and_decays(spark):
         if all(any(et == s for _, et in evs) for s in STEPS)
     )
     assert ns[1] < all_types, (ns, all_types)
+
+
+def test_retention_matches_python_and_week0_is_full(spark):
+    from ai_ocr_spark.operators.relational import events_retention
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    first, weeks = {}, {}
+    for r in rows:
+        d = r.ts.date()
+        monday = d - datetime.timedelta(days=d.weekday())
+        weeks.setdefault(r.user_id, set()).add(monday)
+        if r.user_id not in first or monday < first[r.user_id]:
+            first[r.user_id] = min(first.get(r.user_id, monday), monday)
+    cells = {}
+    for u, ws in weeks.items():
+        for w in ws:
+            off = (w - first[u]).days // 7
+            key = (str(first[u]), off)
+            cells[key] = cells.get(key, 0) + 1
+    sizes = {c: n for (c, off), n in cells.items() if off == 0}
+    expected = {
+        (c, off): (n, sizes[c], (1_000_000 * n) // sizes[c])
+        for (c, off), n in cells.items()
+    }
+    got = {
+        (r.cohort_week, r.week_offset): (
+            r.n_active,
+            r.cohort_size,
+            r.retention_e6,
+        )
+        for r in events_retention(spark, SF).collect()
+    }
+    assert got == expected
+    assert got, "empty retention matrix — vacuous"
+    for (c, off), (n, size, ret) in got.items():
+        assert off >= 0 and n <= size
+        if off == 0:
+            assert ret == 1_000_000, (c, ret)
