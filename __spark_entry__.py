@@ -119,11 +119,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     langid_eval_confusion, search_autocomplete,
     text_winnow_fingerprints, dedup_winnow_pairs,
     graph_degree_powerlaw, mm_video_scene_cut, mm_audio_vad,
-    events_funnel, events_retention) = 50.
-    Tier 2 = 0 this round — the 14 newest additions filled the window;
+    events_funnel, events_retention, events_markov_transitions) = 50
+    (tokenizer_vocab_coverage displaced — its r5 delta is the
+    value-neutral encode-cache tuple and tokenizer_bpe_encode, still
+    in-window, exercises the same path).
+    Tier 2 = 0 this round — the 15 newest additions filled the window;
     all 36 r1/r2-row entries queue in _R5_NEXT,
-    stalest first. The 36 r1/r2-green slices that did not fit
-    (pipeline_gzip_roundtrip,
+    stalest first. The 37 slices that did not fit
+    (tokenizer_vocab_coverage, pipeline_gzip_roundtrip,
     pipeline_sections, pipeline_table_roundtrip, stream_events_daily,
     dedup_exact, dedup_simhash, text_dup_fraction, dedup_ngram_jaccard,
     dedup_embedding_cosine, dedup_embedding_lsh,
@@ -139,7 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     f_clamp_score, union_head_tail, orders_page2 — pure projections
     unchanged since r1/r2, local-sweep green — the names above are the
     headline members; _R5_NEXT is the authoritative full order) sit at
-    positions 51-86;
+    positions 51-87;
     every other entry has an r3 or r4 green row.
     (The r4 instantiation this replaces is recorded in git history;
     the dict literal below still carries its r4 tier grouping comments,
@@ -298,6 +301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weekly retention cohort matrix — ISO-week cohorts, exact
         # day-diff offsets, e6 retention vs week-0 size (new in r5)
         "events_retention": R.events_retention,
+        # event-type transition matrix — one user-keyed lag window,
+        # |types|²-bounded aggregate, e6 row probabilities (new in r5)
+        "events_markov_transitions": R.events_markov_transitions,
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
@@ -607,6 +613,7 @@ _R5_WINDOW = [
     "mm_audio_vad",
     "events_funnel",
     "events_retention",
+    "events_markov_transitions",
     "ann_hamming_topk",
     "ann_hamming_recall",
     "stream_join_attribution",
@@ -629,7 +636,6 @@ _R5_WINDOW = [
     "dedup_incremental_lsh",
     "dedup_minhash_lsh",
     "tokenizer_bpe_encode",
-    "tokenizer_vocab_coverage",
     "search_rrf_fusion",
     # -- tier 1: never driver-checked (born past the r4 window) --
     "stream_quantiles_logbin",
@@ -649,6 +655,11 @@ _R5_WINDOW = [
 # joined (all unchanged since r1/r2, local-sweep green) — first in
 # line should the window ever widen
 _R5_NEXT = [
+    # displaced last by events_markov_transitions: its r5 change is the
+    # value-neutral encode-cache tuple, and tokenizer_bpe_encode (still
+    # in-window) exercises the same changed path — lowest-risk eviction
+    # under the new-ops-first policy
+    "tokenizer_vocab_coverage",
     # displaced from tier 2 by the positional-retrieval pair, the
     # PMI collocation miner and the Bloom dedup probe (newest r5
     # entries): r1-green slices, local-sweep green, first in line
@@ -997,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "mm_audio_vad": ORC.mm_audio_vad(),
         "events_funnel": R.FUNNEL_ORACLE_SQL,
         "events_retention": R.RETENTION_ORACLE_SQL,
+        "events_markov_transitions": R.MARKOV_ORACLE_SQL,
         "classifier_eval_pr": QL.EVAL_PR_ORACLE_SQL,
         "sample_dsir_select": QL.DSIR_ORACLE_SQL,
         "dsir_eval_report": QL.DSIR_EVAL_ORACLE_SQL,

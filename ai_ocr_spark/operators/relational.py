@@ -696,3 +696,63 @@ RETENTION_ORACLE_SQL = """
                 AS BIGINT) AS retention_e6
     FROM cells JOIN sz USING (cohort_week)
 """
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix — the behavior Markov chain product
+    analytics fits over clickstreams (and the generative model behind
+    windowFunnel-style session simulation): per user, events order by
+    (ts, event_id — the deterministic tie-break every window op here
+    uses), adjacent pairs aggregate into a |types|² matrix with exact
+    counts and row-normalized e6 probabilities (truncating division on
+    non-negative operands).
+
+    Scale shape: ONE user-keyed window (the same per-user ordering
+    sessionization pays — at 10^12 events this is the sessionize
+    shuffle reused), then a map-side-combined (prev, next) count whose
+    output is |types|²-bounded; the row totals ride a tiny window over
+    that matrix. Nothing after the lag is event-sized.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rw = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.sum("n").over(rw).cast("long").alias("row_total"),
+        F.expr("(1000000 * n) DIV sum(n) OVER (PARTITION BY prev_type)")
+        .cast("long")
+        .alias("p_e6"),
+    )
+
+
+MARKOV_ORACLE_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+           CAST((1000000 * n) // sum(n) OVER (PARTITION BY prev_type)
+                AS BIGINT) AS p_e6
+    FROM pairs
+"""

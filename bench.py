@@ -278,6 +278,9 @@ def main() -> int:
         # r5: weekly retention cohorts — two user-keyed aggregates,
         # calendar-sized matrix
         "events_retention",
+        # r5: event-type Markov transitions — one user-keyed lag
+        # window, types²-bounded matrix
+        "events_markov_transitions",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

@@ -120,3 +120,42 @@ def test_retention_matches_python_and_week0_is_full(spark):
         assert off >= 0 and n <= size
         if off == 0:
             assert ret == 1_000_000, (c, ret)
+
+
+def test_markov_matches_python_and_rows_normalize(spark):
+    from ai_ocr_spark.operators.relational import events_markov_transitions
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_id", "event_type", "ts")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(
+            (r.ts, r.event_id, r.event_type)
+        )
+    pairs = {}
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    totals = {}
+    for (a, _), n in pairs.items():
+        totals[a] = totals.get(a, 0) + n
+    expected = {
+        (a, b): (n, totals[a], (1_000_000 * n) // totals[a])
+        for (a, b), n in pairs.items()
+    }
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.row_total, r.p_e6)
+        for r in events_markov_transitions(spark, SF).collect()
+    }
+    assert got == expected
+    assert got, "empty transition matrix — vacuous"
+    # each row's probabilities sum to ~1e6 (truncation loses < |types|)
+    by_row = {}
+    for (a, _), (_, _, p) in got.items():
+        by_row[a] = by_row.get(a, 0) + p
+    for a, s in by_row.items():
+        assert 1_000_000 - 10 <= s <= 1_000_000, (a, s)
