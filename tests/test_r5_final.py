@@ -1,0 +1,236 @@
+"""Final r5 trio: k-core peel, KMV theta-sketch intersection, MAD
+anomaly rule. Each operator is pinned against an independent Python
+replay of its full semantics (same style as the funnel/retention
+pins), and each measured constant is asserted non-degenerate — the
+peel removes nodes AND keeps a core, the sketches saturate AND the
+witness exposes real estimation error, the Hampel threshold fires AND
+leaves quiet days.
+"""
+
+import collections
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- graph_kcore --------------------------------------------------------
+
+
+def _python_kcore(spark):
+    from ai_ocr_spark.operators.graph import KCORE_K, PR_FANOUT
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    und = set()
+    for d in ids:
+        for j in range(1, PR_FANOUT + 1):
+            dst = (d * d + j * 31 + 7) % n
+            if dst != d:
+                und.add((min(d, dst), max(d, dst)))
+    edges = list(und)
+    alive = {v for e in edges for v in e}
+    peel, r = {}, 0
+    while True:
+        r += 1
+        deg = collections.Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        bad = {v: deg.get(v, 0) for v in alive if deg.get(v, 0) < KCORE_K}
+        if not bad:
+            break
+        for v, d in bad.items():
+            peel[v] = (r, d)
+        alive -= set(bad)
+        edges = [(a, b) for a, b in edges if a in alive and b in alive]
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    exp = {v: (0, deg.get(v, 0), True) for v in alive}
+    exp.update({v: (rr, d, False) for v, (rr, d) in peel.items()})
+    return exp, r - 1
+
+
+def test_kcore_matches_python_replay(spark):
+    from ai_ocr_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        graph_kcore,
+    )
+
+    exp, rounds = _python_kcore(spark)
+    rows = graph_kcore(spark, SF).collect()
+    got = {r.doc_id: (r.peel_round, r.deg_at_peel, r.in_core) for r in rows}
+    assert got == exp
+    # the peel must converge inside the oracle's fixed unroll, with
+    # margin (extra unrolled rounds are no-ops, missing ones are not)
+    assert rounds < KCORE_ROUNDS
+    # non-degenerate at this SF: nodes peel away AND a core survives
+    n_core = sum(1 for v in got.values() if v[2])
+    assert 0 < n_core < len(got)
+    # the k-core invariant: every survivor keeps degree >= k inside
+    # the core; every peeled node was flagged below k
+    assert all(d >= KCORE_K for _, d, c in got.values() if c)
+    assert all(d < KCORE_K for _, d, c in got.values() if not c)
+
+
+def test_kcore_peel_rounds_monotone(spark):
+    """A node peeled in round r+1 was above the bar in round r — round
+    labels are the peel ordering, not arbitrary tags."""
+    from ai_ocr_spark.operators.graph import graph_kcore
+
+    rows = graph_kcore(spark, SF).collect()
+    by_round = collections.Counter(
+        r.peel_round for r in rows if not r.in_core
+    )
+    rounds = sorted(by_round)
+    assert rounds == list(range(1, len(rounds) + 1))  # no gaps
+    assert all(by_round[r] > 0 for r in rounds)
+
+
+# --- sketch_kmv_intersect ----------------------------------------------
+
+
+def _python_kmv_intersect(spark):
+    import hashlib
+
+    from ai_ocr_spark.operators.sketch import KMV_I_K
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    sets: dict[str, set] = collections.defaultdict(set)
+    for r in docs:
+        toks = " ".join((r.text or "").lower().split()).split(" ")
+        for i in range(len(toks) - 2):
+            sh = " ".join(toks[i : i + 3])
+            h = int(hashlib.md5(sh.encode()).hexdigest()[:15], 16)
+            sets[r.source].add(h)
+    theta = {}
+    ret = {}
+    for s, hs in sets.items():
+        top = sorted(hs)[:KMV_I_K]
+        th = (1 << 60) if len(top) < KMV_I_K else top[-1]
+        theta[s] = (len(top), th)
+        ret[s] = {h for h in top if h < th}
+    exp = {}
+    for sa in sets:
+        for sb in sets:
+            if sa >= sb:
+                continue
+            th = min(theta[sa][1], theta[sb][1])
+            common = len(ret[sa] & ret[sb])
+            exp[(sa, sb)] = (
+                theta[sa][0],
+                theta[sb][0],
+                th,
+                common,
+                round(common * float(1 << 60) / float(th), 4),
+                len(sets[sa] & sets[sb]),
+            )
+    return exp
+
+
+def test_kmv_intersect_matches_python_replay(spark):
+    from ai_ocr_spark.operators.sketch import (
+        KMV_I_K,
+        sketch_kmv_intersect,
+    )
+
+    exp = _python_kmv_intersect(spark)
+    rows = sketch_kmv_intersect(spark, SF).collect()
+    got = {
+        (r.src_a, r.src_b): (
+            r.k_a,
+            r.k_b,
+            r.theta,
+            r.common,
+            r.est_inter,
+            r.n_exact_inter,
+        )
+        for r in rows
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        ga, ea = got[k], exp[k]
+        assert ga[:4] == ea[:4], (k, ga, ea)
+        assert ga[5] == ea[5], (k, ga, ea)
+        assert abs(ga[4] - ea[4]) < 1e-6, (k, ga, ea)
+    # the sketches must genuinely saturate at this SF (otherwise the
+    # theta estimator degenerates to the exact count and the operator
+    # tests nothing)
+    assert all(ka == KMV_I_K and kb == KMV_I_K for ka, kb, *_ in got.values())
+    # the witness exposes real estimation error somewhere, and the
+    # estimator is not wildly off everywhere: on average within 2x
+    errs = [
+        abs(est - exact) / max(exact, 1)
+        for *_, est, exact in got.values()
+    ]
+    assert any(e > 0 for e in errs)
+    assert sum(errs) / len(errs) < 1.0
+
+
+# --- events_anomaly_mad -------------------------------------------------
+
+
+def _python_anomaly(spark):
+    from ai_ocr_spark.operators.temporal import ANOMALY_MAD_MULT
+
+    rows = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("event_type", "date_format(ts, 'yyyy-MM-dd') AS day")
+        .collect()
+    )
+    cnt = collections.Counter((r.event_type, r.day) for r in rows)
+    by_type: dict[str, dict] = collections.defaultdict(dict)
+    for (t, d), n in cnt.items():
+        by_type[t][d] = n
+    exp = {}
+    for t, days in by_type.items():
+        items = sorted(days.items(), key=lambda kv: (kv[1], kv[0]))
+        nd = len(items)
+        med = items[(nd + 1) // 2 - 1][1]
+        ads = sorted(
+            (abs(n - med), d) for d, n in days.items()
+        )
+        mad = ads[(nd + 1) // 2 - 1][0]
+        for d, n in days.items():
+            ad = abs(n - med)
+            exp[(t, d)] = (
+                n,
+                med,
+                mad,
+                (1_000_000 * ad) // max(mad, 1),
+                ad > ANOMALY_MAD_MULT * mad,
+            )
+    return exp
+
+
+def test_anomaly_mad_matches_python_replay(spark):
+    from ai_ocr_spark.operators.temporal import events_anomaly_mad
+
+    exp = _python_anomaly(spark)
+    rows = events_anomaly_mad(spark, SF).collect()
+    got = {
+        (r.event_type, r.day): (r.n, r.med, r.mad, r.rz_e6, r.is_anomaly)
+        for r in rows
+    }
+    assert got == exp
+    # the threshold bites without flagging everything: anomalies exist
+    # (across types), quiet days exist IN EVERY type
+    flags = collections.defaultdict(list)
+    for (t, _), (*_, a) in got.items():
+        flags[t].append(a)
+    assert sum(any(v) for v in flags.values()) >= 3
+    assert all(not all(v) for v in flags.values())
+    # robust centre: the median day is never its own anomaly
+    assert all(
+        not a for (n, med, *_, a) in got.values() if n == med
+    )
