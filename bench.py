@@ -355,6 +355,9 @@ def main() -> int:
         # r5: winnow-pairs cold prices the fingerprint posting index
         # build (the full k-gram winnowing chain) + the pair join
         "dedup_winnow_pairs",
+        # r5 final: intersect cold prices the distinct (source, h)
+        # shingle-set build + the sketch pairing and exact witness
+        "sketch_kmv_intersect",
     ):
         clear_caches(spark)
         t0 = time.monotonic()
