@@ -472,6 +472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally driver-strength green + pytest-pinned equal to the
         # batch op — leads r5's rotation with the pdf/warc roundtrips
         "stream_quantiles_logbin": SW.stream_quantiles_logbin,
+        # the MAD anomaly rule over a continuously-maintained
+        # complete-mode daily count — batch==stream equality is the
+        # checked contract: the oracle is the batch twin's SQL
+        # verbatim (new in r5, final batch)
+        "stream_anomaly_mad": SW.stream_anomaly_mad,
         # r4d, also past the window: the hot-bucket graduation path
         # (exact dedup first, LSH over one rep per exact group, star
         # edges restored) — labeling proven equal to plain
@@ -676,6 +681,12 @@ _R5_WINDOW = [
 # joined (all unchanged since r1/r2, local-sweep green) — first in
 # line should the window ever widen
 _R5_NEXT = [
+    # position 51 — new r5 code shipping one slot past the window, the
+    # strongest possible out-of-window case: its oracle IS the
+    # in-window events_anomaly_mad SQL verbatim (batch==stream is the
+    # checked contract), pytest pins stream==batch row equality, and
+    # the local driver-strength gate passes. Leads the next fill.
+    "stream_anomaly_mad",
     # displaced by the final-batch trio (graph_kcore,
     # sketch_kmv_intersect, events_anomaly_mad) under the
     # new-code-first policy — each a TWIN whose code path stays
@@ -994,6 +1005,10 @@ def oracle_sql() -> dict[str, str]:
         "sketch_kmv_intersect": SK.KMV_INTERSECT_ORACLE_SQL,
         "graph_kcore": G.KCORE_ORACLE_SQL,
         "events_anomaly_mad": TP.ANOMALY_MAD_ORACLE_SQL,
+        # the streaming twin is checked against the IDENTICAL batch
+        # SQL — batch==stream is the contract (stream_quantiles_logbin
+        # pattern)
+        "stream_anomaly_mad": TP.ANOMALY_MAD_ORACLE_SQL,
         # the streaming drain of the same sketch must equal the same
         # batch recompute — one oracle text, two execution paths
         "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,

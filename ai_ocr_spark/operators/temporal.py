@@ -225,6 +225,15 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    return mad_rule(daily)
+
+
+def mad_rule(daily: DataFrame) -> DataFrame:
+    """The median/MAD verdict suffix over a (event_type, day, n) count
+    frame — shared by the batch op above and the streaming twin
+    (streaming/windows.stream_anomaly_mad), whose only delta is WHERE
+    the counts come from (a continuously-maintained complete-mode
+    aggregate instead of a batch groupBy)."""
     wt = Window.partitionBy("event_type")
     wr = Window.partitionBy("event_type").orderBy("n", "day")
     med = (

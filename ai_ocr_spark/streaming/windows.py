@@ -563,3 +563,62 @@ ATTRIBUTION_ORACLE_SQL = """
      AND c.ts >= i.ts
      AND c.ts <= i.ts + INTERVAL 2 HOUR
 """
+
+
+def stream_anomaly_mad(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """The MAD anomaly rule over a CONTINUOUSLY-MAINTAINED daily count
+    table — the streaming twin of operators/temporal.events_anomaly_mad
+    and the shape an alerting pipeline actually runs: events arrive in
+    three mtime-ordered micro-batch files, a complete-mode
+    groupBy(event_type, day) count holds the calendar-sized state (the
+    same bound the batch op's first aggregate establishes — this is
+    why daily rollups are the aggregate a stream can afford forever),
+    and the Hampel verdict suffix (temporal.mad_rule, shared code)
+    runs batch over the drained table, exactly as a production job
+    reads its maintained counts.
+
+    The oracle is the batch twin's SQL VERBATIM: if the cross-batch
+    state merge dropped or double-counted one event, a count shifts
+    and the value hash breaks — batch==stream equality is the checked
+    contract, not a docstring claim (same witness pattern as
+    stream_quantiles_logbin). date_format over the NTZ timestamps is
+    timezone-free, so no session-tz pin is needed.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.temporal import mad_rule
+    from .util import detach, drain_available_now, write_ordered_file
+
+    stage = tempfile.mkdtemp(prefix="stream_anomaly_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "ts"
+        )
+        os.makedirs(os.path.join(stage, "in"))
+        now = 1_700_000_000
+        for k in range(3):
+            write_ordered_file(
+                ev.filter(F.col("event_id") % 3 == k),
+                os.path.join(stage, "in", f"b{k}.parquet"),
+                now + 100 * k,
+            )
+        schema = spark.read.parquet(os.path.join(stage, "in")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(stage, "in"))
+        )
+        daily = (
+            stream.select(
+                "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+            )
+            .groupBy("event_type", "day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        name = drain_available_now(daily, "complete", prefix="stream_anomaly")
+        out = mad_rule(spark.table(name))
+        return detach(spark, out, name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -234,3 +234,22 @@ def test_anomaly_mad_matches_python_replay(spark):
     assert all(
         not a for (n, med, *_, a) in got.values() if n == med
     )
+
+
+def test_stream_anomaly_matches_batch(spark):
+    """The streaming twin must equal the batch op ROW-FOR-ROW over the
+    same events — the cross-batch complete-mode state merge is the only
+    delta, so any drop/double-count shifts a count and breaks this."""
+    from ai_ocr_spark.operators.temporal import events_anomaly_mad
+    from ai_ocr_spark.streaming.windows import stream_anomaly_mad
+
+    batch = {
+        (r.event_type, r.day): (r.n, r.med, r.mad, r.rz_e6, r.is_anomaly)
+        for r in events_anomaly_mad(spark, SF).collect()
+    }
+    streamed = {
+        (r.event_type, r.day): (r.n, r.med, r.mad, r.rz_e6, r.is_anomaly)
+        for r in stream_anomaly_mad(spark, SF).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
