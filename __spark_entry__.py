@@ -123,11 +123,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tokenizer_vocab_coverage displaced — its r5 delta is the
     value-neutral encode-cache tuple and tokenizer_bpe_encode, still
     in-window, exercises the same path).
-    Final r5 batch: graph_kcore, sketch_kmv_intersect and
-    events_anomaly_mad enter at the window head (new code first);
-    search_proximity_topk, ann_hamming_recall and decontam_report
-    rotate out — each a twin whose changed path an in-window sibling
-    still drives (see the _R5_NEXT head notes).
+    Final r5 batch: graph_kcore, sketch_kmv_intersect,
+    events_anomaly_mad and rfm_customer_segments enter at the window
+    head (new code first); search_proximity_topk, ann_hamming_recall,
+    decontam_report and search_snippet_topk rotate out — each a twin
+    whose changed path an in-window sibling still drives (see the
+    _R5_NEXT head notes). stream_anomaly_mad sits at position 51:
+    its oracle is the in-window events_anomaly_mad SQL verbatim and
+    pytest pins stream==batch row equality.
     Tier 2 = 0 this round — the 15 newest additions filled the window;
     all 36 r1/r2-row entries queue in _R5_NEXT,
     stalest first. The 37 slices that did not fit
@@ -321,6 +324,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-type transition matrix — one user-keyed lag window,
         # |types|²-bounded aggregate, e6 row probabilities (new in r5)
         "events_markov_transitions": R.events_markov_transitions,
+        # RFM quintile segmentation over the orders fact table — the
+        # warehouse customer-value rollup; rank-based tie-sharing
+        # scores, integer quintile arithmetic (new in r5, final batch)
+        "rfm_customer_segments": R.rfm_customer_segments,
         # held-out PR/F1 sweep over a fixed threshold grid — the
         # measured operating curve for the learned gate (new in r4)
         "classifier_eval_pr": QL.classifier_eval_pr,
@@ -621,9 +628,9 @@ _R5_WINDOW = [
     "graph_kcore",
     "sketch_kmv_intersect",
     "events_anomaly_mad",
+    "rfm_customer_segments",
     # -- tier 1: new in r5 --
     "search_phrase_topk",
-    "search_snippet_topk",
     "collocations_pmi",
     "dedup_bloom_probe",
     "search_query_expansion",
@@ -687,6 +694,12 @@ _R5_NEXT = [
     # checked contract), pytest pins stream==batch row equality, and
     # the local driver-strength gate passes. Leads the next fill.
     "stream_anomaly_mad",
+    # displaced by rfm_customer_segments: search_snippet_topk's new
+    # machinery is the shared phrase ranking, in-window via
+    # search_phrase_topk; the snippet-specific tail (first-occurrence
+    # window + broadcast doc-store lookup) is pytest-pinned and
+    # local-sweep green
+    "search_snippet_topk",
     # displaced by the final-batch trio (graph_kcore,
     # sketch_kmv_intersect, events_anomaly_mad) under the
     # new-code-first policy — each a TWIN whose code path stays
@@ -1009,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         # SQL — batch==stream is the contract (stream_quantiles_logbin
         # pattern)
         "stream_anomaly_mad": TP.ANOMALY_MAD_ORACLE_SQL,
+        "rfm_customer_segments": R.RFM_ORACLE_SQL,
         # the streaming drain of the same sketch must equal the same
         # batch recompute — one oracle text, two execution paths
         "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,

@@ -756,3 +756,126 @@ MARKOV_ORACLE_SQL = """
                 AS BIGINT) AS p_e6
     FROM pairs
 """
+
+
+# --- RFM customer segmentation (orders-side analytics) -------------------
+
+
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over the orders fact table — the classic
+    warehouse customer-value rollup (recency / frequency / monetary
+    quintiles + the standard lifecycle labels) the relational §2
+    inventory's joins and windows exist to serve.
+
+    Exactness: recency is an integer day-diff against the corpus max
+    date (one broadcast 1-row reference); monetary follows the house
+    money rule (DECIMAL(28,8) sum before the round-2 double); quintile
+    scores come from rank() — TIED customers share a rank and
+    therefore a score (equal behavior, equal segment; row_number would
+    split ties arbitrarily), and score = 5 - ((rank-1)*5) DIV n keeps
+    the assignment in integer arithmetic on both engines.
+
+    Scale shape: everything after the one o_custkey aggregate is
+    CUSTOMER-dimension-sized (3-4 orders of magnitude under the fact
+    table). The three global rank windows run on that dim frame —
+    fine to ~10^8 customers on one reducer; past that the assignment
+    graduates to the agg_length_percentiles CDF machinery (per-value
+    counts + cumulative walk + threshold join), which this scoring
+    rule was chosen to be compatible with (value-determined, not
+    row_number-split).
+
+    Reference parity: the reference has no analytics layer (per-doc
+    microservice); this rounds out the W+ family (funnel, retention,
+    Markov, anomaly) with the orders-side segmentation staple.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ref = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("refd"),
+        F.countDistinct("o_custkey").alias("n"),
+    )
+    cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,8)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff("refd", "lastd").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+            "n",
+        )
+    )
+    ranked = cust.select(
+        "*",
+        F.rank().over(Window.orderBy(F.asc("recency_days"))).alias("rr"),
+        F.rank().over(Window.orderBy(F.desc("frequency"))).alias("fr"),
+        F.rank().over(Window.orderBy(F.desc("monetary"))).alias("mr"),
+    )
+    scored = ranked.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.expr("CAST(5 - ((rr - 1) * 5) DIV n AS BIGINT)").alias("r_score"),
+        F.expr("CAST(5 - ((fr - 1) * 5) DIV n AS BIGINT)").alias("f_score"),
+        F.expr("CAST(5 - ((mr - 1) * 5) DIV n AS BIGINT)").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.expr(
+            "CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion' "
+            "WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning' "
+            "WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk' "
+            "WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating' "
+            "ELSE 'steady' END"
+        ).alias("segment"),
+    )
+
+
+RFM_ORACLE_SQL = """
+    WITH ref AS (
+        SELECT CAST(max(o_orderdate) AS DATE) AS refd,
+               count(DISTINCT o_custkey) AS n
+        FROM orders
+    ),
+    cust AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', CAST(max(o_orderdate) AS DATE),
+                         (SELECT refd FROM ref)) AS recency_days,
+               count(*) AS frequency,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,8))), 2)
+                    AS DOUBLE) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT custkey, recency_days, frequency, monetary,
+               rank() OVER (ORDER BY recency_days ASC) AS rr,
+               rank() OVER (ORDER BY frequency DESC) AS fr,
+               rank() OVER (ORDER BY monetary DESC) AS mr,
+               (SELECT n FROM ref) AS n
+        FROM cust
+    ),
+    scored AS (
+        SELECT custkey,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency,
+               monetary,
+               CAST(5 - ((rr - 1) * 5) // n AS BIGINT) AS r_score,
+               CAST(5 - ((fr - 1) * 5) // n AS BIGINT) AS f_score,
+               CAST(5 - ((mr - 1) * 5) // n AS BIGINT) AS m_score
+        FROM ranked
+    )
+    SELECT *,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'steady' END AS segment
+    FROM scored
+"""

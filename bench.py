@@ -288,6 +288,9 @@ def main() -> int:
         "graph_kcore",
         "sketch_kmv_intersect",
         "events_anomaly_mad",
+        # r5 final: RFM quintile rollup — one fact-table aggregate,
+        # customer-dim windows after
+        "rfm_customer_segments",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

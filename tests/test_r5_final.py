@@ -253,3 +253,95 @@ def test_stream_anomaly_matches_batch(spark):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_rfm_matches_python_replay(spark):
+    """Full Python replay of the RFM rollup: per-customer metrics,
+    rank-with-tie-sharing quintile scores, segment labels. Also pins
+    that every lifecycle segment actually fires at this SF and that
+    tied metric values always share a score."""
+    import datetime
+
+    from ai_ocr_spark.operators.relational import rfm_customer_segments
+
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .selectExpr(
+            "o_custkey", "CAST(o_orderdate AS DATE) AS d", "o_totalprice"
+        )
+        .collect()
+    )
+    import decimal
+
+    per = collections.defaultdict(lambda: [datetime.date.min, 0, decimal.Decimal(0)])
+    refd = max(r.d for r in orders)
+    for r in orders:
+        c = per[r.o_custkey]
+        c[0] = max(c[0], r.d)
+        c[1] += 1
+        c[2] += decimal.Decimal(str(r.o_totalprice))
+    n = len(per)
+    cust = {
+        k: (
+            (refd - v[0]).days,
+            v[1],
+            float(round(v[2], 2)),
+        )
+        for k, v in per.items()
+    }
+
+    def ranks(vals, reverse):
+        order = sorted(set(vals), reverse=reverse)
+        below = {}
+        seen = 0
+        for v in order:
+            below[v] = seen + 1
+            seen += sum(1 for x in vals if x == v)
+        return below
+
+    rs = ranks([v[0] for v in cust.values()], reverse=False)
+    fs = ranks([v[1] for v in cust.values()], reverse=True)
+    ms = ranks([v[2] for v in cust.values()], reverse=True)
+    exp = {}
+    for k, (rec, freq, mon) in cust.items():
+        r_s = 5 - ((rs[rec] - 1) * 5) // n
+        f_s = 5 - ((fs[freq] - 1) * 5) // n
+        m_s = 5 - ((ms[mon] - 1) * 5) // n
+        if r_s >= 4 and f_s >= 4:
+            seg = "champion"
+        elif r_s >= 4 and f_s <= 2:
+            seg = "new_or_returning"
+        elif r_s <= 2 and f_s >= 3:
+            seg = "at_risk"
+        elif r_s <= 2 and f_s <= 2:
+            seg = "hibernating"
+        else:
+            seg = "steady"
+        exp[k] = (rec, freq, mon, r_s, f_s, m_s, seg)
+    rows = rfm_customer_segments(spark, SF).collect()
+    got = {
+        r.custkey: (
+            r.recency_days,
+            r.frequency,
+            r.monetary,
+            r.r_score,
+            r.f_score,
+            r.m_score,
+            r.segment,
+        )
+        for r in rows
+    }
+    assert got == exp
+    segs = {v[6] for v in got.values()}
+    assert segs == {
+        "champion",
+        "new_or_returning",
+        "at_risk",
+        "hibernating",
+        "steady",
+    }
+    # tie-sharing invariant: same frequency value -> same f_score
+    by_freq = collections.defaultdict(set)
+    for _, f, _, _, fsc, _, _ in got.values():
+        by_freq[f].add(fsc)
+    assert all(len(s) == 1 for s in by_freq.values())
