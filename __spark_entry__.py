@@ -448,6 +448,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer DIV is the normalization, mass bounded forever,
         # two-sided Pregel co-partition pin (new in r5)
         "graph_salsa": G.graph_salsa,
+        # Newman degree-mixing coefficient in its rational symmetric
+        # form — integer sums, sign-split e6 division, no sqrt (new in
+        # r5, final batch)
+        "graph_assortativity": G.graph_assortativity,
+        # host-graph compression: doc edges -> (src_host, dst_host)
+        # weights + distinct linking docs (new in r5, final batch)
+        "graph_host_edges": G.graph_host_edges,
         # per-node triangle counts + clustering coefficient via the
         # degree-oriented closure: exchange-free wedge self-join on the
         # cached lo-pinned orientation, O(m^1.5) wedges (new in r5)
@@ -694,6 +701,15 @@ _R5_NEXT = [
     # checked contract), pytest pins stream==batch row equality, and
     # the local driver-strength gate passes. Leads the next fill.
     "stream_anomaly_mad",
+    # positions 52-53 — the last two r5 additions, past a window
+    # already full of promised new-code slots; shipping on the local
+    # driver-strength gate (same canonicalization as the driver) +
+    # full-semantics Python replay pins, documented rather than
+    # silently displacing promised entries. Both ride the in-window-
+    # exercised _graph_pins machinery; graph_assortativity shares the
+    # und/degree construction driver-checked via graph_kcore.
+    "graph_assortativity",
+    "graph_host_edges",
     # displaced by rfm_customer_segments: search_snippet_topk's new
     # machinery is the shared phrase ranking, in-window via
     # search_phrase_topk; the snippet-specific tail (first-occurrence
@@ -1023,6 +1039,8 @@ def oracle_sql() -> dict[str, str]:
         # pattern)
         "stream_anomaly_mad": TP.ANOMALY_MAD_ORACLE_SQL,
         "rfm_customer_segments": R.RFM_ORACLE_SQL,
+        "graph_assortativity": G.ASSORTATIVITY_ORACLE_SQL,
+        "graph_host_edges": G.HOST_EDGES_ORACLE_SQL,
         # the streaming drain of the same sketch must equal the same
         # batch recompute — one oracle text, two execution paths
         "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,

@@ -873,3 +873,219 @@ def _kcore_oracle() -> str:
 
 
 KCORE_ORACLE_SQL = _kcore_oracle()
+
+
+# --- degree assortativity (Newman mixing coefficient) --------------------
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected link graph — Newman's
+    mixing coefficient (Pearson correlation of endpoint degrees over
+    edges; PRL 89, 208701): the web measures slightly DISASSORTATIVE
+    (hubs link to leaves, r ≈ −0.05 in classic crawls), and a crawl
+    whose r drifts positive is community-captured or link-farmed. The
+    fixture graph measures r ≈ −0.10..−0.17 across SFs — genuine
+    hub-leaf structure, both verdict signs reachable by construction.
+
+    Exactness: with BOTH orientations of every undirected edge counted
+    (the symmetric form), Σx = Σy and Σx² = Σy², so Newman's
+    sqrt-denominator collapses and r is RATIONAL:
+
+        r = (2M·Σxy − (Σx)²) / (2M·Σx² − (Σx)²)
+
+    — no libm, no float sums; the single float-free output is
+    r_e6 = sign · (10^6·|num|) DIV den (truncating division on
+    non-negative operands, the graph_degree_powerlaw sign-split). The
+    symmetric sums fold in ONE pass over the single-orientation edge
+    list (Σx = Σ(da+db), Σxy = 2Σ(da·db), Σx² = Σ(da²+db²)) — no
+    orientation union materializes. At fixture scale every product
+    stays far inside int64 (|num| ≈ 2·10^10 at sf0.1; 10^6·|num| ≈
+    2·10^16); past ~10^9 edges the sums graduate to DECIMAL(38,0),
+    same note as the k-means centroid sums.
+
+    Scale shape: degree aggregate (map-side combined) + one edge⋈deg
+    join per endpoint + a constant-state global sum. Nothing after the
+    degree count is edge-sized except the two hash joins that attach
+    endpoint degrees — co-partitioned on the pinned edge table's key.
+
+    Reference parity: no graph stage in the reference; completes the
+    link-graph diagnostic family (powerlaw exponent = the degree
+    DISTRIBUTION, assortativity = the degree CORRELATION).
+    """
+    _, e = _graph_pins(spark, sf_dir)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("doc_id"))
+        .union(und.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    joined = (
+        und.join(
+            deg.select(F.col("doc_id").alias("a"), F.col("d").alias("da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("doc_id").alias("b"), F.col("d").alias("db")),
+            "b",
+        )
+    )
+    s = joined.agg(
+        (F.count(F.lit(1)) * 2).cast("long").alias("m2"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        (F.sum(F.col("da") * F.col("db")) * 2).cast("long").alias("sxy"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    q = F.expr(
+        "CAST((1000000 * abs(m2 * sxy - sx * sx))"
+        " DIV (m2 * sxx - sx * sx) AS BIGINT)"
+    )
+    return s.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        "sx",
+        "sxy",
+        "sxx",
+        F.when(num < 0, -q).otherwise(q).cast("long").alias("r_e6"),
+    )
+
+
+def _assortativity_oracle() -> str:
+    fanout_values = ", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))
+    return f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    edges0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * doc_id + j * 31 + 7) % n.n AS dst
+        FROM documents CROSS JOIN n
+        CROSS JOIN (VALUES {fanout_values}) AS t(j)
+        WHERE (doc_id * doc_id + j * 31 + 7) % n.n <> doc_id
+    ),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges0
+    ),
+    deg AS MATERIALIZED (
+        SELECT doc_id, count(*) AS d FROM (
+            SELECT a AS doc_id FROM und UNION ALL SELECT b AS doc_id FROM und
+        ) GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT da.d AS da, db.d AS db
+        FROM und
+        JOIN deg da ON da.doc_id = und.a
+        JOIN deg db ON db.doc_id = und.b
+    ),
+    s AS (
+        SELECT CAST(2 * count(*) AS BIGINT) AS m2,
+               CAST(sum(da + db) AS BIGINT) AS sx,
+               CAST(2 * sum(da * db) AS BIGINT) AS sxy,
+               CAST(sum(da * da + db * db) AS BIGINT) AS sxx
+        FROM joined
+    )
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges, sx, sxy, sxx,
+           CAST(CASE WHEN m2 * sxy - sx * sx < 0
+                THEN -((1000000 * abs(m2 * sxy - sx * sx))
+                       // (m2 * sxx - sx * sx))
+                ELSE ((1000000 * abs(m2 * sxy - sx * sx))
+                      // (m2 * sxx - sx * sx)) END AS BIGINT) AS r_e6
+    FROM s
+"""
+
+
+ASSORTATIVITY_ORACLE_SQL = _assortativity_oracle()
+
+
+# --- host-level graph rollup --------------------------------------------
+
+
+def graph_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph compression — the rollup every crawl pipeline runs
+    before host-level analysis (host PageRank, politeness budgeting,
+    spam-neighborhood detection): collapse the document link graph to
+    a (src_host, dst_host) edge list with link weights and distinct
+    linking-document counts. 10^12 document edges become ~10^6 host
+    edges — the compression step that makes host-level centrality a
+    laptop-sized problem — and the host attribute here is the
+    documents table's `source` (the corpus' host-ish provenance key).
+
+    Scale shape: two co-partitioned hash joins attach the host
+    attribute to each edge endpoint (doc_id-keyed, riding the pinned
+    node table's partitioning), then ONE map-side-combined aggregate
+    collapses to |hosts|² at most. countDistinct(src) inside that
+    aggregate is exact per host pair — at 10^12 edges it graduates to
+    a two-level (pair, src) pre-aggregate, same result, noted here.
+
+    Reference parity: no graph stage in the reference; this is the
+    links.py crawl family's bridge into graph.py (schedule_waves keys
+    politeness on exactly this host attribute).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    _, e = _graph_pins(spark, sf_dir)
+    hosted = (
+        e.select("src", "dst")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("src"), F.col("source").alias("src_host")
+            ),
+            "src",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("dst"), F.col("source").alias("dst_host")
+            ),
+            "dst",
+        )
+    )
+    return (
+        hosted.groupBy("src_host", "dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("src").cast("long").alias("n_src_docs"),
+        )
+        .select(
+            "src_host",
+            "dst_host",
+            "n_links",
+            "n_src_docs",
+            (F.col("src_host") == F.col("dst_host")).alias("self_loop"),
+        )
+    )
+
+
+def _host_edges_oracle() -> str:
+    fanout_values = ", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))
+    return f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    edges0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * doc_id + j * 31 + 7) % n.n AS dst
+        FROM documents CROSS JOIN n
+        CROSS JOIN (VALUES {fanout_values}) AS t(j)
+        WHERE (doc_id * doc_id + j * 31 + 7) % n.n <> doc_id
+    ),
+    hosted AS (
+        SELECT ds.source AS src_host, dd.source AS dst_host, e.src
+        FROM edges0 e
+        JOIN documents ds ON ds.doc_id = e.src
+        JOIN documents dd ON dd.doc_id = e.dst
+    )
+    SELECT src_host, dst_host,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_src_docs,
+           src_host = dst_host AS self_loop
+    FROM hosted GROUP BY 1, 2
+"""
+
+
+HOST_EDGES_ORACLE_SQL = _host_edges_oracle()

@@ -291,6 +291,14 @@ def main() -> int:
         # r5 final: RFM quintile rollup — one fact-table aggregate,
         # customer-dim windows after
         "rfm_customer_segments",
+        # r5 final: rational Newman assortativity (degree agg + two
+        # co-partitioned joins + constant-state sums) and the host
+        # rollup (two dim joins + one |hosts|²-bounded aggregate)
+        "graph_assortativity",
+        "graph_host_edges",
+        # r5 final: the streaming MAD twin — prices the 3-batch drain
+        # + the shared verdict suffix (batch==stream contract)
+        "stream_anomaly_mad",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

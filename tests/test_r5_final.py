@@ -345,3 +345,79 @@ def test_rfm_matches_python_replay(spark):
     for _, f, _, _, fsc, _, _ in got.values():
         by_freq[f].add(fsc)
     assert all(len(s) == 1 for s in by_freq.values())
+
+
+def test_assortativity_matches_python_replay(spark):
+    """Independent replay of the full rational Newman coefficient:
+    synthetic edge rule -> undirected degrees -> symmetric sums ->
+    sign-split e6 division. Also pins the graph's measured
+    disassortativity (hub-leaf structure, like the real web)."""
+    from ai_ocr_spark.operators.graph import PR_FANOUT, graph_assortativity
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    und = set()
+    for d in ids:
+        for j in range(1, PR_FANOUT + 1):
+            dst = (d * d + j * 31 + 7) % n
+            if dst != d:
+                und.add((min(d, dst), max(d, dst)))
+    deg = collections.Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    m2 = 2 * len(und)
+    sx = sum(deg[a] + deg[b] for a, b in und)
+    sxy = 2 * sum(deg[a] * deg[b] for a, b in und)
+    sxx = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in und)
+    num = m2 * sxy - sx * sx
+    den = m2 * sxx - sx * sx
+    q = (1_000_000 * abs(num)) // den
+    exp = (len(und), sx, sxy, sxx, -q if num < 0 else q)
+    row = graph_assortativity(spark, SF).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (r.n_edges, r.sx, r.sxy, r.sxx, r.r_e6) == exp
+    assert r.r_e6 < 0  # hub-leaf disassortativity, by construction
+
+
+def test_host_edges_matches_python_replay(spark):
+    """Replay the host rollup: per directed doc edge, endpoint host
+    attribution, pair weights, distinct linking docs. Pins that the
+    rollup genuinely compresses (host pairs << doc edges) and that
+    self-loop host pairs exist (intra-host linking)."""
+    from ai_ocr_spark.operators.graph import PR_FANOUT, graph_host_edges
+
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    host = {r.doc_id: r.source for r in rows}
+    n = len(rows)
+    agg = collections.defaultdict(lambda: [0, set()])
+    n_edges = 0
+    for d in host:
+        dsts = set()
+        for j in range(1, PR_FANOUT + 1):
+            dst = (d * d + j * 31 + 7) % n
+            if dst != d:
+                dsts.add(dst)
+        for dst in dsts:
+            k = (host[d], host[dst])
+            agg[k][0] += 1
+            agg[k][1].add(d)
+            n_edges += 1
+    exp = {k: (v[0], len(v[1]), k[0] == k[1]) for k, v in agg.items()}
+    got = {
+        (r.src_host, r.dst_host): (r.n_links, r.n_src_docs, r.self_loop)
+        for r in graph_host_edges(spark, SF).collect()
+    }
+    assert got == exp
+    assert len(got) < n_edges / 5  # genuine compression
+    assert any(sl for *_, sl in got.values())
