@@ -93,7 +93,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                truncation line, where ageing is bounded by tier 2's
                fill next round.
 
-    r5 instantiation (the plan VERDICT r4 "Next round" #2 queued):
+    r5 instantiation (the plan VERDICT r4 "Next round" #2 queued;
+    the membership enumerated below is the MID-ROUND state — the
+    "Final r5 batch" paragraph at the end records the four late
+    swap-ins and their displacements, and _R5_WINDOW itself is
+    authoritative):
     tier 1 = 16 changed-or-new (mm_ocr_text, ann_rrf_hybrid,
     ann_ivf_pq_topk, ann_ivf_pq_recall, decontam_minhash,
     mm_image_ahash, text_readability, graph_salsa NEW;
