@@ -1004,9 +1004,9 @@ BLOOM_ORACLE_SQL = f"""
 
 KMV_I_K = 256  # larger than KMV_K: intersection variance scales with
 # 1/(J*K), and cross-source 3-shingle Jaccard here is ~0.05 — K=256
-# keeps every fixture pair's common-sample count positive (measured:
-# mean rel err 0.19, no zero-common pairs at sf0.01; K=32 gave 0.61
-# and 24 blind pairs). Sketch state is still only K rows per source.
+# keeps every fixture pair's common-sample count positive (measured
+# mean rel err at sf0.01: 0.61 at K=32, 0.45 at K=64 with 9 blind
+# pairs, 0.19 at K=256 with none). Sketch state stays K rows/source.
 
 
 def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
