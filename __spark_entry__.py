@@ -459,6 +459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # host-graph compression: doc edges -> (src_host, dst_host)
         # weights + distinct linking docs (new in r5, final batch)
         "graph_host_edges": G.graph_host_edges,
+        # personalized PageRank — seed-only teleport over the same
+        # pinned edges; rank concentrates near seeds, non-reachable
+        # nodes stay at exact 0 (new in r5, final batch)
+        "graph_ppr_seeds": G.graph_ppr_seeds,
         # per-node triangle counts + clustering coefficient via the
         # degree-oriented closure: exchange-free wedge self-join on the
         # cached lo-pinned orientation, O(m^1.5) wedges (new in r5)
@@ -714,6 +718,11 @@ _R5_NEXT = [
     # und/degree construction driver-checked via graph_kcore.
     "graph_assortativity",
     "graph_host_edges",
+    # position 54 — personalized PageRank: the ITERATION is the
+    # in-window-exercised pagerank_link_graph plan verbatim (same
+    # pins, same integer update, same lazy-lineage carry); the delta
+    # is the seed-gated teleport term, replay-pinned in pytest
+    "graph_ppr_seeds",
     # displaced by rfm_customer_segments: search_snippet_topk's new
     # machinery is the shared phrase ranking, in-window via
     # search_phrase_topk; the snippet-specific tail (first-occurrence
@@ -1045,6 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_customer_segments": R.RFM_ORACLE_SQL,
         "graph_assortativity": G.ASSORTATIVITY_ORACLE_SQL,
         "graph_host_edges": G.HOST_EDGES_ORACLE_SQL,
+        "graph_ppr_seeds": G.PPR_ORACLE_SQL,
         # the streaming drain of the same sketch must equal the same
         # batch recompute — one oracle text, two execution paths
         "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,

@@ -1089,3 +1089,125 @@ def _host_edges_oracle() -> str:
 
 
 HOST_EDGES_ORACLE_SQL = _host_edges_oracle()
+
+
+# --- personalized PageRank (seed-set expansion) --------------------------
+
+PPR_SEED_MOD = 97  # doc_id % 97 == 0 marks the seed set (~1% of nodes:
+# 6 seeds at sf0.01, 52 at sf0.1) — sparse enough that personalized
+# mass visibly concentrates near seeds instead of re-deriving global
+# PageRank, dense enough that every SF has several seeds.
+
+
+def graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set — the seed-expansion
+    primitive of topic-focused crawling (Haveliwala's topic-sensitive
+    PageRank, WWW'02) and local community detection (Andersen-Chung-
+    Lang): identical power iteration to pagerank_link_graph except the
+    teleport mass returns ONLY to the seeds, so rank concentrates in
+    the seeds' neighborhoods and ranks the frontier by topical
+    proximity instead of global importance.
+
+    Integer-exact like its global sibling: seed teleport is
+    (15·PPR_UNIT) DIV 100 per seed per round, contributions are
+    (rnk·85) DIV (100·outdeg), all sums order-independent BIGINTs; the
+    twin unrolls the same iterations. The seed indicator is an
+    arithmetic predicate (doc_id % PPR_SEED_MOD == 0) — no seed-table
+    join, the teleport term is a codegen expression.
+
+    Scale shape: the pagerank r5 lazy-lineage shape verbatim — pinned
+    edges never move, ranks feed exactly ONE join per round (linear
+    lineage, no checkpoint), the per-round docs join carries the
+    seed-teleport term (load-bearing for seeds; non-seeds keep their
+    aggregate row or a 0-fill). Non-seed nodes with zero in-mass stay
+    at exact 0 and cost nothing semantically — at a real 10^12-edge
+    graph a production PPR prunes zero-rank rows per round (push-style
+    ACL forward-push); noted, same per-round plan.
+
+    Reference parity: no graph stage in the reference; completes the
+    centrality family (global PageRank -> personalized) on the same
+    pinned edge machinery.
+    """
+    docs, e = _graph_pins(spark, sf_dir)
+    seed = (F.col("doc_id") % PPR_SEED_MOD == 0).cast("long")
+    ranks = docs.select(
+        "doc_id", (seed * F.lit(PR_UNIT)).cast("long").alias("rnk")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(ranks.select(F.col("doc_id").alias("src"), "rnk"), "src")
+            .select(
+                "dst",
+                F.expr("CAST((rnk * 85) DIV (100 * outdeg) AS BIGINT)").alias(
+                    "c"
+                ),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = docs.join(
+            contrib.withColumnRenamed("dst", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id",
+            (seed * F.lit(PR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("rnk"),
+        )
+    return ranks.select(
+        "doc_id",
+        "rnk",
+        (F.col("doc_id") % PPR_SEED_MOD == 0).alias("is_seed"),
+    )
+
+
+def _ppr_oracle() -> str:
+    fanout_values = ", ".join(f"({j})" for j in range(1, PR_FANOUT + 1))
+    parts = [
+        f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    nodes AS (SELECT doc_id FROM documents),
+    edges0 AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS src,
+               (doc_id * doc_id + j * 31 + 7) % n.n AS dst
+        FROM documents CROSS JOIN n
+        CROSS JOIN (VALUES {fanout_values}) AS t(j)
+        WHERE (doc_id * doc_id + j * 31 + 7) % n.n <> doc_id
+    ),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src),
+    e AS MATERIALIZED (
+        SELECT src, dst, outdeg FROM edges0 JOIN outdeg USING (src)
+    ),
+    p0 AS (
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % {PPR_SEED_MOD} = 0
+                    THEN {PR_UNIT} ELSE 0 END AS BIGINT) AS rnk
+        FROM nodes
+    )"""
+    ]
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f""",
+    pc{k} AS MATERIALIZED (
+        SELECT e.dst AS doc_id,
+               CAST(sum((r.rnk * 85) // (100 * e.outdeg)) AS BIGINT) AS c
+        FROM e JOIN p{k - 1} r ON r.doc_id = e.src
+        GROUP BY e.dst
+    ),
+    p{k} AS MATERIALIZED (
+        SELECT nodes.doc_id,
+               CAST(CASE WHEN nodes.doc_id % {PPR_SEED_MOD} = 0
+                    THEN {PR_BASE} ELSE 0 END
+                    + coalesce(pc{k}.c, 0) AS BIGINT) AS rnk
+        FROM nodes LEFT JOIN pc{k} USING (doc_id)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT doc_id, rnk,
+           doc_id % {PPR_SEED_MOD} = 0 AS is_seed
+    FROM p{PR_ITERS}"""
+    )
+    return "".join(parts)
+
+
+PPR_ORACLE_SQL = _ppr_oracle()

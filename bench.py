@@ -299,6 +299,9 @@ def main() -> int:
         # r5 final: the streaming MAD twin — prices the 3-batch drain
         # + the shared verdict suffix (batch==stream contract)
         "stream_anomaly_mad",
+        # r5 final: personalized PageRank — the pagerank plan with a
+        # seed-gated teleport; same per-round exchange budget
+        "graph_ppr_seeds",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

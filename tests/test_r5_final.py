@@ -421,3 +421,54 @@ def test_host_edges_matches_python_replay(spark):
     assert got == exp
     assert len(got) < n_edges / 5  # genuine compression
     assert any(sl for *_, sl in got.values())
+
+
+def test_ppr_matches_python_replay(spark):
+    """Replay the full personalized power iteration in Python and pin
+    the personalization itself: seed teleport only, mass visibly
+    concentrated (nodes outside the seeds' forward cone hold EXACT 0,
+    which global PageRank never does — its teleport pays everyone)."""
+    from ai_ocr_spark.operators.graph import (
+        PPR_SEED_MOD,
+        PR_BASE,
+        PR_FANOUT,
+        PR_ITERS,
+        PR_UNIT,
+        graph_ppr_seeds,
+    )
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n = len(ids)
+    adj, outdeg = [], collections.Counter()
+    for d in ids:
+        dsts = set()
+        for j in range(1, PR_FANOUT + 1):
+            dst = (d * d + j * 31 + 7) % n
+            if dst != d:
+                dsts.add(dst)
+        for dst in dsts:
+            adj.append((d, dst))
+            outdeg[d] += 1
+    rnk = {d: (PR_UNIT if d % PPR_SEED_MOD == 0 else 0) for d in ids}
+    for _ in range(PR_ITERS):
+        c = collections.Counter()
+        for s, d in adj:
+            c[d] += (rnk[s] * 85) // (100 * outdeg[s])
+        rnk = {
+            d: (PR_BASE if d % PPR_SEED_MOD == 0 else 0) + c.get(d, 0)
+            for d in ids
+        }
+    rows = graph_ppr_seeds(spark, SF).collect()
+    got = {r.doc_id: (r.rnk, r.is_seed) for r in rows}
+    exp = {d: (rnk[d], d % PPR_SEED_MOD == 0) for d in ids}
+    assert got == exp
+    zeros = sum(1 for v, _ in got.values() if v == 0)
+    assert zeros > 0  # personalization: unreachable nodes hold exact 0
+    assert any(s for _, s in got.values())
+    # seeds hold teleport mass by construction
+    assert all(v > 0 for v, s in got.values() if s)
