@@ -233,6 +233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KMV algebra with the exact intersection as the measured
         # witness (new in r5, final batch)
         "sketch_kmv_intersect": SK.sketch_kmv_intersect,
+        # the rest of the theta algebra: union + both aNotB estimates
+        # over the same sketches, exact sample-count identity emitted
+        # as a checked bit (new in r5, final batch)
+        "sketch_kmv_setops": SK.sketch_kmv_setops,
         # k-core decomposition of the link graph — Batagelj-Zaversnik
         # peel as bounded localCheckpoint rounds; fixed-depth
         # MATERIALIZED-CTE twin (new in r5, final batch)
@@ -723,6 +727,11 @@ _R5_NEXT = [
     # pins, same integer update, same lazy-lineage carry); the delta
     # is the seed-gated teleport term, replay-pinned in pytest
     "graph_ppr_seeds",
+    # position 55 — theta-algebra completion: shares the literal
+    # _kmv_sketch_parts code (memoized set, thetas, retained samples)
+    # with in-window sketch_kmv_intersect; the new set operations are
+    # replay-pinned and carry the exact sample-count identity bit
+    "sketch_kmv_setops",
     # displaced by rfm_customer_segments: search_snippet_topk's new
     # machinery is the shared phrase ranking, in-window via
     # search_phrase_topk; the snippet-specific tail (first-occurrence
@@ -1055,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_assortativity": G.ASSORTATIVITY_ORACLE_SQL,
         "graph_host_edges": G.HOST_EDGES_ORACLE_SQL,
         "graph_ppr_seeds": G.PPR_ORACLE_SQL,
+        "sketch_kmv_setops": SK.KMV_SETOPS_ORACLE_SQL,
         # the streaming drain of the same sketch must equal the same
         # batch recompute — one oracle text, two execution paths
         "stream_quantiles_logbin": SK.QSKETCH_ORACLE_SQL,

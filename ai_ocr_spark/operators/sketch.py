@@ -1009,6 +1009,59 @@ KMV_I_K = 256  # larger than KMV_K: intersection variance scales with
 # pairs, 0.19 at K=256 with none). Sketch state stays K rows/source.
 
 
+def _kmv_sketch_parts(spark: SparkSession, sf_dir: str):
+    """Shared KMV machinery for the set-algebra family: the memoized
+    distinct (source, h) shingle set `d` (eager _SHINGLE_CACHE persist
+    — it feeds many consumers per query and, unmemoized, each re-ran
+    the corpus explode+distinct off the one-split fixture scan: 6.3s
+    warm at sf0.1 -> 0.9s), the per-source `theta` frame
+    (k_seen, theta), and the retained samples `ret` (strictly below
+    the sketch's own theta — drops the kth element of a saturated
+    sketch)."""
+    from .dedup import _SHINGLE_CACHE, _cache_key
+
+    key = _cache_key(spark, sf_dir, "kmv-intersect-shingles")
+    d = _SHINGLE_CACHE.get(key)
+    if d is None:
+        par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            par
+        )
+        sh = docs.select(
+            "source",
+            F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh"),
+        )
+        d = (
+            sh.select("source", TX.hash15(F.col("sh")).alias("h"))
+            .distinct()
+            .persist()
+        )
+        d.count()  # eager build (CLAUDE.md: lazy memoized persists race)
+        _SHINGLE_CACHE[key] = d
+    w = Window.partitionBy("source").orderBy(F.asc("h"))
+    topk = d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_I_K
+    )
+    th = topk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k_seen"), F.max("h").alias("kth")
+    )
+    theta = th.select(
+        "source",
+        "k_seen",
+        F.when(F.col("k_seen") < KMV_I_K, F.lit(1 << 60))
+        .otherwise(F.col("kth"))
+        .cast("long")
+        .alias("theta"),
+    )
+    ret = (
+        topk.join(theta.select("source", "theta"), "source")
+        .filter(F.col("h") < F.col("theta"))
+        .select("source", "h")
+    )
+    return d, theta, ret
+
+
+
 def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch set intersection over per-source shingle sets — the
     DataSketches-style algebra corpus tooling uses to answer "how much
@@ -1048,54 +1101,9 @@ def sketch_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import _SHINGLE_CACHE, _cache_key
 
-    # the distinct (source, h) shingle set feeds FIVE consumers (the
-    # topk -> theta -> retained chain plus both exact-witness sides);
-    # unmemoized, each re-ran the corpus explode+distinct off the
-    # one-split fixture scan (measured 6.3s warm at sf0.1 -> 0.9s).
-    # Memoized-persist + eager count per the _SHINGLE_CACHE policy
-    # (lazy memoized persists race; bare persists strand on clear).
-    key = _cache_key(spark, sf_dir, "kmv-intersect-shingles")
-    d = _SHINGLE_CACHE.get(key)
-    if d is None:
-        par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-            par
-        )
-        sh = docs.select(
-            "source",
-            F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh"),
-        )
-        d = (
-            sh.select("source", TX.hash15(F.col("sh")).alias("h"))
-            .distinct()
-            .persist()
-        )
-        d.count()  # eager build (CLAUDE.md: lazy memoized persists race)
-        _SHINGLE_CACHE[key] = d
-    w = Window.partitionBy("source").orderBy(F.asc("h"))
-    topk = d.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= KMV_I_K
-    )
-    th = topk.groupBy("source").agg(
-        F.count(F.lit(1)).alias("k_seen"), F.max("h").alias("kth")
-    )
-    theta = th.select(
-        "source",
-        "k_seen",
-        F.when(F.col("k_seen") < KMV_I_K, F.lit(1 << 60))
-        .otherwise(F.col("kth"))
-        .cast("long")
-        .alias("theta"),
-    )
-    # retained = samples strictly below the sketch's own theta (drops
-    # the kth element of a saturated sketch). A sample in BOTH retained
-    # sets is < min(theta_a, theta_b) automatically, so the pair join
-    # needs no extra bound.
-    ret = (
-        topk.join(theta.select("source", "theta"), "source")
-        .filter(F.col("h") < F.col("theta"))
-        .select("source", "h")
-    )
+    d, theta, ret = _kmv_sketch_parts(spark, sf_dir)
+    # a sample in BOTH retained sets is < min(theta_a, theta_b)
+    # automatically, so the intersect pair join needs no extra bound.
     # rename BEFORE self-joining: both sides share lineage, and
     # identically-named columns would resolve to one attribute (the
     # trivially-true-equals trap, see ann_pq_topk).
@@ -1222,4 +1230,261 @@ KMV_INTERSECT_ORACLE_SQL = f"""
     FROM pairs p
     LEFT JOIN co USING (src_a, src_b)
     LEFT JOIN ex USING (src_a, src_b)
+"""
+
+
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the theta-sketch set algebra over the same
+    per-source shingle sketches: per source pair, UNION and both
+    A-not-B difference estimates — DataSketches' union / aNotB
+    operations beside sketch_kmv_intersect's intersection, completing
+    the algebra corpus tooling uses to answer "how much content is
+    shared / unique per source" from K-row state.
+
+    Mechanics: pair theta = min of the two sketches' thetas; BOTH
+    retained sets filter to samples below the pair theta (unlike
+    intersection, where membership in both sides implies it); then
+    union_samples = |Ra ∪ Rb|, anotb_samples = |Ra \\ Rb|, and each
+    scales by 2^60/theta. The sample counts obey the EXACT integer
+    identity  common + anotb + bnota = union_samples  (emitted as the
+    identity_ok bit — an algebra bug flips it), and the exact
+    witnesses ride along via inclusion-exclusion on the distinct sets
+    (|A∪B| = |A|+|B|−|A∩B|, |A\\B| = |A|−|A∩B| — no new corpus join
+    beyond the intersection's).
+
+    Scale shape: everything pairs over K-row retained sets (the
+    |sources|² scaffold of K-row frames); the only corpus-sized work
+    is the memoized distinct-set build + the exact-witness
+    hash-equi-join shared with sketch_kmv_intersect. Mergeable like
+    every KMV artifact.
+
+    Reference parity: no sketch stage in the reference; sibling of
+    sketch_kmv_intersect (same machinery, the remaining operations).
+    """
+    d, theta, ret = _kmv_sketch_parts(spark, sf_dir)
+    ta = theta.select(
+        F.col("source").alias("sa"),
+        F.col("theta").alias("theta_a"),
+    )
+    tb = theta.select(
+        F.col("source").alias("sb"),
+        F.col("theta").alias("theta_b"),
+    )
+    pairs = ta.join(tb, F.col("sa") < F.col("sb")).select(
+        "sa", "sb", F.least("theta_a", "theta_b").alias("theta")
+    )
+    # both retained sets cut to the PAIR theta (entries below their own
+    # theta may still be >= the partner's)
+    ra = (
+        pairs.join(
+            ret.select(F.col("source").alias("sa"), F.col("h").alias("ha")),
+            "sa",
+        )
+        .filter(F.col("ha") < F.col("theta"))
+        .select("sa", "sb", "ha")
+    )
+    rb = (
+        pairs.join(
+            ret.select(F.col("source").alias("sb"), F.col("h").alias("hb")),
+            "sb",
+        )
+        .filter(F.col("hb") < F.col("theta"))
+        .select("sa", "sb", "hb")
+    )
+    un = (
+        ra.select("sa", "sb", F.col("ha").alias("h"))
+        .union(rb.select("sa", "sb", F.col("hb").alias("h")))
+        .distinct()
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("union_samples"))
+    )
+    anotb = (
+        ra.join(
+            rb.withColumnRenamed("hb", "ha"), ["sa", "sb", "ha"], "left_anti"
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("anotb_samples"))
+    )
+    bnota = (
+        rb.join(
+            ra.withColumnRenamed("ha", "hb"), ["sa", "sb", "hb"], "left_anti"
+        )
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("bnota_samples"))
+    )
+    sizes = d.groupBy("source").agg(F.countDistinct("h").alias("sz"))
+    inter = (
+        ret.select(F.col("source").alias("sa"), F.col("h").alias("ha"))
+        .join(
+            ret.select(F.col("source").alias("sb"), F.col("h").alias("hb")),
+            F.col("ha") == F.col("hb"),
+        )
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    dex = (
+        d.select(F.col("source").alias("sa"), F.col("h").alias("ha"))
+        .join(
+            d.select(F.col("source").alias("sb"), F.col("h").alias("hb")),
+            F.col("ha") == F.col("hb"),
+        )
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scale = F.lit(HASH_SPACE) / F.col("theta").cast("double")
+    out = (
+        pairs.join(un, ["sa", "sb"], "left")
+        .join(anotb, ["sa", "sb"], "left")
+        .join(bnota, ["sa", "sb"], "left")
+        .join(inter, ["sa", "sb"], "left")
+        .join(dex, ["sa", "sb"], "left")
+        .join(
+            sizes.select(F.col("source").alias("sa"), F.col("sz").alias("n_a")),
+            "sa",
+        )
+        .join(
+            sizes.select(F.col("source").alias("sb"), F.col("sz").alias("n_b")),
+            "sb",
+        )
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return out.select(
+        F.col("sa").alias("src_a"),
+        F.col("sb").alias("src_b"),
+        F.col("theta").cast("long").alias("theta"),
+        z("union_samples").alias("union_samples"),
+        F.round(z("union_samples").cast("double") * scale, 4).alias(
+            "union_est"
+        ),
+        z("anotb_samples").alias("anotb_samples"),
+        F.round(z("anotb_samples").cast("double") * scale, 4).alias(
+            "anotb_est"
+        ),
+        z("bnota_samples").alias("bnota_samples"),
+        F.round(z("bnota_samples").cast("double") * scale, 4).alias(
+            "bnota_est"
+        ),
+        (
+            z("common") + z("anotb_samples") + z("bnota_samples")
+            == z("union_samples")
+        ).alias("identity_ok"),
+        (F.col("n_a") + F.col("n_b") - z("n_inter"))
+        .cast("long")
+        .alias("n_exact_union"),
+        (F.col("n_a") - z("n_inter")).cast("long").alias("n_exact_anotb"),
+        (F.col("n_b") - z("n_inter")).cast("long").alias("n_exact_bnota"),
+    )
+
+
+KMV_SETOPS_ORACLE_SQL = f"""
+    WITH n AS (
+        SELECT source,
+               string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ') AS tok
+        FROM documents
+    ),
+    sh AS (SELECT source, u.sh FROM n, unnest({_KMV_I_SHINGLE}) AS u(sh)),
+    d AS MATERIALIZED (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        FROM sh
+    ),
+    topk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+            FROM d
+        ) WHERE rn <= {KMV_I_K}
+    ),
+    th AS (
+        SELECT source, count(*) AS k_seen, max(h) AS kth
+        FROM topk GROUP BY source
+    ),
+    theta AS MATERIALIZED (
+        SELECT source,
+               CASE WHEN k_seen < {KMV_I_K} THEN CAST({1 << 60} AS BIGINT)
+                    ELSE kth END AS theta
+        FROM th
+    ),
+    ret AS MATERIALIZED (
+        SELECT t.source, t.h
+        FROM topk t JOIN theta USING (source)
+        WHERE t.h < theta
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.source AS src_a, b.source AS src_b,
+               least(a.theta, b.theta) AS theta
+        FROM theta a JOIN theta b ON a.source < b.source
+    ),
+    ra AS MATERIALIZED (
+        SELECT p.src_a, p.src_b, r.h
+        FROM pairs p JOIN ret r ON r.source = p.src_a
+        WHERE r.h < p.theta
+    ),
+    rb AS MATERIALIZED (
+        SELECT p.src_a, p.src_b, r.h
+        FROM pairs p JOIN ret r ON r.source = p.src_b
+        WHERE r.h < p.theta
+    ),
+    un AS (
+        SELECT src_a, src_b, count(*) AS union_samples FROM (
+            SELECT DISTINCT src_a, src_b, h FROM (
+                SELECT * FROM ra UNION ALL SELECT * FROM rb
+            )
+        ) GROUP BY 1, 2
+    ),
+    ab AS (
+        SELECT src_a, src_b, count(*) AS anotb_samples
+        FROM ra WHERE NOT EXISTS (
+            SELECT 1 FROM rb WHERE rb.src_a = ra.src_a
+              AND rb.src_b = ra.src_b AND rb.h = ra.h
+        )
+        GROUP BY 1, 2
+    ),
+    ba AS (
+        SELECT src_a, src_b, count(*) AS bnota_samples
+        FROM rb WHERE NOT EXISTS (
+            SELECT 1 FROM ra WHERE ra.src_a = rb.src_a
+              AND ra.src_b = rb.src_b AND ra.h = rb.h
+        )
+        GROUP BY 1, 2
+    ),
+    co AS (
+        SELECT x.source AS src_a, y.source AS src_b, count(*) AS common
+        FROM ret x JOIN ret y ON x.h = y.h AND x.source < y.source
+        GROUP BY 1, 2
+    ),
+    dex AS (
+        SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter
+        FROM d x JOIN d y ON x.h = y.h AND x.source < y.source
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT source, count(DISTINCT h) AS sz FROM d GROUP BY source)
+    SELECT p.src_a, p.src_b, p.theta,
+           CAST(coalesce(un.union_samples, 0) AS BIGINT) AS union_samples,
+           round(CAST(coalesce(un.union_samples, 0) AS DOUBLE)
+                 * ({HASH_SPACE} / CAST(p.theta AS DOUBLE)), 4) AS union_est,
+           CAST(coalesce(ab.anotb_samples, 0) AS BIGINT) AS anotb_samples,
+           round(CAST(coalesce(ab.anotb_samples, 0) AS DOUBLE)
+                 * ({HASH_SPACE} / CAST(p.theta AS DOUBLE)), 4) AS anotb_est,
+           CAST(coalesce(ba.bnota_samples, 0) AS BIGINT) AS bnota_samples,
+           round(CAST(coalesce(ba.bnota_samples, 0) AS DOUBLE)
+                 * ({HASH_SPACE} / CAST(p.theta AS DOUBLE)), 4) AS bnota_est,
+           coalesce(co.common, 0) + coalesce(ab.anotb_samples, 0)
+               + coalesce(ba.bnota_samples, 0)
+               = coalesce(un.union_samples, 0) AS identity_ok,
+           CAST(za.sz + zb.sz - coalesce(dex.n_inter, 0) AS BIGINT)
+               AS n_exact_union,
+           CAST(za.sz - coalesce(dex.n_inter, 0) AS BIGINT) AS n_exact_anotb,
+           CAST(zb.sz - coalesce(dex.n_inter, 0) AS BIGINT) AS n_exact_bnota
+    FROM pairs p
+    LEFT JOIN un USING (src_a, src_b)
+    LEFT JOIN ab USING (src_a, src_b)
+    LEFT JOIN ba USING (src_a, src_b)
+    LEFT JOIN co USING (src_a, src_b)
+    LEFT JOIN dex USING (src_a, src_b)
+    JOIN sz za ON za.source = p.src_a
+    JOIN sz zb ON zb.source = p.src_b
 """

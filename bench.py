@@ -302,6 +302,9 @@ def main() -> int:
         # r5 final: personalized PageRank — the pagerank plan with a
         # seed-gated teleport; same per-round exchange budget
         "graph_ppr_seeds",
+        # r5 final: the theta-algebra completion over the shared
+        # memoized sketch parts (K-row pair frames + witness join)
+        "sketch_kmv_setops",
     ]
     qs = entrymod.queries()
     missing = [n for n in headline if n not in qs]

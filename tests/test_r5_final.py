@@ -472,3 +472,85 @@ def test_ppr_matches_python_replay(spark):
     assert any(s for _, s in got.values())
     # seeds hold teleport mass by construction
     assert all(v > 0 for v, s in got.values() if s)
+
+
+def test_kmv_setops_matches_python_replay(spark):
+    """Replay union/aNotB theta algebra in Python and pin the exact
+    sample-count identity (common + anotb + bnota == union) plus the
+    inclusion-exclusion witnesses."""
+    import hashlib
+
+    from ai_ocr_spark.operators.sketch import KMV_I_K, sketch_kmv_setops
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    sets = collections.defaultdict(set)
+    for r in docs:
+        toks = " ".join((r.text or "").lower().split()).split(" ")
+        for i in range(len(toks) - 2):
+            h = int(
+                hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[
+                    :15
+                ],
+                16,
+            )
+            sets[r.source].add(h)
+    theta, ret = {}, {}
+    for s, hs in sets.items():
+        top = sorted(hs)[:KMV_I_K]
+        th = (1 << 60) if len(top) < KMV_I_K else top[-1]
+        theta[s] = th
+        ret[s] = {h for h in top if h < th}
+    exp = {}
+    for sa in sets:
+        for sb in sets:
+            if sa >= sb:
+                continue
+            th = min(theta[sa], theta[sb])
+            ra = {h for h in ret[sa] if h < th}
+            rb = {h for h in ret[sb] if h < th}
+            sc = float(1 << 60) / float(th)
+            ni = len(sets[sa] & sets[sb])
+            exp[(sa, sb)] = (
+                th,
+                len(ra | rb),
+                round(len(ra | rb) * sc, 4),
+                len(ra - rb),
+                round(len(ra - rb) * sc, 4),
+                len(rb - ra),
+                round(len(rb - ra) * sc, 4),
+                True,  # identity holds by set algebra
+                len(sets[sa]) + len(sets[sb]) - ni,
+                len(sets[sa]) - ni,
+                len(sets[sb]) - ni,
+            )
+    rows = sketch_kmv_setops(spark, SF).collect()
+    got = {
+        (r.src_a, r.src_b): (
+            r.theta,
+            r.union_samples,
+            r.union_est,
+            r.anotb_samples,
+            r.anotb_est,
+            r.bnota_samples,
+            r.bnota_est,
+            r.identity_ok,
+            r.n_exact_union,
+            r.n_exact_anotb,
+            r.n_exact_bnota,
+        )
+        for r in rows
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        ga, ea = got[k], exp[k]
+        for i in (0, 1, 3, 5, 7, 8, 9, 10):
+            assert ga[i] == ea[i], (k, i, ga[i], ea[i])
+        for i in (2, 4, 6):
+            assert abs(ga[i] - ea[i]) < 1e-6, (k, i)
+    assert all(v[7] for v in got.values())  # the algebra identity bit
+    # differences are genuinely asymmetric somewhere (real structure)
+    assert any(v[3] != v[5] for v in got.values())
