@@ -1021,23 +1021,21 @@ def _kmv_sketch_parts(spark: SparkSession, sf_dir: str):
     from .dedup import _SHINGLE_CACHE, _cache_key
 
     key = _cache_key(spark, sf_dir, "kmv-intersect-shingles")
-    d = _SHINGLE_CACHE.get(key)
-    if d is None:
-        par = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-            par
-        )
-        sh = docs.select(
-            "source",
-            F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh"),
-        )
-        d = (
-            sh.select("source", TX.hash15(F.col("sh")).alias("h"))
-            .distinct()
-            .persist()
-        )
-        d.count()  # eager build (CLAUDE.md: lazy memoized persists race)
-        _SHINGLE_CACHE[key] = d
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    sh = docs.select(
+        "source",
+        F.explode(TX.word_shingles(TX.tokens(F.col("text")))).alias("sh"),
+    )
+    d = (
+        sh.select("source", TX.hash15(F.col("sh")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    d.count()  # eager build (CLAUDE.md: lazy memoized persists race)
     w = Window.partitionBy("source").orderBy(F.asc("h"))
     topk = d.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= KMV_I_K
@@ -1052,13 +1050,22 @@ def _kmv_sketch_parts(spark: SparkSession, sf_dir: str):
         .otherwise(F.col("kth"))
         .cast("long")
         .alias("theta"),
-    )
+    ).persist()
     ret = (
         topk.join(theta.select("source", "theta"), "source")
         .filter(F.col("h") < F.col("theta"))
         .select("source", "h")
+        .persist()
     )
-    return d, theta, ret
+    # theta/ret are tiny (|sources| and K·|sources| rows) but feed ~8
+    # consumers per setops query — left uncached each consumer re-ran
+    # the window chain (setops 5.1s warm -> 2s). Tupled into ONE cache
+    # entry so clear_caches unpersists all three together.
+    theta.count()
+    ret.count()
+    entry = (d, theta, ret)
+    _SHINGLE_CACHE[key] = entry
+    return entry
 
 
 
